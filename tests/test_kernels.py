@@ -1,0 +1,140 @@
+"""Unit tests for the shared signature kernels (no Spark needed)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pcompress_spark.config import DedupConfig
+from pcompress_spark import kernels as K
+
+
+CFG = DedupConfig()
+
+
+def test_normalize_idempotent_and_ascii():
+    s = pd.Series(["  Hello, WORLD!! 42 ", "a--b__c", None, ""])
+    out = K.normalize_texts(s)
+    assert out.tolist() == ["hello world 42", "a b c", "", ""]
+    assert K.normalize_texts(out).tolist() == out.tolist()
+    for raw, norm in zip(s, out):
+        assert K.normalize_one(raw) == norm
+
+
+def test_hash_tokens_deterministic_and_distinct():
+    toks = np.array(["alpha", "beta", "alpha", "alphabeta", "x"])
+    h = K.hash_tokens(toks)
+    assert h.dtype == np.uint64
+    assert h[0] == h[2]
+    assert len({int(x) for x in h}) == 4
+    # stable across calls and array widths
+    h2 = K.hash_tokens(np.array(["alpha", "a-very-much-longer-token-here"]))
+    assert h2[0] == h[0]
+
+
+def test_token_truncation_shared_semantics():
+    long_a = "q" * 100 + "a"
+    long_b = "q" * 100 + "b"
+    h = K.hash_tokens(np.array([long_a, long_b]), max_token_chars=64)
+    assert h[0] == h[1]  # differ only beyond truncation point
+
+
+def test_shingle_flat_matches_per_doc():
+    rng = np.random.default_rng(0)
+    docs = [rng.integers(0, 2**63, size=n).astype(np.uint64) for n in (10, 3, 0, 7, 5)]
+    starts = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in docs], out=starts[1:])
+    flat = np.concatenate([d for d in docs if len(d)])
+    k = 5
+    sh_flat, sh_starts = K.shingle_hashes_flat(flat, starts, k)
+    for i, d in enumerate(docs):
+        expect = K.shingle_hashes(d, k)
+        got = sh_flat[sh_starts[i]: sh_starts[i + 1]]
+        assert np.array_equal(got, expect), f"doc {i}"
+
+
+def test_minhash_matches_bruteforce_and_empty_sentinel():
+    rng = np.random.default_rng(1)
+    docs = [rng.integers(0, 2**63, size=n).astype(np.uint64) for n in (50, 0, 8, 0)]
+    starts = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in docs], out=starts[1:])
+    flat = np.concatenate([d for d in docs if len(d)])
+    sig = K.minhash_flat(flat, starts, CFG.num_perm, CFG.seed, perm_chunk=7)
+    a, b = K.perm_params(CFG.num_perm, CFG.seed)
+    for i, d in enumerate(docs):
+        if len(d):
+            expect = (d[:, None] * a[None, :] + b[None, :]).min(axis=0)
+        else:
+            expect = K._EMPTY_SENTINEL * a + b
+        assert np.array_equal(sig[i], expect), f"doc {i}"
+    assert np.array_equal(sig[1], sig[3])  # all empties identical
+
+
+def test_minhash_jaccard_estimate():
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 2**63, size=2000).astype(np.uint64)
+    a = np.unique(base[:1500])
+    b = np.unique(base[500:])  # true J ~ 1000/2000 = 0.5
+    starts = np.array([0, len(a), len(a) + len(b)], dtype=np.int64)
+    sig = K.minhash_flat(np.concatenate([a, b]), starts, 128, 42)
+    est = K.minhash_est(sig[0], sig[1])
+    true_j = K.jaccard_sorted(a, b)
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_hamming_monotone():
+    """More shared shingles -> smaller Hamming distance (on average)."""
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2**63, size=600).astype(np.uint64)
+    variants = [np.unique(np.concatenate([base[:500], rng.integers(0, 2**63, size=m).astype(np.uint64)]))
+                for m in (5, 250)]
+    sets = [np.unique(base[:500])] + variants
+    starts = np.zeros(len(sets) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in sets], out=starts[1:])
+    sims = K.simhash_flat(np.concatenate(sets), starts)
+    d_close = K.hamming64(sims[0], sims[1])
+    d_far = K.hamming64(sims[0], sims[2])
+    assert d_close < d_far
+
+
+def test_window_fingerprints_detect_shared_run():
+    """Content-defined selection: a shared run is found at ANY offset."""
+    rng = np.random.default_rng(4)
+    run = rng.integers(0, 2**63, size=200).astype(np.uint64)
+    for off_a, off_b in [(33, 7), (0, 111), (55, 0)]:
+        doc_a = np.concatenate([rng.integers(0, 2**63, size=off_a).astype(np.uint64), run,
+                                rng.integers(0, 2**63, size=20).astype(np.uint64)])
+        doc_b = np.concatenate([rng.integers(0, 2**63, size=off_b).astype(np.uint64), run])
+        wa, _ = K.window_fingerprints(doc_a, 32, 16)
+        wb, _ = K.window_fingerprints(doc_b, 32, 16)
+        assert len(set(map(int, wa)) & set(map(int, wb))) >= 1, (off_a, off_b)
+
+
+def test_signatures_for_texts_shapes():
+    texts = pd.Series(["the quick brown fox jumps over the lazy dog " * 3,
+                       "THE quick  brown fox jumps over the lazy dog " * 3,
+                       "tiny", ""])
+    out = K.signatures_for_texts(texts, CFG)
+    assert list(out.columns) == ["n_tokens", "content_hash", "shingles", "minhash",
+                                 "simhash", "win_hashes", "win_positions"]
+    assert out["n_tokens"].tolist()[2:] == [1, 0]
+    # rows 0 and 1 normalize identically -> identical everything
+    assert out.loc[0, "content_hash"] == out.loc[1, "content_hash"]
+    assert np.array_equal(out.loc[0, "minhash"], out.loc[1, "minhash"])
+    assert len(out.loc[0, "minhash"]) == CFG.num_perm
+    # shingles distinct, sorted in unsigned space
+    sh = np.asarray(out.loc[0, "shingles"]).view(np.uint64)
+    assert np.array_equal(sh, np.unique(sh))
+
+
+def test_batch_invariance():
+    """Signatures must not depend on batch composition (partition independence)."""
+    texts = pd.Series([f"word{i} " * 30 + "common tail of tokens here now ok yes" for i in range(10)])
+    whole = K.signatures_for_texts(texts, CFG)
+    part = pd.concat([K.signatures_for_texts(texts[:3], CFG),
+                      K.signatures_for_texts(texts[3:7], CFG),
+                      K.signatures_for_texts(texts[7:], CFG)], ignore_index=True)
+    for col in ("content_hash", "simhash", "n_tokens"):
+        assert whole[col].tolist() == part[col].tolist()
+    for i in range(10):
+        assert np.array_equal(whole.loc[i, "minhash"], part.loc[i, "minhash"])
+        assert np.array_equal(whole.loc[i, "shingles"], part.loc[i, "shingles"])
