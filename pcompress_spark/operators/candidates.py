@@ -1,0 +1,121 @@
+"""LSH banding + candidate-pair generation (the scalable similarity path).
+
+Reference analog: the segmented similarity index (MODE_SIMILARITY) — probe
+the global index with each of K sketch values; ANY single match nominates a
+candidate segment (/root/reference/rabin/rabin_dedup.c:897-1183,
+/root/reference/rabin/global/index.c:184-196). Here the shuffle IS the
+index: explode (band_idx, band_hash), group, and every bucket with >= 2
+members nominates candidate pairs. No shared mutable state, no semaphore
+ring — determinism comes from sorted bucket membership.
+
+Skew handling (north_rule: explicit salting of hot LSH buckets; reference
+analog: lossy eviction of the oldest chain entry at capacity,
+/root/reference/rabin/global/index.c:539-547 — theirs is silent, ours is
+deterministic and LOGGED):
+  1. bucket sizes via groupBy().count() — cheap, map-side partial agg;
+  2. hot buckets (size > bucket_cap) broadcast back to the exploded rows;
+  3. salt-sample hot buckets map-side: keep members with
+     pmod(id_hash, n_groups) == 0, n_groups = ceil(size / cap) — so the
+     expensive collect_list reducer never sees more than ~cap rows for a
+     hot bucket (prevents the 10M-member boilerplate bucket from creating
+     a straggler/OOM at 10^12-turn scale);
+  4. final deterministic cap: sorted members truncated to bucket_cap.
+The same rule runs in the oracle (same id_hash kernel), so engine and
+oracle candidate sets stay identical. Dropped-membership counts surface in
+the metrics table — no silent caps.
+
+Pair generation is entirely JVM (transform/slice/flatten over the sorted
+member array): bucket of m members -> C(m,2) struct rows, m <= bucket_cap.
+
+Scale: one shuffle keyed by (band_idx, band_hash) — high cardinality, near
+uniform after hot-bucket salting; AQE coalesces small reduces. Output pairs
+are aggregated by (a, b) with a map-side combine (n_bands evidence counter,
+the A2 early-abort analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+
+
+def band_explode(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """signatures -> (conv_id, id_hash, band_idx, band_hash); docs below the
+    shingle floor (empty shingle set) take the exact-hash path only, exactly
+    like the reference's trailing-block handling
+    (/root/reference/rabin/rabin_dedup.c:717-757)."""
+    r = cfg.rows
+    return (
+        sig.where(F.size("shingles") > 0)
+        .select(
+            "conv_id",
+            "id_hash",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {cfg.bands - 1}), b -> "
+                    f"struct(b as band_idx, "
+                    f"xxhash64(b, slice(minhash, b * {r} + 1, {r})) as band_hash))"
+                )
+            ).alias("band"),
+        )
+        .select("conv_id", "id_hash", "band.band_idx", "band.band_hash")
+    )
+
+
+def bucket_members(banded: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+    """-> (buckets, bucket_stats).
+
+    buckets: (band_idx, band_hash, ids sorted array, capped)
+    bucket_stats: per-bucket raw size / kept size for the metrics table.
+    """
+    sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("raw_size")
+    )
+    hot = sizes.where(F.col("raw_size") > cfg.bucket_cap)
+    salted = (
+        banded.join(F.broadcast(hot), ["band_idx", "band_hash"], "left")
+        .where(
+            F.col("raw_size").isNull()
+            | (
+                F.pmod(
+                    F.col("id_hash"),
+                    F.ceil(F.col("raw_size") / F.lit(cfg.bucket_cap)).cast("long"),
+                )
+                == 0
+            )
+        )
+        .drop("raw_size")
+    )
+    buckets = (
+        salted.groupBy("band_idx", "band_hash")
+        .agg(F.slice(F.sort_array(F.collect_list("conv_id")), 1, cfg.bucket_cap).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    stats = sizes.select(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("raw_size") > cfg.hot_bucket_threshold, 1).otherwise(0)).alias("n_hot_buckets"),
+        F.sum(F.when(F.col("raw_size") > cfg.bucket_cap, F.col("raw_size")).otherwise(0)).alias("hot_member_rows"),
+        F.max("raw_size").alias("max_bucket_size"),
+    )
+    return buckets, stats
+
+
+def candidate_pairs(sig: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+    """signatures -> ((conv_id_a, conv_id_b, n_bands) with a < b, stats)."""
+    banded = band_explode(sig, cfg)
+    buckets, stats = bucket_members(banded, cfg)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> "
+                "struct(x as conv_id_a, y as conv_id_b))))"
+            )
+        ).alias("p")
+    ).select("p.conv_id_a", "p.conv_id_b")
+    agg = pairs.groupBy("conv_id_a", "conv_id_b").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bands")
+    )
+    return agg, stats

@@ -1,0 +1,112 @@
+"""Verify: candidate pairs -> confirmed duplicate pairs.
+
+Reference analog: candidate segments are confirmed by block-level exact
+matching (memcmp residual after the hash probe,
+/root/reference/rabin/rabin_dedup.c:1074-1183, 1311-1366) and abandoned
+early when the projected gain is too small ("No Dedupe possible",
+/root/reference/rabin/rabin_dedup.c:1250-1257 — the A2 early-abort).
+
+Spark shape: two hash joins of the (small) pair list against the signatures
+table, then pure JVM expressions:
+  - est_jaccard: fraction of agreeing MinHash positions (zip_with +
+    aggregate) — the cheap pre-filter (early-abort analog);
+  - jaccard: EXACT Jaccard on the sorted-distinct shingle sets
+    (array_intersect / sizes) — the memcmp-strength residual;
+  - exact: content_hash equality (crypto-hash path).
+
+Everything here is whole-stage-codegen JVM; no Python. The joins are keyed
+on conv_id; candidate lists are tiny relative to signatures, and AQE turns
+these into broadcast joins automatically when the pair list fits.
+
+Exact-duplicate pairs are generated independently of LSH from
+content_hash groups (J3 analog: the global crypto-hash index,
+/root/reference/rabin/global/index.c:485-558, first-occurrence-wins becomes
+a deterministic min(conv_id) star) — so exact-dup recall is 1.0 by
+construction even for docs below the shingle floor.
+
+Scale note: shingle arrays ride through these joins. At the 10^12-turn
+design point, signatures keep shingles as ~8B x n_tokens arrays; the pair
+join touches only candidate rows (<< corpus). If pair volume ever rivals
+corpus size, bump minhash_prefilter — est_jaccard needs only the 1 KB
+minhash column and drops most pairs before the shingle columns are read
+(Parquet column pruning keeps the scan narrow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+
+
+def exact_pairs(sig: DataFrame) -> DataFrame:
+    """Star edges within each content_hash group: (min_id, other_id).
+    One shuffle on content_hash; groups collapse to a representative star,
+    never the quadratic pair set — at 10^12 scale a 1M-copy boilerplate
+    document yields 1M-1 edges, not 10^12/2 pairs."""
+    reps = (
+        sig.groupBy("content_hash")
+        .agg(F.min("conv_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .drop("n")
+    )
+    return (
+        sig.join(reps, "content_hash")
+        .where(F.col("conv_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("conv_id_a"),
+            F.col("conv_id").alias("conv_id_b"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit("exact").alias("match_kind"),
+        )
+    )
+
+
+def verify_pairs(sig: DataFrame, candidates: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """candidates (conv_id_a, conv_id_b, n_bands) -> verified pairs
+    (conv_id_a, conv_id_b, jaccard, match_kind in {exact, near})."""
+    a = sig.select(
+        F.col("conv_id").alias("conv_id_a"),
+        F.col("content_hash").alias("ch_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("minhash").alias("mh_a"),
+    )
+    b = sig.select(
+        F.col("conv_id").alias("conv_id_b"),
+        F.col("content_hash").alias("ch_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("minhash").alias("mh_b"),
+    )
+    joined = candidates.join(a, "conv_id_a").join(b, "conv_id_b")
+    est = (
+        F.aggregate(
+            F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(cfg.num_perm)
+    ).alias("est_jaccard")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    scored = (
+        joined.withColumn("est_jaccard", est)
+        .where(
+            (F.col("ch_a") == F.col("ch_b"))
+            | (F.col("est_jaccard") >= F.lit(cfg.minhash_prefilter))
+        )
+        .withColumn("jaccard_x", jac)
+    )
+    near = scored.where(
+        (F.col("ch_a") != F.col("ch_b"))
+        & (F.col("jaccard_x") >= F.lit(cfg.jaccard_threshold))
+    ).select(
+        "conv_id_a",
+        "conv_id_b",
+        F.col("jaccard_x").alias("jaccard"),
+        F.lit("near").alias("match_kind"),
+    )
+    # exact pairs come from the content-hash star (complete by construction);
+    # LSH-sourced exact pairs are dropped here to avoid duplicates.
+    return near.unionByName(exact_pairs(sig))

@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 
 from .config import DedupConfig
-from .kernels import jaccard_sorted, signatures_for_texts
+from .kernels import hash_tokens, jaccard_sorted, signatures_for_texts
 
 
 @dataclass
@@ -50,7 +50,12 @@ def assemble(transcripts: pd.DataFrame) -> pd.DataFrame:
 def signatures(assembled: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     sig = signatures_for_texts(assembled["doc_text"], cfg)
     sig.insert(0, "conv_id", assembled["conv_id"].values)
-    sig.insert(1, "n_turns", assembled["n_turns"].values)
+    sig.insert(
+        1,
+        "id_hash",
+        hash_tokens(assembled["conv_id"].to_numpy(dtype=np.str_)).view(np.int64),
+    )
+    sig.insert(2, "n_turns", assembled["n_turns"].values)
     return sig
 
 
@@ -58,21 +63,28 @@ def lsh_candidates(sig: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     """Bucket by (band_idx, tuple of r minhash values); emit all in-bucket
     pairs. Bucket membership depends only on equality of the minhash slice,
     so any injective-enough band hash in the engine yields the same buckets."""
-    buckets: dict[tuple, list[str]] = {}
+    buckets: dict[tuple, list[tuple[str, int]]] = {}
     ids = sig["conv_id"].tolist()
+    id_hashes = sig["id_hash"].tolist()
     mhs = sig["minhash"].tolist()
     has_sh = [len(s) > 0 for s in sig["shingles"]]
-    for cid, mh, nonempty in zip(ids, mhs, has_sh):
+    for cid, ih, mh, nonempty in zip(ids, id_hashes, mhs, has_sh):
         if not nonempty:
             continue  # below shingle floor: exact-hash path only
         mh = np.asarray(mh)
         for b in range(cfg.bands):
             key = (b, tuple(mh[b * cfg.rows : (b + 1) * cfg.rows]))
-            buckets.setdefault(key, []).append(cid)
+            buckets.setdefault(key, []).append((cid, int(ih)))
     counts: dict[tuple[str, str], int] = {}
     for key, members in buckets.items():
-        members = sorted(set(members))[: cfg.bucket_cap]
-        for a, b in itertools.combinations(members, 2):
+        # hot-bucket salting, same rule as the engine (candidates.py):
+        # keep id_hash % ceil(m/cap) == 0, then sorted cap.
+        m = len(members)
+        if m > cfg.bucket_cap:
+            n_groups = -(-m // cfg.bucket_cap)
+            members = [(c, h) for c, h in members if h % n_groups == 0]
+        kept = sorted({c for c, _ in members})[: cfg.bucket_cap]
+        for a, b in itertools.combinations(kept, 2):
             counts[(a, b)] = counts.get((a, b), 0) + 1
     if not counts:
         return pd.DataFrame(columns=["conv_id_a", "conv_id_b", "n_bands"])
@@ -84,41 +96,38 @@ def lsh_candidates(sig: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
 
 
 def verify(sig: pd.DataFrame, candidates: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
-    """Exact shingle-set Jaccard on each candidate; keep if >= threshold or
-    identical content hash. Exact-dup pairs (same content_hash) are always
-    included even when LSH missed nothing — mirrors the reference's crypto-
-    hash exact path (/root/reference/rabin/global/index.c:485-558)."""
+    """Near pairs: exact shingle-set Jaccard >= threshold on each LSH
+    candidate (pairs with identical content hash are excluded — they are
+    covered completely by the exact path). Exact pairs: star edges
+    (min_conv_id -> other) per content_hash group, independent of LSH —
+    mirrors the reference's crypto-hash exact path
+    (/root/reference/rabin/global/index.c:485-558) and matches the engine's
+    scalable star construction (operators/verify.py) pair-for-pair."""
     by_id = sig.set_index("conv_id")
     recs = []
-    seen = set()
-
-    def add(a: str, b: str) -> None:
-        if (a, b) in seen:
-            return
-        seen.add((a, b))
+    for a, b in zip(candidates["conv_id_a"], candidates["conv_id_b"]):
+        if by_id.at[a, "content_hash"] == by_id.at[b, "content_hash"]:
+            continue
         sa = np.asarray(by_id.at[a, "shingles"], dtype=np.int64)
         sb = np.asarray(by_id.at[b, "shingles"], dtype=np.int64)
-        exact = by_id.at[a, "content_hash"] == by_id.at[b, "content_hash"]
         jac = jaccard_sorted(sa, sb)
-        if exact:
-            recs.append((a, b, 1.0 if exact else jac, "exact"))
-        elif jac >= cfg.jaccard_threshold:
+        if jac >= cfg.jaccard_threshold:
             recs.append((a, b, jac, "near"))
-
-    for a, b in zip(candidates["conv_id_a"], candidates["conv_id_b"]):
-        add(a, b)
-    # exact-dup groups independent of LSH
     for _, grp in sig.groupby("content_hash"):
-        ids = sorted(grp["conv_id"])
-        for a, b in itertools.combinations(ids, 2):
-            add(a, b)
+        if len(grp) > 1:
+            ids = sorted(grp["conv_id"])
+            rep = ids[0]
+            recs.extend((rep, other, 1.0, "exact") for other in ids[1:])
     out = pd.DataFrame(recs, columns=["conv_id_a", "conv_id_b", "jaccard", "match_kind"])
     return out.sort_values(["conv_id_a", "conv_id_b"]).reset_index(drop=True)
 
 
-def substring_pairs(sig: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
+def substring_pairs(
+    sig: pd.DataFrame, cfg: DedupConfig, verified: pd.DataFrame | None = None
+) -> pd.DataFrame:
     """Pairs sharing >= substring_min_windows window fingerprints (long exact
-    run detector; bsdiff/qsufsort analog)."""
+    run detector; bsdiff/qsufsort analog). Pairs already verified exact/near
+    are excluded (matches engine operators/substring.py)."""
     if not cfg.substring_enabled or "win_hashes" not in sig.columns:
         return pd.DataFrame(columns=["conv_id_a", "conv_id_b", "n_windows"])
     buckets: dict[int, list[str]] = {}
@@ -130,7 +139,16 @@ def substring_pairs(sig: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
         members = sorted(set(members))[: cfg.bucket_cap]
         for a, b in itertools.combinations(members, 2):
             counts[(a, b)] = counts.get((a, b), 0) + 1
-    recs = [(a, b, n) for (a, b), n in counts.items() if n >= cfg.substring_min_windows]
+    skip = (
+        set(zip(verified["conv_id_a"], verified["conv_id_b"]))
+        if verified is not None
+        else set()
+    )
+    recs = [
+        (a, b, n)
+        for (a, b), n in counts.items()
+        if n >= cfg.substring_min_windows and (a, b) not in skip
+    ]
     out = pd.DataFrame(recs, columns=["conv_id_a", "conv_id_b", "n_windows"])
     return out.sort_values(["conv_id_a", "conv_id_b"]).reset_index(drop=True)
 
@@ -165,7 +183,7 @@ def run(transcripts: pd.DataFrame, cfg: DedupConfig | None = None) -> OracleResu
     cand = lsh_candidates(sig, cfg)
     pairs = verify(sig, cand, cfg)
     clus = cluster(sig, pairs)
-    sub = substring_pairs(sig, cfg)
+    sub = substring_pairs(sig, cfg, verified=pairs)
     return OracleResult(sig, cand, pairs, clus, sub)
 
 

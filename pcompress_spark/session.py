@@ -1,0 +1,53 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference sizes its pipeline by hand (worker threads = ncpus,
+chunk size by level, index memory budget: /root/reference/pcompress.c:
+2446-2473, /root/reference/rabin/global/index.c:119-215). Here that becomes
+a handful of Spark confs; everything else (spill, pipelining, partial
+aggregation) is the framework's job.
+
+Scale notes (100 TB / 1000-executor design point):
+- AQE on: runtime coalescing + skew-join splitting replaces the reference's
+  hand-tuned memory budget / eviction heuristics.
+- Arrow batch size bounds the signature UDF's working set:
+  batch_rows x avg_shingles x (num_perm/perm_chunk) x 8B per task.
+- shuffle_partitions: 32 locally; on a real cluster set ~2-3x total cores
+  (or rely on AQE coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pcompress-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 2048,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus if cpus.isdigit() else "32")
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

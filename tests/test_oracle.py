@@ -55,11 +55,12 @@ def test_oracle_recall_vs_truth(data, result):
 
 
 def test_oracle_exact_pairs_are_exact(data, result):
+    """Every truth exact pair ends up in the same cluster (the pairs table
+    stores star edges, so check at cluster level)."""
     exact_truth = data.truth_pairs[data.truth_pairs["family"] == "exact"]
-    got = {(a, b) for a, b, k in zip(result.pairs["conv_id_a"], result.pairs["conv_id_b"],
-                                     result.pairs["match_kind"]) if k == "exact"}
+    lab = dict(zip(result.clusters["conv_id"], result.clusters["cluster_id"]))
     for a, b in zip(exact_truth["conv_id_a"], exact_truth["conv_id_b"]):
-        assert (a, b) in got
+        assert lab[a] == lab[b], (a, b)
 
 
 def test_oracle_no_false_merges(data, result):

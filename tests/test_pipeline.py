@@ -1,0 +1,74 @@
+"""Pipeline orchestration: checkpoints, resume idempotency, metrics, lineage."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from pcompress_spark.config import DedupConfig
+from pcompress_spark.pipeline import DedupPipeline
+
+CFG = DedupConfig()
+
+
+def _clusters_dict(res):
+    pdf = res.tables["clusters"].toPandas()
+    return dict(zip(pdf["conv_id"], pdf["cluster_id"]))
+
+
+def test_pipeline_end_to_end(spark, smoke_transcripts, tmp_path):
+    wd = str(tmp_path / "run1")
+    os.makedirs(wd)
+    res = DedupPipeline(spark, CFG, work_dir=wd).run(smoke_transcripts)
+    assert set(res.tables) == {"signatures", "candidates", "pairs", "clusters", "substring_pairs"}
+    assert all(not s.resumed for s in res.stages)
+    # stage outputs + manifests + metrics + lineage on disk
+    for st in ("signatures", "candidates", "pairs", "clusters", "substring_pairs"):
+        assert os.path.exists(os.path.join(wd, st, "_SUCCESS")), st
+        assert os.path.exists(os.path.join(wd, f"{st}.manifest.json")), st
+    with open(os.path.join(wd, "metrics.json")) as f:
+        metrics = json.load(f)
+    assert metrics["config_hash"] == CFG.config_hash()
+    assert {s["stage"] for s in metrics["stages"]} >= {"signatures", "clusters"}
+    assert "n_buckets" in metrics["lsh_buckets"]
+    lineage = spark.read.parquet(os.path.join(wd, "lineage")).toPandas()
+    assert set(lineage["stage"]) == {"signatures", "clusters"}
+    assert lineage["rows"].sum() > 0
+
+    # full resume: every stage skipped, identical clusters
+    res2 = DedupPipeline(spark, CFG, work_dir=wd).run(smoke_transcripts)
+    assert all(s.resumed for s in res2.stages), res2.metrics_rows()
+    assert _clusters_dict(res) == _clusters_dict(res2)
+
+
+def test_pipeline_partial_resume(spark, smoke_transcripts, tmp_path):
+    """Kill-between-stages: later stage outputs missing -> recomputed; earlier
+    kept; final output identical to an uninterrupted run."""
+    wd = str(tmp_path / "run2")
+    os.makedirs(wd)
+    full = DedupPipeline(spark, CFG, work_dir=wd).run(smoke_transcripts)
+    want = _clusters_dict(full)
+    # simulate crash after signatures: drop everything downstream
+    for st in ("candidates", "pairs", "clusters", "substring_pairs"):
+        shutil.rmtree(os.path.join(wd, st))
+        os.remove(os.path.join(wd, f"{st}.manifest.json"))
+    res = DedupPipeline(spark, CFG, work_dir=wd).run(smoke_transcripts)
+    flags = {s.name: s.resumed for s in res.stages}
+    assert flags["signatures"] is True
+    assert flags["clusters"] is False
+    assert _clusters_dict(res) == want
+
+
+def test_pipeline_config_change_invalidates(spark, smoke_transcripts, tmp_path):
+    wd = str(tmp_path / "run3")
+    os.makedirs(wd)
+    DedupPipeline(spark, CFG, work_dir=wd).run(smoke_transcripts)
+    other = DedupConfig(shingle_k=3)
+    res = DedupPipeline(spark, other, work_dir=wd).run(smoke_transcripts)
+    assert all(not s.resumed for s in res.stages)
+
+
+def test_pipeline_no_workdir(spark, smoke_transcripts):
+    res = DedupPipeline(spark, CFG, work_dir=None).run(smoke_transcripts, with_substring=False)
+    assert res.tables["clusters"].count() > 0
