@@ -1,38 +1,366 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship: full transcript near-dup pipeline at smoke scale.
+queries()      -> every implemented operator from SURVEY.md §2 + the
+                  training-data-pipeline suite (dedup / similarity / text).
+oracle_sql()   -> DuckDB twins for every SQL-expressible query (tables
+                  region nation customer supplier part orders lineitem
+                  events documents embeddings are pre-registered views;
+                  transcript fixtures are referenced via read_parquet on
+                  the deterministic repo-local path).
+
+Column names/aliases are kept identical between each Spark query and its
+oracle; float aggregates go through exact decimal or fixed rounding so the
+driver's order-insensitive value-hash matches bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pcompress_spark.config import DedupConfig
+from pcompress_spark.pipeline import DedupPipeline
+from pcompress_spark.operators.assemble import assemble, assembled_turns
+from pcompress_spark.functions import doc_dedup, similarity, text as text_fns
+from pcompress_spark.queries import relational
+from pcompress_spark.sources.tables import (
+    CACHE_DIR,
+    load_table,
+    load_transcripts,
+    transcripts_path,
+)
+
+CFG = DedupConfig()
+
+# normalization SQL shared by transcript oracle queries (must mirror
+# kernels.normalize_texts exactly: lower -> non-[a-z0-9] runs -> space -> trim)
+_NORM = "trim(regexp_replace(lower({x}), '[^a-z0-9]+', ' ', 'g'))"
+_DOC_AGG = "string_agg(text, chr(10) ORDER BY turn_idx)"
+
+
+def _tr_parquet(sf_dir: str) -> str:
+    return transcripts_path(sf_dir)
+
+
+def _pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Run (or resume from checkpoint) the dedup pipeline for this scale."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wd = os.path.join(CACHE_DIR, f"pipeline_{tag}_{CFG.config_hash()}")
+    os.makedirs(wd, exist_ok=True)
+    tdf = spark.read.parquet(_tr_parquet(sf_dir))
+    return DedupPipeline(spark, CFG, work_dir=wd).run(tdf).tables
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcript near-duplicate clusters at sf0.001 smoke scale."""
+    sf_dir = "/root/testdata/sf0.001"
+    tables = _pipeline_tables(spark, sf_dir)
+    clusters = tables["clusters"]
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.join(sizes, "cluster_id").select(
+        "conv_id", "cluster_id", F.col("cluster_size").cast("long").alias("cluster_size")
+    )
 
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- transcript pipeline (SURVEY §2: S2, C1, H1-H4, J1-J4, A1-A2, D1) ----
+    def tr_assemble(spark, sf_dir):
+        return assemble(load_transcripts(spark, sf_dir))
 
+    def tr_turns_fidelity(spark, sf_dir):
+        return assembled_turns(load_transcripts(spark, sf_dir)).select(
+            "conv_id", "turn_idx", "text"
+        )
+
+    def tr_exact_dup_groups(spark, sf_dir):
+        sig = _pipeline_tables(spark, sf_dir)["signatures"]
+        return (
+            sig.groupBy("content_hash")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dups"),
+                 F.min("conv_id").alias("rep_conv_id"))
+            .where(F.col("n_dups") > 1)
+        )
+
+    def tr_exact_dedup_reps(spark, sf_dir):
+        sig = _pipeline_tables(spark, sf_dir)["signatures"]
+        return (
+            sig.groupBy("content_hash").agg(F.min("conv_id").alias("conv_id"))
+            .select("conv_id", "content_hash")
+        )
+
+    def tr_near_pairs(spark, sf_dir):
+        return _pipeline_tables(spark, sf_dir)["pairs"].select(
+            "conv_id_a", "conv_id_b", F.round("jaccard", 6).alias("jaccard"), "match_kind"
+        )
+
+    def tr_clusters(spark, sf_dir):
+        return _pipeline_tables(spark, sf_dir)["clusters"]
+
+    def tr_substring_pairs(spark, sf_dir):
+        return _pipeline_tables(spark, sf_dir)["substring_pairs"]
+
+    q["tr_assemble"] = tr_assemble
+    q["tr_turns_fidelity"] = tr_turns_fidelity
+    q["tr_exact_dup_groups"] = tr_exact_dup_groups
+    q["tr_exact_dedup_reps"] = tr_exact_dedup_reps
+    q["tr_near_pairs"] = tr_near_pairs
+    q["tr_clusters"] = tr_clusters
+    q["tr_substring_pairs"] = tr_substring_pairs
+
+    # ---- documents: dedup suite ----
+    q["doc_exact_hash"] = lambda s, d: doc_dedup.exact_hash(load_table(s, d, "documents"))
+    q["doc_dedup_keep_first"] = lambda s, d: doc_dedup.dedup_keep_first(
+        load_table(s, d, "documents"))
+    q["doc_ngram_jaccard_pairs"] = lambda s, d: doc_dedup.ngram_jaccard_pairs(
+        load_table(s, d, "documents"), n=3, threshold=0.3)
+    q["doc_minhash_lsh_pairs"] = lambda s, d: doc_dedup.minhash_lsh_pairs(
+        load_table(s, d, "documents"), threshold=0.3)
+    q["doc_simhash_pairs"] = lambda s, d: doc_dedup.simhash_pairs(
+        load_table(s, d, "documents"), max_hamming=6)
+    q["doc_embedding_neardup"] = lambda s, d: doc_dedup.embedding_cosine_pairs(
+        load_table(s, d, "embeddings"), threshold=0.4)
+    q["doc_fingerprints"] = lambda s, d: text_fns.doc_fingerprints(
+        load_table(s, d, "documents"))
+
+    # ---- documents: text analysis ----
+    q["doc_token_stats"] = lambda s, d: text_fns.token_stats(load_table(s, d, "documents"))
+    q["doc_quality"] = lambda s, d: text_fns.quality_score(load_table(s, d, "documents"))
+    q["doc_lang_guess"] = lambda s, d: text_fns.lang_guess(load_table(s, d, "documents"))
+
+    # ---- similarity search ----
+    def ann_topk_brute(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.cosine_topk_bruteforce(
+            emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
+    def ann_topk_lsh(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.hyperplane_lsh_topk(
+            emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
+    q["ann_topk_brute"] = ann_topk_brute
+    q["ann_topk_lsh"] = ann_topk_lsh
+
+    # ---- relational (SURVEY §2: S1, A1-A3, J3/J5 patterns) ----
+    q["q1_pricing_summary"] = relational.q1_pricing_summary
+    q["q3_top_orders"] = relational.q3_top_orders
+    q["q5_nation_revenue"] = relational.q5_nation_revenue
+    q["latest_order_per_customer"] = relational.latest_order_per_customer
+    q["events_hourly_counts"] = relational.events_hourly_counts
+    q["events_sessionize"] = relational.sessionize
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tr = _tr_parquet("/root/testdata/sf0.01")  # driver compares at sf0.01
+    norm_doc = _NORM.format(x=_DOC_AGG)
+    words = (
+        "list_filter(string_split_regex(" + _NORM.format(x="text") + ", '\\s+'), w -> w != '')"
+    )
+    sw = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in text_fns.STOPWORDS.items()}
+
+    o: dict[str, str] = {}
+
+    o["tr_assemble"] = f"""
+        SELECT conv_id, count(*)::BIGINT AS n_turns, {_DOC_AGG} AS doc_text
+        FROM read_parquet('{tr}') GROUP BY conv_id
     """
-    return {}
+    o["tr_turns_fidelity"] = f"""
+        SELECT conv_id, turn_idx::BIGINT AS turn_idx, text
+        FROM read_parquet('{tr}')
+    """
+    o["tr_exact_dup_groups"] = f"""
+        WITH docs AS (
+            SELECT conv_id, sha256({norm_doc}) AS content_hash
+            FROM read_parquet('{tr}') GROUP BY conv_id
+        )
+        SELECT content_hash, count(*)::BIGINT AS n_dups, min(conv_id) AS rep_conv_id
+        FROM docs GROUP BY content_hash HAVING count(*) > 1
+    """
+    o["tr_exact_dedup_reps"] = f"""
+        WITH docs AS (
+            SELECT conv_id, sha256({norm_doc}) AS content_hash
+            FROM read_parquet('{tr}') GROUP BY conv_id
+        )
+        SELECT min(conv_id) AS conv_id, content_hash FROM docs GROUP BY content_hash
+    """
+
+    o["doc_exact_hash"] = "SELECT doc_id, md5(text) AS content_md5 FROM documents"
+    o["doc_dedup_keep_first"] = """
+        SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
+        FROM documents GROUP BY md5(text)
+    """
+    o["doc_ngram_jaccard_pairs"] = f"""
+        WITH g AS (
+            SELECT doc_id, lang,
+                   list_distinct(CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       ELSE [] END) AS grams
+            FROM (SELECT doc_id, lang, {words} AS w FROM documents)
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.lang AS lang,
+               round(CASE WHEN len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
+                     THEN len(list_intersect(a.grams, b.grams))::DOUBLE /
+                          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                     ELSE 0.0 END, 6) AS jaccard
+        FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE round(CASE WHEN len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
+                    THEN len(list_intersect(a.grams, b.grams))::DOUBLE /
+                         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                    ELSE 0.0 END, 6) >= 0.3
+    """
+    o["doc_embedding_neardup"] = """
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)))) AS nrm
+            FROM embeddings
+        )
+        SELECT * FROM (
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN
+                       list_sum(list_transform(range(1, len(a.embedding) + 1),
+                           i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))
+                       / (a.nrm * b.nrm) ELSE 0.0 END, 6) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.4
+    """
+    o["doc_token_stats"] = f"""
+        WITH w AS (SELECT doc_id, {words} AS words FROM documents)
+        SELECT doc_id, len(words)::BIGINT AS n_tokens,
+               len(list_distinct(words))::BIGINT AS n_distinct_tokens,
+               round(CASE WHEN len(words) > 0 THEN
+                   list_sum(list_transform(words, t -> length(t)))::DOUBLE / len(words)
+                   ELSE 0.0 END, 6) AS avg_token_len
+        FROM w
+    """
+    o["doc_quality"] = f"""
+        WITH base AS (
+            SELECT doc_id, lower(text) AS lt, {words} AS words FROM documents
+        ), feat AS (
+            SELECT doc_id,
+                CASE WHEN length(lt) > 0 THEN
+                    length(regexp_replace(lt, '[^a-z0-9 ]', '', 'g'))::DOUBLE / length(lt)
+                    ELSE 0.0 END AS alnum_ratio_raw,
+                CASE WHEN len(words) > 0 THEN
+                    len(list_filter(words, x -> list_contains({sw['en']}, x)))::DOUBLE / len(words)
+                    ELSE 0.0 END AS stop_ratio_raw,
+                least(len(words)::DOUBLE / 50.0, 1.0) AS len_score_raw
+            FROM base
+        )
+        SELECT doc_id, round(alnum_ratio_raw, 6) AS alnum_ratio,
+               round(stop_ratio_raw, 6) AS stopword_ratio,
+               round(len_score_raw, 6) AS len_score,
+               round((alnum_ratio_raw + stop_ratio_raw + len_score_raw) / 3.0, 6) AS quality
+        FROM feat
+    """
+    lang_counts = ", ".join(
+        f"len(list_filter(words, x -> list_contains({sw[lang]}, x)))::BIGINT AS sw_{lang}"
+        for lang in text_fns.STOPWORDS
+    )
+    first_max = "CASE WHEN best <= 0 THEN 'und' " + " ".join(
+        f"WHEN sw_{lang} = best THEN '{lang}'" for lang in text_fns.STOPWORDS
+    ) + " END"
+    o["doc_lang_guess"] = f"""
+        WITH w AS (SELECT doc_id, lang, {words} AS words FROM documents),
+        c AS (SELECT doc_id, lang, {lang_counts} FROM w),
+        m AS (SELECT *, greatest(sw_en, sw_es, sw_de, sw_fr) AS best FROM c)
+        SELECT doc_id, lang AS lang_actual, {first_max} AS lang_guess,
+               sw_en, sw_es, sw_de, sw_fr
+        FROM m
+    """
+    o["ann_topk_brute"] = """
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)))) AS nrm
+            FROM embeddings
+        ), q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(CASE WHEN q.nrm > 0 AND c.nrm > 0 THEN
+                       list_sum(list_transform(range(1, len(c.embedding) + 1),
+                           i -> (q.embedding[i]::DOUBLE) * (c.embedding[i]::DOUBLE)))
+                       / (q.nrm * c.nrm) ELSE 0.0 END, 6) AS cosine
+            FROM n c, q WHERE q.vec_id != c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """
+    o["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+               sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))))::DOUBLE AS sum_disc_price,
+               round(sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE / count(*), 6) AS avg_qty,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+    o["q3_top_orders"] = """
+        SELECT l_orderkey, o_orderdate,
+               sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))))::DOUBLE AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """
+    o["q5_nation_revenue"] = """
+        SELECT n_name,
+               sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))))::DOUBLE AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """
+    o["latest_order_per_customer"] = """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """
+    o["events_hourly_counts"] = """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*)::BIGINT AS n_events,
+               sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+    o["events_sessionize"] = """
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+        FROM flagged GROUP BY user_id
+    """
+    return o

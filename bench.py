@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+The flagship measurement is the full transcript near-dup pipeline
+(assemble -> signatures -> LSH -> verify -> CC) on a deterministic synthetic
+corpus sized by SPARK_GRAFT_BENCH_CONVS (default 20000 conversations,
+~450k turns) — fresh work_dir every run so checkpoint resume can never fake
+the number. Scaling-efficiency evidence (local[8] vs local[32]) is produced
+by BENCH/run_scaling.py from this same script.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_conv = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pcompress_spark.config import DedupConfig
+    from pcompress_spark.pipeline import DedupPipeline
+    from pcompress_spark.session import get_spark
+    from pcompress_spark.sources.tables import transcripts_path
+    import __spark_entry__ as entry
+
+    # materialize the bench corpus before any timing
+    tr_path = transcripts_path(sf_dir, n_conv=n_conv)
+
+    spark = get_spark(
+        app_name="pcompress-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) * 2 if cpus.isdigit() else 64,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # ---- flagship: full dedup pipeline, fresh work dir ----
+    tdf = spark.read.parquet(tr_path)
+    n_turns = tdf.count()
+    wd = tempfile.mkdtemp(prefix="pcompress_bench_")
+    t0 = time.monotonic()
+    res = DedupPipeline(spark, DedupConfig(), work_dir=wd).run(tdf)
+    pipeline_sec = time.monotonic() - t0
+    timings["dedup_pipeline"] = round(pipeline_sec, 3)
+    n_clusters = res.tables["clusters"].select("cluster_id").distinct().count()
+    shutil.rmtree(wd, ignore_errors=True)
+
+    # ---- per-operator headline queries on the driver tables ----
+    qs = entry.queries()
+    for name in ["q1_pricing_summary", "q5_nation_revenue", "events_sessionize",
+                 "doc_minhash_lsh_pairs", "doc_token_stats", "ann_topk_brute"]:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "transcript_dedup_pipeline+ops_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "bench_convs": n_conv,
+        "bench_turns": n_turns,
+        "turns_per_sec": round(n_turns / pipeline_sec, 1),
+        "clusters": n_clusters,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -183,9 +183,9 @@ def generate(
 
     # --- assemble DataFrame with deterministic ts + row shuffle ---
     df = pd.DataFrame(rows)
-    df["ts"] = _EPOCH + pd.to_timedelta(
+    df["ts"] = (_EPOCH + pd.to_timedelta(
         rng.integers(0, 10**7, size=len(df)), unit="s"
-    )
+    )).astype("datetime64[us]")  # microseconds: Spark can't scan TIMESTAMP(NANOS)
     perm = rng.permutation(len(df))
     df = df.iloc[perm].reset_index(drop=True)
     df = df.astype({"conv_id": "string", "turn_idx": "int32", "role": "string",

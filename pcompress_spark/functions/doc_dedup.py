@@ -1,0 +1,233 @@
+"""Document-table deduplication operators (training-data-pipeline suite).
+
+The same dedup semantics as the transcript pipeline, applied to a flat
+``documents(doc_id, text, lang, source, n_chars)`` table:
+
+  - exact dedup          -> crypto-hash groupBy (J3 analog)
+  - n-gram Jaccard       -> shingle-set verify (J1 residual predicate analog)
+  - MinHash + LSH        -> segmented similarity index (J4 analog)
+  - SimHash banding      -> per-block similarity_hash probe (J2 analog)
+  - embedding cosine     -> no reference analog; the modern near-dup channel
+
+JVM built-ins everywhere except MinHash/SimHash signatures (shared Arrow
+kernels). Scale notes per function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DedupConfig
+from ..kernels import signatures_for_texts
+from .text import norm_words
+
+
+def exact_hash(docs: DataFrame) -> DataFrame:
+    """doc_id, md5 content hash of raw text (exact-dup key)."""
+    return docs.select("doc_id", F.md5("text").alias("content_md5"))
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Hash groups with >1 member: (content_md5, n_dups, rep_doc_id)."""
+    return (
+        exact_hash(docs)
+        .groupBy("content_md5")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"),
+             F.min("doc_id").alias("rep_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Exact dedup: keep min doc_id per content hash (first-occurrence-wins,
+    /root/reference/rabin/global/index.c:485-558). One shuffle; scales as a
+    plain hash aggregation."""
+    return (
+        exact_hash(docs)
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_md5")
+    )
+
+
+def ngrams_col(n: int = 3) -> F.Column:
+    """Distinct word n-grams (0-based Spark array indexing)."""
+    grams = F.expr(
+        f"CASE WHEN size(words) >= {n} THEN "
+        f"transform(sequence(0, size(words) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'words[i + {j}]' for j in range(n))})) "
+        f"ELSE array() END"
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> DataFrame:
+    """Same-lang doc pairs with n-gram-set Jaccard >= threshold.
+
+    Scale note: this is the BRUTE-FORCE verify (O(n^2) within a lang group),
+    kept as the small-table / oracle-checkable path. At corpus scale use
+    minhash_lsh_pairs below — same verify predicate, LSH candidate
+    generation instead of the quadratic self-join."""
+    g = docs.select(
+        "doc_id", "lang", norm_words("text").alias("words")
+    ).select("doc_id", "lang", ngrams_col(n).alias("grams"))
+    a = g.select(F.col("doc_id").alias("doc_id_a"), F.col("lang").alias("lang_a"),
+                 F.col("grams").alias("grams_a"))
+    b = g.select(F.col("doc_id").alias("doc_id_b"), F.col("lang").alias("lang_b"),
+                 F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b"))
+               & (F.col("doc_id_a") < F.col("doc_id_b")))
+        .select("doc_id_a", "doc_id_b", F.col("lang_a").alias("lang"),
+                F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+_DOCSIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("shingles", T.ArrayType(T.LongType()), False),
+        T.StructField("minhash", T.ArrayType(T.LongType()), False),
+        T.StructField("simhash", T.LongType(), False),
+    ]
+)
+
+
+def doc_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """MinHash/SimHash signatures for a documents table (shared kernels)."""
+
+    def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sig = signatures_for_texts(pdf["text"], cfg)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "shingles": sig["shingles"].values,
+                    "minhash": sig["minhash"].values,
+                    "simhash": sig["simhash"].values,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(_sign, schema=_DOCSIG_SCHEMA)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, cfg: DedupConfig | None = None, threshold: float = 0.3
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact shingle-Jaccard verify.
+    The scale path: shuffles only (band_idx, band_hash) buckets — never the
+    quadratic pair space. Same LSH geometry as the transcript engine."""
+    cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
+                             jaccard_threshold=threshold)
+    sig = doc_signatures(docs, cfg)
+    r = cfg.rows
+    banded = sig.where(F.size("shingles") > 0).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {cfg.bands - 1}), b -> "
+                f"struct(b as band_idx, xxhash64(b, slice(minhash, b * {r} + 1, {r})) as band_hash))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, cfg.bucket_cap).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x as doc_id_a, y as doc_id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_id_a", "p.doc_id_b")
+        .distinct()
+    )
+    a = sig.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+    return (
+        cand.join(a, "doc_id_a").join(b, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
+                  cfg: DedupConfig | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation: split the 64-bit fingerprint into 8 contiguous
+    8-bit bands; by pigeonhole any pair within Hamming distance <= 7 shares
+    at least one exact band (>= ceil(64/(d+1))-bit guarantee); verify with
+    exact popcount. Scale: shuffles (band_idx, band_value) buckets only —
+    the J2 theta-join re-expressed as hash-equality + residual."""
+    cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False)
+    sig = doc_signatures(docs, cfg).select("doc_id", "simhash")
+    n_bands, band_bits = 8, 8
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> struct(b as band_idx, "
+                f"(shiftright(simhash, b * {band_bits}) & {2**band_bits - 1}) as band_val))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a = banded.select("band_idx", "band_val", F.col("doc_id").alias("doc_id_a"),
+                      F.col("simhash").alias("sh_a"))
+    b = banded.select("band_idx", "band_val", F.col("doc_id").alias("doc_id_b"),
+                      F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding near-dup: pairs with cosine similarity >= threshold.
+    Brute-force O(n^2) form (oracle-checkable); ANN/LSH variant lives in
+    functions/similarity.py. All-JVM double arithmetic (zip_with +
+    aggregate), left-to-right summation — bit-reproducible."""
+    withn = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0),
+                           lambda acc, x: acc + x)),
+    )
+    a = withn.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"),
+                     F.col("norm").alias("na"))
+    b = withn.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"),
+                     F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    cos = F.when((F.col("na") > 0) & (F.col("nb") > 0),
+                 dot / (F.col("na") * F.col("nb"))).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

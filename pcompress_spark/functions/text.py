@@ -1,0 +1,137 @@
+"""Text-analysis operators over document tables — JVM-first.
+
+The training-data-pipeline counterparts of the reference's content analyzers
+(byte-histogram TEXT/BINARY/XML classifier, /root/reference/filters/analyzer/
+analyzer.c:33-98; type-routed preprocessing dispatch,
+/root/reference/pcompress.c:205-401).
+
+Everything here is built-in pyspark.sql.functions (whole-stage codegen; no
+Python in the hot path) except the rolling-hash fingerprint, which reuses
+the shared numpy kernels. Each op has an exact DuckDB-SQL twin in
+__spark_entry__.oracle_sql for the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Small fixed stopword lists for the language-ID heuristic (shared with the
+# SQL oracle strings in __spark_entry__).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "nicht"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+}
+
+
+def norm_words(col: str | Column = "text") -> Column:
+    """Normalized word array: lower, non-[a-z0-9] -> space, trim, split,
+    drop empties. Matches kernels.normalize_texts + split."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")), " "),
+        lambda w: w != "",
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """doc_id, n_tokens, n_distinct_tokens, avg_token_len (6dp)."""
+    w = norm_words("text")
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.when(
+                F.size(w) > 0,
+                F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+                .cast("double") / F.size(w),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score (the reference's
+    10/30/50% byte-class thresholds analog, analyzer.c:33-98):
+    - alnum_ratio: [a-z0-9 ] chars / total chars (lowercased)
+    - stopword_ratio: English stopwords / tokens
+    - len_score: min(n_tokens / 50, 1)
+    - quality: rounded mean of the three."""
+    w = norm_words("text")
+    lower = F.lower(F.col("text"))
+    total_chars = F.length(lower)
+    alnum_chars = F.length(F.regexp_replace(lower, "[^a-z0-9 ]", ""))
+    sw = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    n_tok = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    alnum_ratio = F.when(total_chars > 0, alnum_chars.cast("double") / total_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
+    len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        F.round(alnum_ratio, 6).alias("alnum_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(len_score, 6).alias("len_score"),
+        F.round((alnum_ratio + stop_ratio + len_score) / F.lit(3.0), 6).alias("quality"),
+    )
+
+
+def lang_guess(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio language ID over fixed lists; deterministic argmax
+    (ties broken by fixed language order en,es,de,fr; 'und' if no hit)."""
+    w = norm_words("text")
+
+    def _count(sw: list[str]) -> Column:
+        arr = F.array([F.lit(s) for s in sw])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    counts = {lang: _count(sw) for lang, sw in STOPWORDS.items()}
+    best = F.greatest(*counts.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:  # first max wins (insertion order = fixed)
+        guess = guess.when(counts[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        guess.alias("lang_guess"),
+        *[counts[lang].cast("long").alias(f"sw_{lang}") for lang in STOPWORDS],
+    )
+
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fingerprint", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def doc_fingerprints(docs: DataFrame, k: int = 5, keep: int = 16) -> DataFrame:
+    """Winnowing-style document fingerprint: the ``keep`` smallest k-gram
+    rolling hashes (shared kernels) — a bottom-k sketch usable as a compact
+    near-dup key. Reference analog: the K-min-values block sketch
+    (/root/reference/rabin/rabin_dedup.c:684-706)."""
+    from ..config import DedupConfig
+    from ..kernels import signatures_for_texts
+
+    cfg = DedupConfig(shingle_k=k, substring_enabled=False)
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sig = signatures_for_texts(pdf["text"], cfg)
+            fps = [
+                np.sort(np.asarray(s, dtype=np.int64).view(np.uint64))[:keep].view(np.int64)
+                for s in sig["shingles"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "fingerprint": fps})
+
+    return docs.select("doc_id", "text").mapInPandas(_fp, schema=_FP_SCHEMA)

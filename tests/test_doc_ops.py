@@ -1,0 +1,67 @@
+"""Approximate (rows-only) doc operators validated against exact baselines."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pcompress_spark.functions import doc_dedup, similarity
+from pcompress_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_minhash_lsh_vs_bruteforce(spark, docs):
+    """LSH pairs must agree with the brute-force n-gram Jaccard on values and
+    achieve high recall at a threshold above the LSH design point."""
+    brute = doc_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).toPandas()
+    lsh = doc_dedup.minhash_lsh_pairs(docs, threshold=0.3).toPandas()
+    bmap = {(a, b): j for a, b, j in zip(brute.doc_id_a, brute.doc_id_b, brute.jaccard)}
+    lmap = {(a, b): j for a, b, j in zip(lsh.doc_id_a, lsh.doc_id_b, lsh.jaccard)}
+    # identical jaccard on shared pairs (same 3-gram set cardinalities)
+    for k in set(bmap) & set(lmap):
+        assert abs(bmap[k] - lmap[k]) < 1e-9, k
+    strong = {k for k, j in bmap.items() if j >= 0.5}
+    if strong:
+        rec = len(strong & set(lmap)) / len(strong)
+        assert rec >= 0.99, f"LSH recall {rec} on strong pairs"
+
+
+def test_simhash_pairs_symmetric_and_bounded(spark, docs):
+    pairs = doc_dedup.simhash_pairs(docs, max_hamming=6).toPandas()
+    assert (pairs.hamming <= 6).all()
+    assert (pairs.doc_id_a < pairs.doc_id_b).all()
+    assert not pairs.duplicated(["doc_id_a", "doc_id_b"]).any()
+
+
+def test_ann_lsh_subset_of_bruteforce_scores(spark, emb):
+    """Every LSH result must carry the exact cosine the brute-force computes,
+    and per-query recall should clear a floor."""
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    brute = similarity.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    lsh = similarity.hyperplane_lsh_topk(emb, q, k=5).toPandas()
+    bscore = {(r.query_id, r.neighbor_id): r.cosine for r in brute.itertuples()}
+    # exact-score agreement on overlap
+    full = similarity.cosine_topk_bruteforce(emb, q, k=10**6).toPandas()
+    fscore = {(r.query_id, r.neighbor_id): r.cosine for r in full.itertuples()}
+    for r in lsh.itertuples():
+        assert abs(fscore[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+    # recall floor (approximate by design; tuned in config)
+    hits = sum(1 for k in bscore if k in
+               {(r.query_id, r.neighbor_id) for r in lsh.itertuples()})
+    assert hits / len(bscore) >= 0.1
+
+
+def test_exact_dedup_is_lossless(spark, docs):
+    """keep-first dedup keeps exactly one doc per distinct text."""
+    kept = doc_dedup.dedup_keep_first(docs).toPandas()
+    n_distinct = docs.select("text").distinct().count()
+    assert len(kept) == n_distinct

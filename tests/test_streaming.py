@@ -1,0 +1,96 @@
+"""Structured Streaming: incremental signatures + exact dedup match batch.
+
+Streaming semantics need time-coherent input: each conversation's turns fall
+inside one event-time window, and files arrive in event-time order (so the
+watermark never drops live rows). The fixture rewrites datagen's random ts
+accordingly; signatures don't depend on ts, so batch comparison is exact.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from pcompress_spark.config import DedupConfig
+from pcompress_spark.operators.assemble import assemble
+from pcompress_spark.operators.signatures import compute_signatures
+from pcompress_spark.streaming.dedup_stream import signatures_stream, streaming_exact_dedup
+
+CFG = DedupConfig()
+_BASE = pd.Timestamp("2026-01-01T00:00:00")
+
+
+@pytest.fixture(scope="module")
+def timed_transcripts(smoke_data):
+    t = smoke_data.transcripts.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    rank = {c: i for i, c in enumerate(sorted(t["conv_id"].unique()))}
+    t["ts"] = (
+        _BASE
+        + pd.to_timedelta([rank[c] * 300 for c in t["conv_id"]], unit="s")
+        + pd.to_timedelta(t["turn_idx"].astype(int), unit="s")
+    ).astype("datetime64[us]")
+    return t
+
+
+@pytest.fixture(scope="module")
+def stream_input_dir(tmp_path_factory, timed_transcripts):
+    """4 files in event-time order (consecutive conversation ranges)."""
+    d = tmp_path_factory.mktemp("stream_in")
+    t = timed_transcripts
+    convs = sorted(t["conv_id"].unique())
+    step = (len(convs) + 3) // 4
+    for i in range(4):
+        sel = set(convs[i * step:(i + 1) * step])
+        part = t[t["conv_id"].isin(sel)]
+        part.to_parquet(os.path.join(str(d), f"part-{i:02d}.parquet"), index=False)
+    return str(d)
+
+
+def _run_stream(spark, df_stream, tmp_dir, name):
+    q = (
+        df_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_dir, f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"select * from {name}").toPandas()
+
+
+def test_streaming_signatures_match_batch(spark, timed_transcripts, stream_input_dir, tmp_path):
+    batch_df = spark.createDataFrame(timed_transcripts)
+    batch_sig = compute_signatures(assemble(batch_df), CFG).toPandas()
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_input_dir)
+    )
+    out = signatures_stream(stream, CFG, watermark="10 minutes")
+    got = _run_stream(spark, out, str(tmp_path), "sig_stream")
+    assert len(got) > 0, "append-mode stream emitted nothing"
+    # most windows must have closed (all but the trailing watermark horizon)
+    assert len(got) >= 0.8 * len(batch_sig)
+    got = got.sort_values("conv_id").reset_index(drop=True)
+    want = batch_sig[batch_sig["conv_id"].isin(set(got["conv_id"]))].sort_values(
+        "conv_id").reset_index(drop=True)
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got["content_hash"].tolist() == want["content_hash"].tolist()
+    assert got["simhash"].tolist() == want["simhash"].tolist()
+    assert got["n_turns"].tolist() == want["n_turns"].tolist()
+
+
+def test_streaming_exact_dedup_suppresses_clones(spark, timed_transcripts,
+                                                 stream_input_dir, tmp_path, smoke_data):
+    batch_df = spark.createDataFrame(timed_transcripts)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_input_dir)
+    )
+    out = streaming_exact_dedup(stream, CFG, watermark="10 minutes")
+    got = _run_stream(spark, out, str(tmp_path), "dedup_stream")
+    assert len(got) > 0
+    # one row per content hash
+    assert not got.duplicated(["content_hash"]).any()
