@@ -45,6 +45,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the Python workers (fork + pandas/numpy import is a one-time
+    # ~0.5s/worker cluster-startup cost, not pipeline throughput; the
+    # scaling protocol in BENCH/BASELINE.md measures steady-state)
+    def _noop(it):
+        import pandas as _pd  # noqa: F401
+        from pcompress_spark import kernels as _k  # noqa: F401
+        for pdf in it:
+            yield pdf
+    spark.range(0, 10_000, 1, int(cpus) * 2 if cpus.isdigit() else 64).mapInPandas(
+        _noop, "id long").count()
+
     timings: dict[str, float] = {}
 
     # ---- flagship: full dedup pipeline, fresh work dir ----

@@ -33,8 +33,16 @@ class DedupConfig:
     max_token_chars: int = 64     # tokens truncated to this many chars before hashing
 
     # --- signatures (H3/H4 analogs) ---
-    num_perm: int = 128           # MinHash permutations
+    num_perm: int = 128           # MinHash signature width
+    # "oph": one-permutation hashing with rotation densification — O(set)
+    #   work per doc, the faithful analog of the reference's one-hash
+    #   K-min-values sketch (/root/reference/rabin/rabin_dedup.c:975-994)
+    #   and the only scheme that is affordable at 10^12-turn scale.
+    # "perm": num_perm independent (a*x+b) permutations — O(set * num_perm),
+    #   kept for the config matrix / textbook comparison.
+    minhash_scheme: str = "oph"
     simhash_bits: int = 64
+    simhash_sample: int = 512     # bottom-k shingle sample voting in SimHash
 
     # --- LSH banding (J4 analog: segmented similarity index) ---
     bands: int = 32
@@ -44,8 +52,9 @@ class DedupConfig:
     minhash_prefilter: float = 0.30   # est-Jaccard floor before exact verify
     jaccard_threshold: float = 0.50   # verified near-dup threshold
     substring_enabled: bool = True
-    substring_window: int = 32        # tokens per substring fingerprint window
-    substring_stride: int = 16        # window stride (detects exact runs >= w+s-1)
+    substring_window: int = 30        # tokens per substring fingerprint window
+    #                                   (must be a multiple of shingle_k)
+    substring_stride: int = 16        # content-defined selection rate (1/stride)
     substring_min_windows: int = 1    # windows that must match to flag a pair
 
     # --- skew handling (J6 eviction analog, but explicit + logged) ---
@@ -67,6 +76,10 @@ class DedupConfig:
             )
         if self.shingle_k < 1 or self.num_perm < 1:
             raise ValueError("shingle_k and num_perm must be >= 1")
+        if self.minhash_scheme not in ("oph", "perm"):
+            raise ValueError(f"unknown minhash_scheme {self.minhash_scheme!r}")
+        if self.substring_enabled and self.substring_window % self.shingle_k:
+            raise ValueError("substring_window must be a multiple of shingle_k")
 
     def config_hash(self) -> str:
         """Stable hash of the config — keyed into checkpoint manifests so a

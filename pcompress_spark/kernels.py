@@ -35,6 +35,23 @@ import re
 import numpy as np
 import pandas as pd
 
+# glibc munmaps every allocation above M_MMAP_THRESHOLD (128 KB default), so
+# each large numpy temp is a fresh mmap + page-zeroing fault storm — with 32
+# worker processes the kernel zone-lock contention collapses throughput
+# (measured: 8 procs 4.7k docs/s, 32 procs 2.7k). Raising the threshold lets
+# malloc reuse arena memory across batches. (-3 = M_MMAP_THRESHOLD,
+# -1 = M_TRIM_THRESHOLD; no-op on non-glibc platforms.)
+try:  # pragma: no cover - platform-dependent
+    import ctypes
+
+    _libc = ctypes.CDLL("libc.so.6", use_errno=True)
+    # 192 MB: big enough that the per-batch working buffers are reused from
+    # the arena, small enough that 32 workers don't hoard tens of GB of RSS
+    _libc.mallopt(-3, 192 << 20)  # M_MMAP_THRESHOLD
+    _libc.mallopt(-1, 192 << 20)  # M_TRIM_THRESHOLD
+except Exception:
+    pass
+
 # FNV-1a 64-bit constants (public domain), used for token-level hashing.
 _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
@@ -104,16 +121,27 @@ def hash_tokens(tokens: np.ndarray, max_token_chars: int = 64) -> np.ndarray:
     if width > max_token_chars:
         arr = arr.astype(f"<U{max_token_chars}")
         width = max_token_chars
-    codes = arr.view(np.uint32).reshape(n, width)
+    # transpose once so each per-character pass streams a contiguous row —
+    # column-strided access would re-touch the whole matrix every pass
+    # (width x total traffic, memory-bandwidth-bound at high core counts).
+    # All per-column scratch is preallocated and reused (no temps in the
+    # loop: large-alloc churn contends on kernel page zeroing at 32 procs).
+    codes = np.ascontiguousarray(arr.view(np.uint32).reshape(n, width).T)
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    for j in range(width):
-        c = codes[:, j].astype(np.uint64)
-        live = c != 0
-        if not live.any():
-            break
-        # FNV-1a step; dead lanes keep their value (trailing \0 padding).
-        hj = (h ^ (c + _U64(1))) * _FNV_PRIME
-        h = np.where(live, hj, h)
+    c64 = np.empty(n, dtype=np.uint64)
+    hj = np.empty(n, dtype=np.uint64)
+    live = np.empty(n, dtype=bool)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            col = codes[j]
+            np.not_equal(col, 0, out=live)
+            if not live.any():
+                break
+            # FNV-1a step; dead lanes keep their value (trailing \0 padding).
+            np.add(col, 1, out=c64, casting="unsafe", dtype=np.uint64)
+            np.bitwise_xor(h, c64, out=hj)
+            np.multiply(hj, _FNV_PRIME, out=hj)
+            np.copyto(h, hj, where=live)
     return splitmix64(h)  # final avalanche
 
 
@@ -145,8 +173,10 @@ def shingle_hashes_flat(
     th = token_hashes.astype(np.uint64, copy=False)
     m = total - k + 1
     out = th[:m].copy()
-    for j in range(1, k):
-        out = out * _SHINGLE_MULT + th[j : m + j]
+    with np.errstate(over="ignore"):
+        for j in range(1, k):
+            np.multiply(out, _SHINGLE_MULT, out=out)
+            np.add(out, th[j : m + j], out=out)
     out = splitmix64(out)
     doc_lens = np.diff(doc_starts)
     sh_lens = np.maximum(doc_lens - (k - 1), 0)
@@ -182,65 +212,208 @@ def minhash_flat(
     num_perm: int,
     seed: int,
     perm_chunk: int = 16,
+    scheme: str = "oph",
 ) -> np.ndarray:
-    """MinHash signatures for all docs in a batch.
+    """MinHash signatures for all docs in a batch (dispatch on scheme)."""
+    if scheme == "oph":
+        return minhash_oph_flat(flat, starts, num_perm, seed)
+    return minhash_perm_flat(flat, starts, num_perm, seed, perm_chunk)
 
-    flat: concatenated (distinct) shingle hashes; starts: doc offsets
-    (n_docs+1). Returns (n_docs, num_perm) uint64. Vectorized with
-    ``np.minimum.reduceat`` across docs; permutations processed in chunks of
-    ``perm_chunk`` to bound the working set (batch_shingles x chunk x 8B).
-    Empty docs get the sentinel signature (hash of _EMPTY_SENTINEL).
+
+def minhash_perm_flat(
+    flat: np.ndarray,
+    starts: np.ndarray,
+    num_perm: int,
+    seed: int,
+    perm_chunk: int = 16,
+) -> np.ndarray:
+    """Textbook MinHash: num_perm independent (a*x+b mod 2^64) permutations.
+
+    O(set_size * num_perm) work. Vectorized with ``np.minimum.reduceat``
+    across docs; permutations processed in chunks of ``perm_chunk`` to bound
+    the working set (batch_shingles x chunk x 8B). Empty docs get the
+    sentinel signature.
     """
     a, b = perm_params(num_perm, seed)
     n_docs = len(starts) - 1
     sig = np.empty((n_docs, num_perm), dtype=np.uint64)
     lens = np.diff(starts)
     nonempty = lens > 0
-    # sentinel for empty docs
-    if (~nonempty).any():
-        sig[~nonempty] = _EMPTY_SENTINEL * a + b
-    if nonempty.any():
-        ne_starts = starts[:-1][nonempty]
-        for c0 in range(0, num_perm, perm_chunk):
-            c1 = min(c0 + perm_chunk, num_perm)
-            m = flat[:, None] * a[c0:c1][None, :] + b[c0:c1][None, :]
-            sig[nonempty, c0:c1] = np.minimum.reduceat(m, ne_starts, axis=0)
+    with np.errstate(over="ignore"):
+        if (~nonempty).any():
+            sig[~nonempty] = _EMPTY_SENTINEL * a + b
+        if nonempty.any():
+            ne_starts = starts[:-1][nonempty]
+            for c0 in range(0, num_perm, perm_chunk):
+                c1 = min(c0 + perm_chunk, num_perm)
+                m = flat[:, None] * a[c0:c1][None, :] + b[c0:c1][None, :]
+                sig[nonempty, c0:c1] = np.minimum.reduceat(m, ne_starts, axis=0)
     return sig
 
 
-def simhash_flat(flat: np.ndarray, starts: np.ndarray, bits: int = 64) -> np.ndarray:
+def minhash_oph_flat(
+    flat: np.ndarray, starts: np.ndarray, num_perm: int, seed: int
+) -> np.ndarray:
+    """One-permutation hashing with rotation densification (Shrivastava &
+    Li): ONE hash per shingle routed to bin = top bits, min per bin, empty
+    bins filled from the nearest non-empty bin to the left (circular).
+
+    O(set_size) work total — 128x cheaper than the perm scheme and the
+    faithful analog of the reference's one-hash K-min-values segment sketch
+    ("K min values sketch where K == 20",
+    /root/reference/rabin/rabin_dedup.c:975-994). This is the only MinHash
+    affordable at the 10^12-turn design point.
+
+    num_perm must be a power of two (bin routing by top bits).
+    """
+    if num_perm & (num_perm - 1):
+        raise ValueError("oph requires power-of-two num_perm")
+    bin_shift = np.uint64(64 - int(num_perm).bit_length() + 1)
+    n_docs = len(starts) - 1
+    sentinel = _MASK64
+    sig = np.full((n_docs, num_perm), sentinel, dtype=np.uint64)
+    lens = np.diff(starts)
+    if len(flat):
+        # route by a FRESH mix of the shingle (never trust input-bit
+        # uniformity), and decorrelate the stored value from the routing
+        with np.errstate(over="ignore"):
+            routed = splitmix64(flat ^ np.uint64(seed) * np.uint64(0xD1B54A32D192ED03))
+            vals = splitmix64(flat + np.uint64(seed) * np.uint64(0x9E3779B1))
+        bins = (routed >> bin_shift).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        keys = doc_idx * num_perm + bins
+        np.minimum.at(sig.reshape(-1), keys, vals)
+    # rotation densification: two circular left-to-right passes
+    for _pass in range(2):
+        for j in range(num_perm):
+            prev = (j - 1) % num_perm
+            col = sig[:, j]
+            empty = col == sentinel
+            if empty.any():
+                col[empty] = sig[empty, prev]
+    # all-empty docs: deterministic sentinel signature (identical for all)
+    still = sig[:, 0] == sentinel
+    if still.any():
+        filler = splitmix64(
+            _EMPTY_SENTINEL + np.arange(num_perm, dtype=np.uint64)
+            + np.uint64(seed) * np.uint64(0x51ED2701)
+        )
+        sig[still] = filler
+    return sig
+
+
+def simhash_flat(
+    flat: np.ndarray, starts: np.ndarray, bits: int = 64, sample_cap: int = 512
+) -> np.ndarray:
     """SimHash fingerprint per doc from its (distinct) shingle hashes:
     majority vote per bit. Returns (n_docs,) uint64. Empty docs -> simhash of
-    the sentinel shingle."""
+    the sentinel shingle.
+
+    Vectorization: one ``np.unpackbits`` call turns the whole batch's shingle
+    hashes into an (S, 64) bit matrix (little-endian byte order, big-endian
+    bits within each byte — the fixed kernel bit order shared with the
+    oracle), then one segmented ``add.reduceat``. No per-bit shift loop, no
+    int32 blow-up.
+
+    Docs larger than ``sample_cap`` shingles vote with their ``sample_cap``
+    SMALLEST shingles only (input is sorted-distinct, so the prefix IS the
+    bottom-k — a content-stable deterministic sample, the same KMV idea as
+    the reference's sketch). Caps memory traffic per doc; 512 samples give
+    a per-bit majority standard error of ~2%."""
     n_docs = len(starts) - 1
-    shifts = np.arange(bits, dtype=np.uint64)
-    out = np.zeros(n_docs, dtype=np.uint64)
     lens = np.diff(starts)
+    if sample_cap and (lens > sample_cap).any():
+        capped = np.minimum(lens, sample_cap)
+        new_starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(capped, out=new_starts[1:])
+        idx = np.repeat(starts[:-1], capped) + (
+            np.arange(new_starts[-1]) - np.repeat(new_starts[:-1], capped)
+        )
+        flat, starts, lens = flat[idx], new_starts, capped
+    out = np.zeros(n_docs, dtype=np.uint64)
     nonempty = lens > 0
     if (~nonempty).any():
-        sent_bits = (_EMPTY_SENTINEL >> shifts) & _U64(1)
-        sent = np.uint64(0)
-        for bpos in range(bits):
-            if sent_bits[bpos]:
-                sent |= _U64(1) << np.uint64(bpos)
-        out[~nonempty] = sent
+        out[~nonempty] = _EMPTY_SENTINEL  # majority of the single sentinel = itself
     if nonempty.any() and len(flat):
-        bitmat = ((flat[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int32)
-        sums = np.add.reduceat(bitmat, starts[:-1][nonempty], axis=0)
-        maj = (2 * sums) >= lens[nonempty][:, None]  # bit set iff ones >= half
-        packed = np.zeros(maj.shape[0], dtype=np.uint64)
-        for bpos in range(bits):
-            packed |= maj[:, bpos].astype(np.uint64) << np.uint64(bpos)
+        bitmat = np.unpackbits(
+            flat.astype("<u8", copy=False).view(np.uint8).reshape(len(flat), 8), axis=1
+        )  # (S, 64) uint8, C-contiguous
+        # doc-aligned ROW chunks: contiguous uint8->int64 cast (fast path)
+        # + reduceat per chunk; bounds the temp at ~chunk x 64 x 8B and
+        # avoids both the strided-cast slow path and reduceat's buffered
+        # dtype= first-call pathology
+        ne_starts = starts[:-1][nonempty]
+        ne_ends = starts[1:][nonempty]
+        n_ne = len(ne_starts)
+        sums = np.empty((n_ne, bits), dtype=np.int64)
+        budget = 1 << 18  # shingles per chunk (128 MB temp, reused)
+        buf = np.empty((min(budget, len(flat)), bits), dtype=np.int64)
+        d0 = 0
+        while d0 < n_ne:
+            d1 = d0
+            while d1 < n_ne and ne_ends[d1] - ne_starts[d0] <= budget:
+                d1 += 1
+            d1 = max(d1, d0 + 1)  # always advance (oversized single doc)
+            r0, r1 = ne_starts[d0], ne_ends[d1 - 1]
+            m = int(r1 - r0)
+            if m > len(buf):
+                buf = np.empty((m, bits), dtype=np.int64)  # single oversized doc
+            np.copyto(buf[:m], bitmat[r0:r1], casting="unsafe")  # contiguous cast, reused buffer
+            sums[d0:d1] = np.add.reduceat(buf[:m], ne_starts[d0:d1] - r0, axis=0)
+            d0 = d1
+        maj = ((2 * sums) >= lens[nonempty][:, None]).astype(np.uint8)
+        # packbits restores the exact byte layout unpackbits produced, so a
+        # little-endian view round-trips: a single-shingle doc's simhash IS
+        # that shingle value (consistent with the empty-doc sentinel fill).
+        packed = np.packbits(maj, axis=1).view("<u8").ravel().astype(np.uint64)
         out[nonempty] = packed
     return out
 
 
+def window_hashes_flat(
+    shingle_flat: np.ndarray, shingle_starts: np.ndarray, k: int, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hash of every ``window``-token window for a whole batch, composed
+    from the already-computed k-gram shingle hashes: window hash at token
+    position i = Horner combine of shingle hashes at i, i+k, ..., i+window-k
+    (``window`` must be a multiple of ``k``). This reuses the shingle pass
+    instead of re-streaming the token hashes ``window`` times —
+    window/k passes over the flat array instead of ``window``.
+
+    Returns (flat window hashes, per-doc starts); doc i owns
+    max(0, n_shingles_i - window + k) positions."""
+    if window % k:
+        raise ValueError("window must be a multiple of shingle_k")
+    n_sub = window // k
+    n_docs = len(shingle_starts) - 1
+    total = len(shingle_flat)
+    span = (n_sub - 1) * k  # index distance from first to last sub-shingle
+    if total == 0 or total <= span:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_docs + 1, dtype=np.int64)
+    m = total - span
+    out = shingle_flat[:m].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n_sub):
+            np.multiply(out, _SHINGLE_MULT, out=out)
+            np.add(out, shingle_flat[j * k : m + j * k], out=out)
+        out = splitmix64(out)
+    sh_lens = np.diff(shingle_starts)
+    w_lens = np.maximum(sh_lens - span, 0)
+    w_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(w_lens, out=w_starts[1:])
+    idx = np.repeat(shingle_starts[:-1], w_lens) + (
+        np.arange(w_starts[-1]) - np.repeat(w_starts[:-1], w_lens)
+    )
+    return out[idx], w_starts
+
+
 def window_fingerprints(
-    token_hashes: np.ndarray, window: int, stride: int
+    token_hashes: np.ndarray, window: int, stride: int, k: int = 5
 ) -> tuple[np.ndarray, np.ndarray]:
     """Content-defined substring fingerprints for one doc.
 
-    Computes the hash of every ``window``-token window, then keeps only the
+    Computes the hash of every ``window``-token window (via k-gram shingle
+    composition, see window_hashes_flat), then keeps only the
     *content-selected* positions where ``hash % stride == 0`` (expected 1 in
     ``stride`` windows). Selection depends on content alone — never on the
     window's absolute position — so an exact token run shared by two docs
@@ -257,10 +430,12 @@ def window_fingerprints(
     n = len(token_hashes)
     if n < window:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
-    sh = shingle_hashes(token_hashes, window)  # every offset
-    sel = (sh % np.uint64(stride)) == 0
+    sh = shingle_hashes(token_hashes, k)
+    starts = np.array([0, len(sh)], dtype=np.int64)
+    wh, _ = window_hashes_flat(sh, starts, k, window)
+    sel = (wh % np.uint64(stride)) == 0
     pos = np.flatnonzero(sel).astype(np.int64)
-    return sh[pos], pos
+    return wh[pos], pos
 
 
 def content_hash_hex(norm_texts: pd.Series) -> pd.Series:
@@ -296,8 +471,14 @@ def signatures_for_texts(texts: pd.Series, cfg) -> pd.DataFrame:
     th_flat = hash_tokens(all_tokens, cfg.max_token_chars)
     sh_flat, sh_starts = shingle_hashes_flat(th_flat, starts, cfg.shingle_k)
     sh_sets, sh_cat, sh_cat_starts = distinct_sorted_per_doc(sh_flat, sh_starts)
-    mh = minhash_flat(sh_cat, sh_cat_starts, cfg.num_perm, cfg.seed)
-    simh = simhash_flat(sh_cat, sh_cat_starts, cfg.simhash_bits)
+    mh = minhash_flat(
+        sh_cat, sh_cat_starts, cfg.num_perm, cfg.seed,
+        scheme=getattr(cfg, "minhash_scheme", "oph"),
+    )
+    simh = simhash_flat(
+        sh_cat, sh_cat_starts, cfg.simhash_bits,
+        sample_cap=getattr(cfg, "simhash_sample", 512),
+    )
 
     out = pd.DataFrame(
         {
@@ -309,12 +490,16 @@ def signatures_for_texts(texts: pd.Series, cfg) -> pd.DataFrame:
         }
     )
     if getattr(cfg, "substring_enabled", False):
+        wh_flat, wh_starts = window_hashes_flat(
+            sh_flat, sh_starts, cfg.shingle_k, cfg.substring_window
+        )
+        sel = (wh_flat % np.uint64(cfg.substring_stride)) == 0
         whs, wps = [], []
         for i in range(n_docs):
-            th = th_flat[starts[i] : starts[i + 1]]
-            wh, wp = window_fingerprints(th, cfg.substring_window, cfg.substring_stride)
-            whs.append(wh.view(np.int64))
-            wps.append(wp)
+            seg = slice(wh_starts[i], wh_starts[i + 1])
+            keep = np.flatnonzero(sel[seg]).astype(np.int64)
+            whs.append(wh_flat[seg][keep].view(np.int64))
+            wps.append(keep)
         out["win_hashes"] = whs
         out["win_positions"] = wps
     return out

@@ -27,12 +27,20 @@ from pyspark.sql import functions as F
 TURN_SEP = "\n"
 
 
-def assemble(transcripts: DataFrame) -> DataFrame:
+def assemble(transcripts: DataFrame, parallelism: int | None = None) -> DataFrame:
     """-> (conv_id, n_turns, doc_text) with doc_text = turn texts joined by
-    '\n' in turn_idx order. Matches oracle.assemble byte-for-byte."""
+    '\n' in turn_idx order. Matches oracle.assemble byte-for-byte.
+
+    ``parallelism`` pins the shuffle width: repartition(n, conv_id) BEFORE
+    the groupBy satisfies the aggregation's clustered-distribution
+    requirement, so Catalyst adds no second exchange, AQE cannot coalesce a
+    user-specified repartition, and the downstream (CPU-bound, Python)
+    signature stage inherits exactly n tasks. One text shuffle total."""
+    t = transcripts.select("conv_id", "turn_idx", "text")
+    if parallelism:
+        t = t.repartition(parallelism, "conv_id")
     return (
-        transcripts
-        .select("conv_id", "turn_idx", "text")
+        t
         .groupBy("conv_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_turns"),

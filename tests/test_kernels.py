@@ -58,7 +58,8 @@ def test_minhash_matches_bruteforce_and_empty_sentinel():
     starts = np.zeros(len(docs) + 1, dtype=np.int64)
     np.cumsum([len(d) for d in docs], out=starts[1:])
     flat = np.concatenate([d for d in docs if len(d)])
-    sig = K.minhash_flat(flat, starts, CFG.num_perm, CFG.seed, perm_chunk=7)
+    sig = K.minhash_flat(flat, starts, CFG.num_perm, CFG.seed, perm_chunk=7,
+                         scheme="perm")
     a, b = K.perm_params(CFG.num_perm, CFG.seed)
     for i, d in enumerate(docs):
         if len(d):
@@ -104,8 +105,8 @@ def test_window_fingerprints_detect_shared_run():
         doc_a = np.concatenate([rng.integers(0, 2**63, size=off_a).astype(np.uint64), run,
                                 rng.integers(0, 2**63, size=20).astype(np.uint64)])
         doc_b = np.concatenate([rng.integers(0, 2**63, size=off_b).astype(np.uint64), run])
-        wa, _ = K.window_fingerprints(doc_a, 32, 16)
-        wb, _ = K.window_fingerprints(doc_b, 32, 16)
+        wa, _ = K.window_fingerprints(doc_a, 30, 16, k=5)
+        wb, _ = K.window_fingerprints(doc_b, 30, 16, k=5)
         assert len(set(map(int, wa)) & set(map(int, wb))) >= 1, (off_a, off_b)
 
 
