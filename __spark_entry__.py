@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_token_stats"] = lambda s, d: text_fns.token_stats(load_table(s, d, "documents"))
     q["doc_quality"] = lambda s, d: text_fns.quality_score(load_table(s, d, "documents"))
     q["doc_lang_guess"] = lambda s, d: text_fns.lang_guess(load_table(s, d, "documents"))
+    q["doc_census"] = lambda s, d: text_fns.content_census(load_table(s, d, "documents"))
 
     # ---- similarity search ----
     def ann_topk_brute(spark, sf_dir):
@@ -148,8 +149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.hyperplane_lsh_topk(
             emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
 
+    def ann_topk_ivf(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.ivf_topk(emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
     q["ann_topk_brute"] = ann_topk_brute
     q["ann_topk_lsh"] = ann_topk_lsh
+    q["ann_topk_ivf"] = ann_topk_ivf
 
     # ---- relational (SURVEY §2: S1, A1-A3, J3/J5 patterns) ----
     q["q1_pricing_summary"] = relational.q1_pricing_summary
@@ -282,6 +288,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang AS lang_actual, {first_max} AS lang_guess,
                sw_en, sw_es, sw_de, sw_fr
         FROM m
+    """
+    o["doc_census"] = """
+        WITH feat AS (
+            SELECT lang,
+                   CASE WHEN length(lower(text)) = 0 THEN 'empty'
+                        WHEN length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
+                             / length(lower(text)) > 0.10 THEN 'numeric'
+                        WHEN length(regexp_replace(lower(text), '[^ ]', '', 'g'))::DOUBLE
+                             / length(lower(text)) > 0.25 THEN 'airy'
+                        ELSE 'dense' END AS content_class
+            FROM documents
+        )
+        SELECT lang, content_class, count(*)::BIGINT AS n_docs
+        FROM feat GROUP BY lang, content_class
     """
     o["ann_topk_brute"] = """
         WITH n AS (

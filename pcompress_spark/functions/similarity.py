@@ -64,6 +64,87 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer partitions the corpus
+    into cells; queries probe only their ``n_probe`` nearest cells.
+
+    Scale shape: cell anchors are a tiny deterministic sample collected to
+    the driver (n_cells x dim floats — the only driver-side data), cell
+    assignment is a map-only JVM pass against the broadcast-literal anchor
+    array, and the probe is a hash join on cell_id. The corpus is scanned
+    once to build the index; each query touches ~n_probe/n_cells of the
+    corpus. Recall/cost tunes with n_probe.
+    """
+    withn = _with_norm(emb)
+    # deterministic anchors: the n_cells corpus vectors with smallest
+    # splitmix64(vec_id) — content-independent, seed-stable sample
+    anchors = (
+        withn.withColumn(
+            "rk", F.xxhash64(F.col("vec_id"))
+        ).orderBy("rk").limit(n_cells).select("vec_id", "v", "norm").collect()
+    )
+    anchor_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("cell"),
+            F.array(*[F.lit(float(x)) for x in row["v"]]).alias("av"),
+            F.lit(float(row["norm"])).alias("an"),
+        )
+        for i, row in enumerate(anchors)
+    ])
+
+    def cell_scores(vcol, ncol):
+        # cosine against every anchor, as an array of (cell, score) structs
+        return F.transform(
+            anchor_arr,
+            lambda a: F.struct(
+                a["cell"].alias("cell"),
+                F.when(
+                    (a["an"] > 0) & (ncol > 0),
+                    F.aggregate(F.zip_with(vcol, a["av"], lambda x, y: x * y),
+                                F.lit(0.0), lambda acc, x: acc + x) / (a["an"] * ncol),
+                ).otherwise(F.lit(-2.0)).alias("score"),
+            ),
+        )
+
+    def top_cells(vcol, ncol, n):
+        ranked = F.reverse(F.array_sort(
+            F.transform(cell_scores(vcol, ncol),
+                        lambda s: F.struct(s["score"].alias("score"), s["cell"].alias("cell")))
+        ))
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+    corpus = withn.withColumn("cell", top_cells(F.col("v"), F.col("norm"), 1)[0]).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vc"),
+        F.col("norm").alias("nc"), "cell",
+    )
+    probes = withn.join(queries.select("vec_id"), "vec_id").withColumn(
+        "cells", top_cells(F.col("v"), F.col("norm"), n_probe)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
+        F.col("norm").alias("nq"), F.explode("cells").alias("cell"),
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(_cosine(F.col("vq"), F.col("vc"), F.col("nq"), F.col("nc")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def hyperplane_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -107,6 +107,31 @@ def lang_guess(docs: DataFrame) -> DataFrame:
     )
 
 
+def content_census(docs: DataFrame) -> DataFrame:
+    """Dataset-type census: classify each document by character-class
+    ratios and count per (lang, content_class) — the analog of the
+    reference's byte-histogram TEXT/BINARY/XML classifier with its fixed
+    percentage thresholds (/root/reference/filters/analyzer/analyzer.c:33-98).
+    Pure JVM expressions; exact SQL twin in the oracle."""
+    lower = F.lower(F.col("text"))
+    total = F.length(lower)
+    digits = F.length(F.regexp_replace(lower, "[^0-9]", ""))
+    spaces = F.length(F.regexp_replace(lower, "[^ ]", ""))
+    digit_ratio = F.when(total > 0, digits.cast("double") / total).otherwise(0.0)
+    space_ratio = F.when(total > 0, spaces.cast("double") / total).otherwise(0.0)
+    klass = (
+        F.when(total == 0, "empty")
+        .when(digit_ratio > 0.10, "numeric")
+        .when(space_ratio > 0.25, "airy")
+        .otherwise("dense")
+    )
+    return (
+        docs.select("lang", klass.alias("content_class"))
+        .groupBy("lang", "content_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 _FP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

@@ -60,6 +60,22 @@ def test_ann_lsh_subset_of_bruteforce_scores(spark, emb):
     assert hits / len(bscore) >= 0.1
 
 
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from pyspark.sql import functions as F
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    brute = similarity.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    ivf = similarity.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4).toPandas()
+    bset = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+    iset = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
+    rec = len(bset & iset) / len(bset)
+    assert rec >= 0.4, f"IVF recall {rec}"
+    # scores must be the exact cosines
+    full = similarity.cosine_topk_bruteforce(emb, q, k=10**6).toPandas()
+    fscore = {(r.query_id, r.neighbor_id): r.cosine for r in full.itertuples()}
+    for r in ivf.itertuples():
+        assert abs(fscore[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
 def test_exact_dedup_is_lossless(spark, docs):
     """keep-first dedup keeps exactly one doc per distinct text."""
     kept = doc_dedup.dedup_keep_first(docs).toPandas()

@@ -1,0 +1,116 @@
+"""Dump physical plans for the engine's key operators to PLANS.md and check
+plan-quality invariants (scan pruning, broadcast placement, no Python in
+relational stages). Run: python tools/dump_plans.py"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pcompress_spark.session import get_spark
+from pcompress_spark.config import DedupConfig
+from pcompress_spark.operators.assemble import assemble
+from pcompress_spark.operators.signatures import compute_signatures
+from pcompress_spark.operators.candidates import candidate_pairs
+from pcompress_spark.operators.verify import verify_pairs
+from pcompress_spark.operators.cluster import _large_star
+from pcompress_spark.functions import doc_dedup
+from pcompress_spark.queries import relational
+from pcompress_spark.sources.tables import load_table, load_transcripts
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = DedupConfig()
+
+    tdf = load_transcripts(spark, SF)
+    sig = compute_signatures(assemble(tdf, parallelism=8), cfg)
+    cand, _ = candidate_pairs(sig, cfg)
+    pairs = verify_pairs(sig, cand, cfg)
+    docs = load_table(spark, SF, "documents")
+
+    sections = {
+        "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
+        "LSH candidates (band shuffle, broadcast hot-bucket salt, JVM pair explosion)": cand,
+        "verify (AQE-broadcastable pair joins, JVM Jaccard)": pairs,
+        "connected-components large-star half-round (agg+join, no collect_set)": _large_star(
+            pairs.selectExpr("conv_id_a as u", "conv_id_b as v")
+        ),
+        "q1 pricing summary (pushdown + partial agg)": relational.q1_pricing_summary(spark, SF),
+        "q3 top orders (broadcast dim join)": relational.q3_top_orders(spark, SF),
+        "doc exact dedup (hash agg, first-occurrence-wins)": doc_dedup.dedup_keep_first(docs),
+    }
+
+    checks: list[str] = []
+    out = ["# PLANS — physical plans of the key operators",
+           "",
+           "Regenerate with `python tools/dump_plans.py`. Checks asserted at the bottom.",
+           ""]
+    for title, df in sections.items():
+        out.append(f"## {title}\n\n```\n{plan_of(df)}\n```\n")
+
+    q1_plan = plan_of(relational.q1_pricing_summary(spark, SF))
+    if "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in q1_plan:
+        checks.append("OK q1: shipdate filter pushed to parquet scan")
+    else:
+        checks.append("FAIL q1: filter NOT pushed down")
+    if "ReadSchema" in q1_plan and "l_comment" not in q1_plan:
+        checks.append("OK q1: column pruning (no unused columns in ReadSchema)")
+    q3_plan = plan_of(relational.q3_top_orders(spark, SF))
+    checks.append(
+        "OK q3: customer dim broadcast" if "BroadcastHashJoin" in q3_plan
+        else "FAIL q3: no broadcast join"
+    )
+    sig_plan = plan_of(sig)
+    n_exch = sig_plan.count("Arguments: hashpartitioning")
+    checks.append(f"{'OK' if n_exch == 1 else 'FAIL'} signatures: {n_exch} shuffle exchange(s) (text shuffled once)")
+    cand_plan = plan_of(cand)
+    checks.append(
+        "OK candidates: hot buckets joined via broadcast"
+        if "BroadcastHashJoin" in cand_plan or "broadcast" in cand_plan.lower()
+        else "FAIL candidates: hot-bucket join not broadcast"
+    )
+    def simple_plan(df) -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(mode="simple")
+        return buf.getvalue()
+
+    for df_name, df in (("q1", relational.q1_pricing_summary(spark, SF)), ("verify", pairs)):
+        # simple mode marks whole-stage-codegen spans with "*(n)"; with AQE
+        # the final plan only exists after execution, so run the query first
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        checks.append(
+            f"OK {df_name}: whole-stage codegen spans present"
+            if ("*(" in executed or "*(" in simple_plan(df))
+            else f"WARN {df_name}: no WholeStageCodegen span"
+        )
+
+    out.append("## Plan-quality checks\n")
+    out.extend(f"- {c}" for c in checks)
+    out.append("")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("\n".join(checks))
+    bad = [c for c in checks if c.startswith("FAIL")]
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
