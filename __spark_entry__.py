@@ -164,6 +164,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["latest_order_per_customer"] = relational.latest_order_per_customer
     q["events_hourly_counts"] = relational.events_hourly_counts
     q["events_sessionize"] = relational.sessionize
+    q["events_rollup"] = relational.events_rollup
+    q["orders_without_lineitems"] = relational.orders_without_lineitems
+
+    # ---- J5 analog: materialize the deduplicated view ----
+    def tr_dedup_view(spark, sf_dir):
+        """Transcripts restricted to cluster representatives (backward-
+        reference resolution: every dropped conversation is represented by
+        its cluster min, /root/reference/rabin/rabin_dedup.c:1552-1723)."""
+        clusters = _pipeline_tables(spark, sf_dir)["clusters"]
+        reps = clusters.where(F.col("conv_id") == F.col("cluster_id")).select("conv_id")
+        t = load_transcripts(spark, sf_dir)
+        return t.join(reps, "conv_id").select("conv_id", "turn_idx", "role", "text")
+
+    q["tr_dedup_view"] = tr_dedup_view
     return q
 
 
@@ -370,6 +384,18 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_events,
                sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
         FROM events GROUP BY 1, 2
+    """
+    o["events_rollup"] = """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(hod AS VARCHAR), 'ALL') AS hod,
+               count(*)::BIGINT AS n_events,
+               sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+        FROM (SELECT event_type, hour(ts)::BIGINT AS hod, value FROM events)
+        GROUP BY ROLLUP(event_type, hod)
+    """
+    o["orders_without_lineitems"] = """
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
     """
     o["events_sessionize"] = """
         WITH flagged AS (

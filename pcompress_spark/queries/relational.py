@@ -112,6 +112,35 @@ def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: event counts by (event_type, hour-of-day) with
+    subtotals — grouping-set coverage; NULL grouping levels rendered as
+    'ALL' so the oracle comparison is unambiguous."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.col("event_type"), F.hour("ts").cast("long").alias("hod"),
+                  F.col("value"))
+        .rollup("event_type", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hod").cast("string"), F.lit("ALL")).alias("hod"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op / anti-join coverage: orders with no line items."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user (lag + cumulative sum of
     new-session flags): (user_id, n_sessions, n_events)."""

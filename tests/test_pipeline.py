@@ -60,6 +60,20 @@ def test_pipeline_partial_resume(spark, smoke_transcripts, tmp_path):
     assert _clusters_dict(res) == want
 
 
+def test_pipeline_partial_write_not_resumed(spark, smoke_transcripts, tmp_path):
+    """A stage dir without _SUCCESS (crash mid-write) must be recomputed."""
+    wd = str(tmp_path / "run2b")
+    os.makedirs(wd)
+    full = DedupPipeline(spark, CFG, work_dir=wd).run(smoke_transcripts)
+    want = _clusters_dict(full)
+    os.remove(os.path.join(wd, "pairs", "_SUCCESS"))  # simulate torn write
+    res = DedupPipeline(spark, CFG, work_dir=wd).run(smoke_transcripts)
+    flags = {s.name: s.resumed for s in res.stages}
+    assert flags["pairs"] is False
+    assert flags["signatures"] is True
+    assert _clusters_dict(res) == want
+
+
 def test_pipeline_config_change_invalidates(spark, smoke_transcripts, tmp_path):
     wd = str(tmp_path / "run3")
     os.makedirs(wd)
