@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pcompress_spark.config import DedupConfig
 from pcompress_spark.pipeline import DedupPipeline
 from pcompress_spark.operators.assemble import assemble, assembled_turns
+from pcompress_spark.operators.substring import verify_substring_pairs
 from pcompress_spark.functions import doc_dedup, similarity, text as text_fns
 from pcompress_spark.queries import relational
 from pcompress_spark.sources.tables import (
@@ -178,6 +179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.join(reps, "conv_id").select("conv_id", "turn_idx", "role", "text")
 
     q["tr_dedup_view"] = tr_dedup_view
+
+    # ---- D1 analog: exact longest-common-run verification ----
+    def tr_substring_verified(spark, sf_dir):
+        tabs = _pipeline_tables(spark, sf_dir)
+        asm = assemble(load_transcripts(spark, sf_dir))
+        return verify_substring_pairs(tabs["substring_pairs"], asm, CFG)
+
+    q["tr_substring_verified"] = tr_substring_verified
     return q
 
 

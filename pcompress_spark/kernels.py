@@ -438,6 +438,69 @@ def window_fingerprints(
     return wh[pos], pos
 
 
+def _prefix_hashes(th: np.ndarray) -> np.ndarray:
+    """Polynomial prefix hashes (mod 2**64): prefix[i] = h(th[0:i])."""
+    n = len(th)
+    out = np.empty(n + 1, dtype=np.uint64)
+    out[0] = 0
+    with np.errstate(over="ignore"):
+        acc = np.uint64(0)
+        # Horner accumulation is inherently sequential; do it in C via cumsum
+        # trick: not expressible — loop, but this runs only on verify pairs.
+        for i in range(n):
+            acc = acc * _SHINGLE_MULT + th[i]
+            out[i + 1] = acc
+    return out
+
+
+def _window_hash_all(th: np.ndarray, L: int, powL: np.uint64,
+                     prefix: np.ndarray) -> np.ndarray:
+    """Hashes of every L-window from prefix hashes:
+    h[i..i+L) = prefix[i+L] - prefix[i] * MULT^L (mod 2**64). O(n)."""
+    with np.errstate(over="ignore"):
+        return prefix[L:] - prefix[:-L] * powL
+
+
+def longest_common_run(th_a: np.ndarray, th_b: np.ndarray) -> int:
+    """Exact length (in tokens) of the longest common contiguous token run
+    between two token-hash sequences — the bsdiff longest-match search
+    (/root/reference/bsdiff/bsdiff.c:221-254) without the suffix array:
+    binary search on run length with O(n) rolling-hash probes, O(n log n)
+    total. Hash-equality based (64-bit; both compared docs use the same
+    function, so engine and oracle agree exactly)."""
+    na, nb = len(th_a), len(th_b)
+    hi = min(na, nb)
+    if hi == 0:
+        return 0
+    th_a = th_a.astype(np.uint64, copy=False)
+    th_b = th_b.astype(np.uint64, copy=False)
+    pa, pb = _prefix_hashes(th_a), _prefix_hashes(th_b)
+
+    def has_common(L: int) -> bool:
+        with np.errstate(over="ignore"):
+            powL = np.uint64(pow(int(_SHINGLE_MULT), L, 1 << 64))
+        ha = _window_hash_all(th_a, L, powL, pa)
+        hb = _window_hash_all(th_b, L, powL, pb)
+        return bool(len(np.intersect1d(ha, hb)) > 0)
+
+    lo, hi2 = 0, hi  # invariant: common run of length lo exists (0 always)
+    while lo < hi2:
+        mid = (lo + hi2 + 1) // 2
+        if has_common(mid):
+            lo = mid
+        else:
+            hi2 = mid - 1
+    return lo
+
+
+def tokens_to_hashes(text: str, max_token_chars: int = 64) -> np.ndarray:
+    """Single-doc convenience: normalized token hashes for one raw text."""
+    toks = normalize_one(text).split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    return hash_tokens(np.asarray(toks, dtype=np.str_), max_token_chars)
+
+
 def content_hash_hex(norm_texts: pd.Series) -> pd.Series:
     """SHA-256 hex of the normalized document text (exact-dup key; analog of
     the per-block crypto hash, /root/reference/rabin/rabin_dedup.c:790-797)."""

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..config import DedupConfig
 
@@ -61,3 +62,60 @@ def substring_pairs(
     cand = substring_candidates(sig, cfg)
     known = verified_pairs.select("conv_id_a", "conv_id_b")
     return cand.join(known, ["conv_id_a", "conv_id_b"], "left_anti")
+
+
+_VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id_a", T.StringType(), False),
+        T.StructField("conv_id_b", T.StringType(), False),
+        T.StructField("n_windows", T.IntegerType(), False),
+        T.StructField("lcs_tokens", T.LongType(), False),
+    ]
+)
+
+
+def verify_substring_pairs(
+    pairs: DataFrame, assembled: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Exact longest-common-token-run length for each flagged pair — the
+    true bsdiff long-match measurement (suffix-array search replaced by a
+    rolling-hash binary search, kernels.longest_common_run).
+
+    Spark shape: two joins pull the pair texts (pairs << corpus; AQE
+    broadcasts the pair side), then one Arrow-batched mapInPandas computes
+    LCS per pair. Only flagged pairs pay this cost — the candidate stage
+    already reduced the search space, exactly like the reference only
+    bsdiffs blocks its similarity probe nominated
+    (/root/reference/rabin/rabin_dedup.c:1469-1489)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels import longest_common_run, tokens_to_hashes
+
+    a = assembled.select(F.col("conv_id").alias("conv_id_a"),
+                         F.col("doc_text").alias("text_a"))
+    b = assembled.select(F.col("conv_id").alias("conv_id_b"),
+                         F.col("doc_text").alias("text_b"))
+    joined = pairs.join(a, "conv_id_a").join(b, "conv_id_b").select(
+        "conv_id_a", "conv_id_b", "n_windows", "text_a", "text_b"
+    )
+    max_chars = cfg.max_token_chars
+
+    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lcs = [
+                longest_common_run(tokens_to_hashes(ta, max_chars),
+                                   tokens_to_hashes(tb, max_chars))
+                for ta, tb in zip(pdf["text_a"], pdf["text_b"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id_a": pdf["conv_id_a"].values,
+                    "conv_id_b": pdf["conv_id_b"].values,
+                    "n_windows": pdf["n_windows"].values,
+                    "lcs_tokens": pd.array(lcs, dtype="int64"),
+                }
+            )
+
+    return joined.mapInPandas(_verify, schema=_VERIFY_SCHEMA)
