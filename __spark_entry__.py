@@ -138,6 +138,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_quality"] = lambda s, d: text_fns.quality_score(load_table(s, d, "documents"))
     q["doc_lang_guess"] = lambda s, d: text_fns.lang_guess(load_table(s, d, "documents"))
     q["doc_census"] = lambda s, d: text_fns.content_census(load_table(s, d, "documents"))
+    q["doc_bpe_token_count"] = lambda s, d: text_fns.bpe_ish_token_count(
+        load_table(s, d, "documents"))
+
+    def ev_json_props(spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        )
+
+    q["events_json_props"] = ev_json_props
 
     # ---- similarity search ----
     def ann_topk_brute(spark, sf_dir):
@@ -325,6 +336,15 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, content_class, count(*)::BIGINT AS n_docs
         FROM feat GROUP BY lang, content_class
+    """
+    o["doc_bpe_token_count"] = r"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))::BIGINT AS n_bpe_tokens,
+               len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), w -> w != ''))::BIGINT AS n_ws_tokens
+        FROM documents
+    """
+    o["events_json_props"] = """
+        SELECT event_id, json_extract(props, '$.k')::BIGINT AS prop_k FROM events
     """
     o["ann_topk_brute"] = """
         WITH n AS (

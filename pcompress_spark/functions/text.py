@@ -107,6 +107,23 @@ def lang_guess(docs: DataFrame) -> DataFrame:
     )
 
 
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_ish_token_count(docs: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish regex (letters / digit runs /
+    punctuation runs as separate tokens — the shape GPT-style pre-tokenizers
+    use) alongside whitespace counting. Both engines' regexes (Java /
+    RE2) agree on this ASCII pattern."""
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_PATTERN), 0)
+    ws = norm_words("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+    )
+
+
 def content_census(docs: DataFrame) -> DataFrame:
     """Dataset-type census: classify each document by character-class
     ratios and count per (lang, content_class) — the analog of the
