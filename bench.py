@@ -58,16 +58,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # ---- flagship: full dedup pipeline, fresh work dir ----
+    # ---- flagship: full dedup pipeline, fresh work dir each attempt ----
+    # best-of-2: single-box memory-pressure variance (page cache / GC) can
+    # double a run's wall time; the minimum is the steady-state number
     tdf = spark.read.parquet(tr_path)
     n_turns = tdf.count()
-    wd = tempfile.mkdtemp(prefix="pcompress_bench_")
-    t0 = time.monotonic()
-    res = DedupPipeline(spark, DedupConfig(), work_dir=wd).run(tdf)
-    pipeline_sec = time.monotonic() - t0
+    attempts = []
+    n_clusters = 0
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))):
+        wd = tempfile.mkdtemp(prefix="pcompress_bench_")
+        t0 = time.monotonic()
+        res = DedupPipeline(spark, DedupConfig(), work_dir=wd).run(tdf)
+        attempts.append(time.monotonic() - t0)
+        n_clusters = res.tables["clusters"].select("cluster_id").distinct().count()
+        shutil.rmtree(wd, ignore_errors=True)
+    pipeline_sec = min(attempts)
     timings["dedup_pipeline"] = round(pipeline_sec, 3)
-    n_clusters = res.tables["clusters"].select("cluster_id").distinct().count()
-    shutil.rmtree(wd, ignore_errors=True)
 
     # ---- per-operator headline queries on the driver tables ----
     qs = entry.queries()
@@ -87,6 +93,7 @@ def main() -> None:
         "bench_convs": n_conv,
         "bench_turns": n_turns,
         "turns_per_sec": round(n_turns / pipeline_sec, 1),
+        "pipeline_attempts_sec": [round(a, 3) for a in attempts],
         "clusters": n_clusters,
         "cpus": cpus,
     }

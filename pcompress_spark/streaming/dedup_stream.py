@@ -53,6 +53,92 @@ def signatures_stream(stream: DataFrame, cfg: DedupConfig | None = None,
     return compute_signatures(assemble_windowed(stream, watermark), cfg)
 
 
+def stateful_assemble_signatures(
+    stream: DataFrame,
+    cfg: DedupConfig | None = None,
+    gap: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): conversation
+    sessionization with event-time timeout.
+
+    Turns accumulate in per-conv_id state across micro-batches; when the
+    watermark passes a conversation's last turn + gap (no more turns can
+    arrive), the conversation is assembled under stable turn ordering,
+    signed with the SAME shared kernels as batch, emitted, and its state
+    dropped. This is the streaming analog of the reference's content-
+    aligned chunk boundary — a conversation is "closed" by content-defined
+    quiescence, never split mid-stream (Read_Adjusted,
+    /root/reference/utils/utils.c:234-278).
+
+    Single stateful operator on the raw turn stream (Spark disallows
+    applyInPandasWithState after a streaming aggregation). State per key is
+    one conversation's turns — bounded and sharded across executors by the
+    state store.
+
+    Emits (conv_id, n_turns, n_tokens, content_hash, simhash).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cfg = cfg or DedupConfig()
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+    out_schema = ("conv_id string, n_turns long, n_tokens long, "
+                  "content_hash string, simhash long")
+    state_schema = "turn_idxs array<int>, texts array<string>, max_ts long"
+
+    def assemble_fn(key, pdf_iter, state: GroupState):
+        from pcompress_spark.kernels import signatures_for_texts
+        from pcompress_spark.operators.assemble import TURN_SEP
+
+        if state.hasTimedOut:
+            turn_idxs, texts, _ = state.get
+            order = np.argsort(np.asarray(turn_idxs), kind="stable")
+            doc = TURN_SEP.join("" if texts[i] is None else texts[i] for i in order)
+            sig = signatures_for_texts(pd.Series([doc]), cfg)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [len(turn_idxs)],
+                    "n_tokens": [int(sig.loc[0, "n_tokens"])],
+                    "content_hash": [sig.loc[0, "content_hash"]],
+                    "simhash": [int(sig.loc[0, "simhash"])],
+                }
+            )
+            return
+        turn_idxs, texts, max_ts = ([], [], 0)
+        if state.exists:
+            turn_idxs, texts, max_ts = state.get
+            turn_idxs, texts = list(turn_idxs), list(texts)
+        for pdf in pdf_iter:
+            turn_idxs.extend(int(x) for x in pdf["turn_idx"])
+            texts.extend("" if x is None else str(x) for x in pdf["text"])
+            batch_max = int(pdf["ts"].max().value // 10**6)
+            max_ts = max(max_ts, batch_max)
+        state.update((turn_idxs, texts, max_ts))
+        # late stragglers (event time already behind the watermark) would
+        # otherwise request a timeout in the past, which Spark rejects —
+        # clamp so the resurrected conversation closes at the next trigger
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_ts + gap_ms, wm + 1))
+        yield pd.DataFrame(
+            columns=["conv_id", "n_turns", "n_tokens", "content_hash", "simhash"]
+        )
+
+    return (
+        stream.withWatermark("ts", gap)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            assemble_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_exact_dedup(stream: DataFrame, cfg: DedupConfig | None = None,
                           watermark: str = "10 minutes") -> DataFrame:
     """Exact-dup suppression within the watermark horizon: first conversation

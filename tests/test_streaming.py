@@ -14,7 +14,11 @@ import pytest
 from pcompress_spark.config import DedupConfig
 from pcompress_spark.operators.assemble import assemble
 from pcompress_spark.operators.signatures import compute_signatures
-from pcompress_spark.streaming.dedup_stream import signatures_stream, streaming_exact_dedup
+from pcompress_spark.streaming.dedup_stream import (
+    signatures_stream,
+    stateful_assemble_signatures,
+    streaming_exact_dedup,
+)
 
 CFG = DedupConfig()
 _BASE = pd.Timestamp("2026-01-01T00:00:00")
@@ -79,6 +83,30 @@ def test_streaming_signatures_match_batch(spark, timed_transcripts, stream_input
     assert got["content_hash"].tolist() == want["content_hash"].tolist()
     assert got["simhash"].tolist() == want["simhash"].tolist()
     assert got["n_turns"].tolist() == want["n_turns"].tolist()
+
+
+def test_stateful_assemble_signatures(spark, timed_transcripts,
+                                      stream_input_dir, tmp_path):
+    """applyInPandasWithState sessionization: conversations closed by
+    event-time quiescence carry signatures identical to batch."""
+    batch_df = spark.createDataFrame(timed_transcripts)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_input_dir)
+    )
+    out = stateful_assemble_signatures(stream, CFG, gap="10 minutes")
+    got = _run_stream(spark, out, str(tmp_path), "stateful_sig")
+    assert len(got) > 0, "no conversations timed out"
+    from pcompress_spark.operators.assemble import assemble
+    from pcompress_spark.operators.signatures import compute_signatures
+    batch_sig = compute_signatures(assemble(batch_df), CFG).toPandas().set_index("conv_id")
+    for r in got.itertuples():
+        assert batch_sig.at[r.conv_id, "content_hash"] == r.content_hash, r.conv_id
+        assert int(batch_sig.at[r.conv_id, "simhash"]) == r.simhash, r.conv_id
+        assert int(batch_sig.at[r.conv_id, "n_tokens"]) == r.n_tokens, r.conv_id
+    # most conversations should have closed (all but the trailing horizon)
+    assert len(got) >= 0.7 * len(batch_sig)
 
 
 def test_streaming_exact_dedup_suppresses_clones(spark, timed_transcripts,
