@@ -191,6 +191,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tr_dedup_view"] = tr_dedup_view
 
+    def tr_exact_dedup_view(spark, sf_dir):
+        """J5 reconstruction join, exact-dup flavor with a full value-hash
+        oracle: keep only the min-conv_id representative of each exact
+        content group and materialize its turns (backward-reference
+        resolution, /root/reference/rabin/rabin_dedup.c:1552-1723 — every
+        dropped conversation is byte-identical to its representative)."""
+        sig = _pipeline_tables(spark, sf_dir)["signatures"]
+        reps = sig.groupBy("content_hash").agg(F.min("conv_id").alias("conv_id"))
+        t = load_transcripts(spark, sf_dir)
+        return t.join(reps.select("conv_id"), "conv_id").select(
+            "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"), "role", "text"
+        )
+
+    q["tr_exact_dedup_view"] = tr_exact_dedup_view
+
     # ---- D1 analog: exact longest-common-run verification ----
     def tr_substring_verified(spark, sf_dir):
         tabs = _pipeline_tables(spark, sf_dir)
@@ -237,6 +252,17 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{tr}') GROUP BY conv_id
         )
         SELECT min(conv_id) AS conv_id, content_hash FROM docs GROUP BY content_hash
+    """
+
+    o["tr_exact_dedup_view"] = f"""
+        WITH docs AS (
+            SELECT conv_id, sha256({norm_doc}) AS content_hash
+            FROM read_parquet('{tr}') GROUP BY conv_id
+        ), reps AS (
+            SELECT min(conv_id) AS conv_id FROM docs GROUP BY content_hash
+        )
+        SELECT t.conv_id, t.turn_idx::BIGINT AS turn_idx, t.role, t.text
+        FROM read_parquet('{tr}') t JOIN reps USING (conv_id)
     """
 
     o["doc_exact_hash"] = "SELECT doc_id, md5(text) AS content_md5 FROM documents"

@@ -1,0 +1,65 @@
+"""spark-submit packaging: the --py-files zip is self-contained and the
+cluster driver script runs the pipeline end-to-end (north_rule launch path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_pyfiles_zip_self_contained(tmp_path):
+    """Engine imports and computes signatures with ONLY the zip on sys.path
+    (what executors see when spark-submit ships --py-files)."""
+    from tools.make_pyfiles import build
+
+    zip_path = build(str(tmp_path))
+    probe = (
+        "import sys; sys.path = [sys.argv[1]] + "
+        "[p for p in sys.path if 'site-packages' in p or 'python3' in p];\n"
+        "import pandas as pd\n"
+        "from pcompress_spark.config import DedupConfig\n"
+        "from pcompress_spark.kernels import signatures_for_texts\n"
+        "sig = signatures_for_texts(pd.Series(['hello world one two three']), DedupConfig())\n"
+        "assert sig.loc[0, 'n_tokens'] == 5, sig\n"
+        "print('OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe, zip_path],
+        capture_output=True, text=True, timeout=120,
+        cwd=str(tmp_path),  # NOT the repo — the zip must stand alone
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
+
+
+def test_pyfiles_zip_reproducible(tmp_path):
+    from tools.make_pyfiles import build
+
+    a = build(str(tmp_path / "a"))
+    b = build(str(tmp_path / "b"))
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()
+
+
+def test_run_pipeline_script_end_to_end(tmp_path, smoke_data):
+    """tools/run_pipeline.py (the spark-submit entry) runs the full pipeline
+    from the CLI and reports cluster rows."""
+    inp = str(tmp_path / "transcripts.parquet")
+    smoke_data.transcripts.to_parquet(inp, index=False)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_DRIVER_MEM="4g")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_pipeline.py"),
+         "--input", inp, "--work-dir", str(tmp_path / "wd"),
+         "--output", str(tmp_path / "out"), "--master", "local[4]",
+         "--shuffle-partitions", "4"],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["clusters_rows"] > 0
+    assert os.path.exists(tmp_path / "out" / "clusters")

@@ -1,0 +1,83 @@
+"""spark-submit driver for the transcript near-dup pipeline.
+
+Cluster launch (ship the engine to executors via --py-files, see
+tools/make_pyfiles.py):
+
+    spark-submit --master <cluster> --deploy-mode client \
+        --py-files dist/pcompress_spark.zip \
+        tools/run_pipeline.py \
+        --input /warehouse/transcripts --work-dir /warehouse/dedup_ckpt \
+        --output /warehouse/dedup_out
+
+Local smoke (no cluster; same code path):
+
+    python tools/run_pipeline.py --input <parquet> --work-dir /tmp/wd \
+        --master 'local[8]'
+
+Input: parquet or Iceberg table with columns
+(conv_id string, turn_idx int, role string, text string, tool string,
+ ts timestamp). Stages checkpoint under --work-dir and resume idempotently
+(rerun after a kill picks up at the first incomplete stage). Outputs
+clusters/pairs/signatures as parquet under --output when given, else only
+the work-dir checkpoints + metrics.json + lineage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="transcripts: parquet path or catalog table name")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "iceberg", "table"],
+                    help="'iceberg'/'table' read via spark.read.table(name)")
+    ap.add_argument("--work-dir", required=True, help="checkpoint/resume dir")
+    ap.add_argument("--output", default=None, help="optional final output dir")
+    ap.add_argument("--master", default=None,
+                    help="override master (default: whatever spark-submit set)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--config-json", default=None,
+                    help="JSON dict of DedupConfig field overrides")
+    args = ap.parse_args(argv)
+
+    from pcompress_spark.config import DedupConfig
+    from pcompress_spark.pipeline import DedupPipeline
+    from pcompress_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="pcompress-spark-dedup",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    cfg = DedupConfig(**(json.loads(args.config_json) if args.config_json else {}))
+
+    if args.format == "parquet":
+        transcripts = spark.read.parquet(args.input)
+    else:
+        transcripts = spark.read.table(args.input)
+
+    result = DedupPipeline(spark, cfg, work_dir=args.work_dir).run(transcripts)
+
+    if args.output:
+        for name in ("clusters", "pairs", "signatures"):
+            result.tables[name].write.mode("overwrite").parquet(
+                os.path.join(args.output, name))
+
+    for s in result.stages:
+        print(f"stage={s.name} rows={s.rows} sec={s.seconds:.2f} resumed={s.resumed}",
+              file=sys.stderr)
+    n = result.tables["clusters"].count()
+    print(json.dumps({"clusters_rows": n, "work_dir": args.work_dir}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
