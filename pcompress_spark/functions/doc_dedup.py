@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import DedupConfig
-from ..kernels import signatures_for_texts
+from ..kernels import signatures_for_texts, trim_after
 from .text import norm_words
 
 
@@ -118,7 +118,7 @@ def doc_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(_sign, schema=_DOCSIG_SCHEMA)
+    return docs.select("doc_id", "text").mapInPandas(trim_after(_sign), schema=_DOCSIG_SCHEMA)
 
 
 def minhash_lsh_pairs(

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..kernels import splitmix64
+from ..kernels import splitmix64, trim_after
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -93,7 +93,7 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             )
 
     return media.select("media_id", "kind", "payload").mapInPandas(
-        _extract, schema=FEATURE_SCHEMA
+        trim_after(_extract), schema=FEATURE_SCHEMA
     )
 
 

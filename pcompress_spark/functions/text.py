@@ -163,7 +163,7 @@ def doc_fingerprints(docs: DataFrame, k: int = 5, keep: int = 16) -> DataFrame:
     near-dup key. Reference analog: the K-min-values block sketch
     (/root/reference/rabin/rabin_dedup.c:684-706)."""
     from ..config import DedupConfig
-    from ..kernels import signatures_for_texts
+    from ..kernels import signatures_for_texts, trim_after
 
     cfg = DedupConfig(shingle_k=k, substring_enabled=False)
 
@@ -176,4 +176,4 @@ def doc_fingerprints(docs: DataFrame, k: int = 5, keep: int = 16) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "fingerprint": fps})
 
-    return docs.select("doc_id", "text").mapInPandas(_fp, schema=_FP_SCHEMA)
+    return docs.select("doc_id", "text").mapInPandas(trim_after(_fp), schema=_FP_SCHEMA)

@@ -50,7 +50,37 @@ try:  # pragma: no cover - platform-dependent
     _libc.mallopt(-3, 192 << 20)  # M_MMAP_THRESHOLD
     _libc.mallopt(-1, 192 << 20)  # M_TRIM_THRESHOLD
 except Exception:
-    pass
+    _libc = None
+
+
+def trim_memory() -> None:
+    """Return freed arena memory to the OS (malloc_trim).
+
+    The raised trim threshold above is right DURING a UDF's batch loop
+    (arena reuse), but it also makes idle reused Python workers sit on
+    hundreds of MB of RSS after their stage ends; with 32 workers that
+    starves the NEXT (JVM-heavy shuffle) stage of page cache — measured
+    4-6x slowdown of the candidates stage at local[32]. Heavy UDFs call
+    this once per finished partition: reuse while hot, release when done.
+    """
+    try:  # pragma: no cover - platform-dependent
+        if _libc is not None:
+            _libc.malloc_trim(0)
+    except Exception:
+        pass
+
+
+def trim_after(udf_gen):
+    """Wrap a mapInPandas batch-iterator function so the worker trims its
+    malloc arena once the partition is exhausted (see trim_memory)."""
+
+    def wrapper(batches):
+        try:
+            yield from udf_gen(batches)
+        finally:
+            trim_memory()
+
+    return wrapper
 
 # FNV-1a 64-bit constants (public domain), used for token-level hashing.
 _FNV_OFFSET = np.uint64(14695981039346656037)

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..config import DedupConfig
-from ..kernels import hash_tokens, signatures_for_texts
+from ..kernels import hash_tokens, signatures_for_texts, trim_after
 
 SIGNATURE_SCHEMA = T.StructType(
     [
@@ -89,4 +89,6 @@ def compute_signatures(
             )
             yield out
 
-    return assembled.mapInPandas(_sign, schema=SIGNATURE_SCHEMA)
+    # trim_after: workers release arena RSS once their partition is done, so
+    # idle (reused) Python workers don't starve the following shuffle stage
+    return assembled.mapInPandas(trim_after(_sign), schema=SIGNATURE_SCHEMA)

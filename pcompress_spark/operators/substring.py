@@ -91,7 +91,7 @@ def verify_substring_pairs(
 
     import pandas as pd
 
-    from ..kernels import longest_common_run, tokens_to_hashes
+    from ..kernels import longest_common_run, tokens_to_hashes, trim_after
 
     a = assembled.select(F.col("conv_id").alias("conv_id_a"),
                          F.col("doc_text").alias("text_a"))
@@ -118,4 +118,4 @@ def verify_substring_pairs(
                 }
             )
 
-    return joined.mapInPandas(_verify, schema=_VERIFY_SCHEMA)
+    return joined.mapInPandas(trim_after(_verify), schema=_VERIFY_SCHEMA)
