@@ -47,8 +47,12 @@ def band_explode(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
     like the reference's trailing-block handling
     (/root/reference/rabin/rabin_dedup.c:717-757)."""
     r = cfg.rows
+    # n_tokens >= k  <=>  non-empty shingle set (shingle count per doc is
+    # max(n_tokens - (k-1), 0) before distinct; kernels.shingle_hashes_flat).
+    # Filtering on the scalar lets Parquet prune the wide `shingles` column
+    # from this stage's scan entirely — it's only needed again at verify.
     return (
-        sig.where(F.size("shingles") > 0)
+        sig.where(F.col("n_tokens") >= cfg.shingle_k)
         .select(
             "conv_id",
             "id_hash",

@@ -139,3 +139,32 @@ def test_batch_invariance():
     for i in range(10):
         assert np.array_equal(whole.loc[i, "minhash"], part.loc[i, "minhash"])
         assert np.array_equal(whole.loc[i, "shingles"], part.loc[i, "shingles"])
+
+
+def test_shingle_emptiness_iff_token_floor():
+    """band_explode filters banding on n_tokens >= shingle_k instead of
+    size(shingles) > 0 (lets Parquet prune the wide shingles column); the
+    two predicates must be exactly equivalent for every doc."""
+    texts = pd.Series(
+        ["", "one", "one two", "one two three", "a b c d e f g",
+         "x " * 50, "!!!", "a a a", "tok " * (CFG.shingle_k - 1),
+         "tok " * CFG.shingle_k]
+    )
+    sig = K.signatures_for_texts(texts, CFG)
+    for i in range(len(texts)):
+        has_shingles = len(sig.loc[i, "shingles"]) > 0
+        assert has_shingles == (sig.loc[i, "n_tokens"] >= CFG.shingle_k), (
+            i, sig.loc[i, "n_tokens"], len(sig.loc[i, "shingles"]))
+
+
+def test_trim_after_passes_batches_through():
+    seen = []
+
+    def gen(batches):
+        for b in batches:
+            seen.append(b)
+            yield b * 2
+
+    wrapped = K.trim_after(gen)
+    out = list(wrapped(iter([1, 2, 3])))
+    assert out == [2, 4, 6] and seen == [1, 2, 3]
