@@ -380,30 +380,27 @@ def simhash_flat(
         bitmat = np.unpackbits(
             flat.astype("<u8", copy=False).view(np.uint8).reshape(len(flat), 8), axis=1
         )  # (S, 64) uint8, C-contiguous
-        # doc-aligned ROW chunks: contiguous uint8->int64 cast (fast path)
-        # + reduceat per chunk; bounds the temp at ~chunk x 64 x 8B and
-        # avoids both the strided-cast slow path and reduceat's buffered
-        # dtype= first-call pathology
+        # Two-level reduceat, both in the input's native dtype (no dtype=
+        # buffered slow path, no wide temp): (1) sum uint8 bit rows in
+        # sub-segments of <= 128 rows — sums <= 128 never overflow uint8 and
+        # the pass reads 64 B/shingle instead of a 512 B int64 copy (~2x
+        # faster, bandwidth-bound); (2) sum the few per-doc sub-segment rows
+        # as int64. Nonempty doc ranges tile [0, S) (empty docs contribute
+        # zero rows), so segment k legitimately ends where segment k+1
+        # starts and the last runs to the end — reduceat's native semantics.
         ne_starts = starts[:-1][nonempty]
-        ne_ends = starts[1:][nonempty]
+        ne_lens = lens[nonempty]
         n_ne = len(ne_starts)
-        sums = np.empty((n_ne, bits), dtype=np.int64)
-        budget = 1 << 18  # shingles per chunk (128 MB temp, reused)
-        buf = np.empty((min(budget, len(flat)), bits), dtype=np.int64)
-        d0 = 0
-        while d0 < n_ne:
-            d1 = d0
-            while d1 < n_ne and ne_ends[d1] - ne_starts[d0] <= budget:
-                d1 += 1
-            d1 = max(d1, d0 + 1)  # always advance (oversized single doc)
-            r0, r1 = ne_starts[d0], ne_ends[d1 - 1]
-            m = int(r1 - r0)
-            if m > len(buf):
-                buf = np.empty((m, bits), dtype=np.int64)  # single oversized doc
-            np.copyto(buf[:m], bitmat[r0:r1], casting="unsafe")  # contiguous cast, reused buffer
-            sums[d0:d1] = np.add.reduceat(buf[:m], ne_starts[d0:d1] - r0, axis=0)
-            d0 = d1
-        maj = ((2 * sums) >= lens[nonempty][:, None]).astype(np.uint8)
+        max_seg = 128
+        n_seg = -(-ne_lens // max_seg)  # ceil: sub-segments per doc
+        first = np.zeros(n_ne + 1, dtype=np.int64)
+        np.cumsum(n_seg, out=first[1:])
+        doc_of = np.repeat(np.arange(n_ne), n_seg)
+        within = np.arange(first[-1]) - first[doc_of]
+        seg_starts = ne_starts[doc_of] + within * max_seg
+        part = np.add.reduceat(bitmat, seg_starts, axis=0).astype(np.int64)
+        sums = np.add.reduceat(part, first[:-1], axis=0)
+        maj = ((2 * sums) >= ne_lens[:, None]).astype(np.uint8)
         # packbits restores the exact byte layout unpackbits produced, so a
         # little-endian view round-trips: a single-shingle doc's simhash IS
         # that shingle value (consistent with the empty-doc sentinel fill).
