@@ -168,3 +168,24 @@ def test_trim_after_passes_batches_through():
     wrapped = K.trim_after(gen)
     out = list(wrapped(iter([1, 2, 3])))
     assert out == [2, 4, 6] and seen == [1, 2, 3]
+
+
+def test_simhash_flat_matches_naive_majority():
+    """simhash_flat's two-level uint8 reduceat vs an independent per-doc
+    bit-majority reference, over ragged / empty / over-sample-cap docs."""
+    rng = np.random.default_rng(3)
+    for trial in range(10):
+        n_docs = int(rng.integers(1, 30))
+        lens = rng.integers(0, 700, size=n_docs)
+        starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        flat = np.sort(rng.integers(0, 2**64, size=int(starts[-1]), dtype=np.uint64))
+        got = K.simhash_flat(flat, starts)
+        for i in range(n_docs):
+            seg = flat[starts[i]:starts[i + 1]][:512]
+            if len(seg) == 0:
+                assert got[i] == K._EMPTY_SENTINEL
+                continue
+            bm = np.unpackbits(seg.astype("<u8").view(np.uint8).reshape(len(seg), 8), axis=1)
+            maj = (2 * bm.sum(0) >= len(seg)).astype(np.uint8)
+            assert got[i] == np.packbits(maj).view("<u8")[0], (trial, i)
