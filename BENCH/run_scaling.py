@@ -56,12 +56,14 @@ def main() -> None:
     eff = tb / (4 * ta)
     eff_supp = t32 / (4 * t8b)
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
+    n_runs = os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence
 
 Protocol (see /root/repo/BASELINE.md): same job, same deterministic input,
 two parallelism levels standing in for N and 4N executors. Python workers
-are warmed before timing and each point is the best of two pipeline runs,
-so one-time startup and page-cache variance don't pollute the ratio.
+are warmed before timing and each point is the best of {n_runs} pipeline
+run(s) in one warmed session, so one-time startup and page-cache variance
+don't pollute the ratio.
 
 ## Primary: N={n_lo} -> 4N={n_hi} cores ({n_primary} conversations, {ra['bench_turns']} turns)
 
