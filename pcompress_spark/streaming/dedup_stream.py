@@ -139,6 +139,104 @@ def stateful_assemble_signatures(
     )
 
 
+def start_near_dup_stream(
+    stream: DataFrame,
+    work_dir: str,
+    cfg: DedupConfig | None = None,
+    watermark: str = "10 minutes",
+    trigger_available_now: bool = True,
+):
+    """Incremental near-duplicate PAIR detection on a transcript stream.
+
+    Spark disallows stream-stream joins downstream of stateful operators, so
+    the incremental index probe is expressed the idiomatic micro-batch way:
+    ``foreachBatch`` joins each batch of newly-closed conversation signatures
+    (same Arrow kernels as batch) against an accumulated signature store —
+    the exact shape of the reference's pipe-mode segmented index, where each
+    incoming segment's sketch values probe an index built from everything
+    seen so far (/root/reference/rabin/global/index.c:140-151, first
+    occurrence wins /root/reference/rabin/global/index.c:485-558).
+
+    Per micro-batch: LSH candidates + verification run over store ∪ batch
+    with the SAME batch operators (candidate_pairs / verify_pairs), then
+    only pairs touching a conversation from this batch are appended — a
+    pair is emitted exactly once, when its later endpoint arrives. With no
+    hot buckets the accumulated pair set equals the batch pipeline's pairs
+    over the same closed conversations (deterministic kernels end to end);
+    under hot-bucket salting the cap is applied to incremental bucket sizes,
+    so drops can differ from batch order (same recall bound, logged caps).
+
+    Layout under ``work_dir``: ``sig_store/`` (parquet, appended per batch),
+    ``pairs/`` (parquet, appended), ``ckpt/`` (streaming checkpoint).
+    Returns the started StreamingQuery.
+    """
+    import os
+
+    from ..operators.candidates import candidate_pairs
+    from ..operators.verify import verify_pairs
+
+    cfg = cfg or DedupConfig()
+    store = os.path.join(work_dir, "sig_store")
+    pairs_out = os.path.join(work_dir, "pairs")
+    sigs = signatures_stream(stream, cfg, watermark)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.count() == 0:
+                return
+            have_store = os.path.exists(os.path.join(store, "_SUCCESS")) or (
+                os.path.isdir(store)
+                and any(f.endswith(".parquet") for f in os.listdir(store))
+            )
+            all_sigs = (
+                batch_df.unionByName(spark.read.parquet(store))
+                if have_store
+                else batch_df
+            )
+            cand, _stats = candidate_pairs(all_sigs, cfg)
+            new_ids = batch_df.select("conv_id")
+            touches_new = (
+                cand.join(
+                    new_ids.withColumnRenamed("conv_id", "conv_id_a"),
+                    "conv_id_a",
+                    "left_semi",
+                )
+                .unionByName(
+                    cand.join(
+                        new_ids.withColumnRenamed("conv_id", "conv_id_b"),
+                        "conv_id_b",
+                        "left_semi",
+                    )
+                )
+                .distinct()
+            )
+            verified = verify_pairs(all_sigs, touches_new, cfg)
+            incremental = verified.join(
+                new_ids.withColumnRenamed("conv_id", "conv_id_a"),
+                "conv_id_a",
+                "left_semi",
+            ).unionByName(
+                verified.join(
+                    new_ids.withColumnRenamed("conv_id", "conv_id_b"),
+                    "conv_id_b",
+                    "left_semi",
+                )
+            ).distinct()
+            incremental.write.mode("append").parquet(pairs_out)
+            batch_df.write.mode("append").parquet(store)
+        finally:
+            batch_df.unpersist()
+
+    writer = sigs.writeStream.foreachBatch(_process).outputMode("append").option(
+        "checkpointLocation", os.path.join(work_dir, "ckpt")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_exact_dedup(stream: DataFrame, cfg: DedupConfig | None = None,
                           watermark: str = "10 minutes") -> DataFrame:
     """Exact-dup suppression within the watermark horizon: first conversation

@@ -122,3 +122,51 @@ def test_streaming_exact_dedup_suppresses_clones(spark, timed_transcripts,
     assert len(got) > 0
     # one row per content hash
     assert not got.duplicated(["content_hash"]).any()
+
+
+def test_streaming_near_dup_pairs_match_batch(spark, timed_transcripts,
+                                              stream_input_dir, tmp_path):
+    """foreachBatch incremental LSH (pipe-mode index analog): accumulated
+    streamed pairs == batch-pipeline pairs over the closed conversations."""
+    import pandas as pd
+    from pcompress_spark.operators.candidates import candidate_pairs
+    from pcompress_spark.operators.verify import verify_pairs
+    from pcompress_spark.streaming.dedup_stream import start_near_dup_stream
+
+    batch_df = spark.createDataFrame(timed_transcripts)
+    sig_b = compute_signatures(assemble(batch_df), CFG)
+    cand_b, _ = candidate_pairs(sig_b, CFG)
+    pairs_b = verify_pairs(sig_b, cand_b, CFG).toPandas()
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_input_dir)
+    )
+    wd = str(tmp_path / "neardup_wd")
+    q = start_near_dup_stream(stream, wd, CFG, watermark="10 minutes")
+    q.awaitTermination(300)
+
+    closed = set(spark.read.parquet(f"{wd}/sig_store").toPandas()["conv_id"])
+    assert len(closed) > 0, "no conversations closed"
+    try:
+        got = spark.read.parquet(f"{wd}/pairs").toPandas()
+    except Exception:
+        got = pd.DataFrame(columns=["conv_id_a", "conv_id_b", "jaccard", "match_kind"])
+
+    want = pairs_b[pairs_b["conv_id_a"].isin(closed) & pairs_b["conv_id_b"].isin(closed)]
+    got_set = set(zip(got["conv_id_a"], got["conv_id_b"], got["match_kind"]))
+    want_set = set(zip(want["conv_id_a"], want["conv_id_b"], want["match_kind"]))
+    # near pairs must agree exactly; exact-star edges may differ in their
+    # deterministic representative when the batch saw a smaller min conv_id
+    # that had not yet closed in the stream — compare star MEMBERSHIP instead
+    assert {t for t in got_set if t[2] == "near"} == {t for t in want_set if t[2] == "near"}
+    def members(s):
+        out = set()
+        for a, b, k in s:
+            if k == "exact":
+                out.add(a); out.add(b)
+        return out
+    assert members(got_set) == members(want_set)
+    # each emitted pair appears exactly once across all micro-batches
+    assert len(got) == len(got.drop_duplicates(["conv_id_a", "conv_id_b"]))
