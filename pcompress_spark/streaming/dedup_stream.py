@@ -139,6 +139,53 @@ def stateful_assemble_signatures(
     )
 
 
+def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
+                      pairs_out: str, cfg: DedupConfig) -> None:
+    """foreachBatch body for start_near_dup_stream (module-level so replay
+    idempotence is directly testable). Writes are keyed by batch_id and
+    overwritten on replay; the store read EXCLUDES this batch's own subdir,
+    so a replayed batch joins against exactly the state it saw first."""
+    import os
+
+    from ..operators.candidates import candidate_pairs
+    from ..operators.verify import verify_pairs
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        if batch_df.count() == 0:
+            return
+        prior = [
+            os.path.join(store, d)
+            for d in (os.listdir(store) if os.path.isdir(store) else [])
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ]
+        all_sigs = (
+            batch_df.unionByName(spark.read.parquet(*prior)) if prior else batch_df
+        )
+        cand, _stats = candidate_pairs(all_sigs, cfg)
+        new_ids = batch_df.select("conv_id")
+
+        def touching_new(df: DataFrame) -> DataFrame:
+            return (
+                df.join(new_ids.withColumnRenamed("conv_id", "conv_id_a"),
+                        "conv_id_a", "left_semi")
+                .unionByName(
+                    df.join(new_ids.withColumnRenamed("conv_id", "conv_id_b"),
+                            "conv_id_b", "left_semi"))
+                .distinct()
+            )
+
+        verified = verify_pairs(all_sigs, touching_new(cand), cfg)
+        incremental = touching_new(verified)
+        incremental.write.mode("overwrite").parquet(
+            os.path.join(pairs_out, f"batch={batch_id}"))
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(store, f"batch={batch_id}"))
+    finally:
+        batch_df.unpersist()
+
+
 def start_near_dup_stream(
     stream: DataFrame,
     work_dir: str,
@@ -166,70 +213,26 @@ def start_near_dup_stream(
     under hot-bucket salting the cap is applied to incremental bucket sizes,
     so drops can differ from batch order (same recall bound, logged caps).
 
-    Layout under ``work_dir``: ``sig_store/`` (parquet, appended per batch),
-    ``pairs/`` (parquet, appended), ``ckpt/`` (streaming checkpoint).
-    Returns the started StreamingQuery.
+    Layout under ``work_dir``: ``sig_store/batch=N/`` and ``pairs/batch=N/``
+    (parquet, one subdir per micro-batch — foreachBatch is at-least-once, so
+    a replayed batch OVERWRITES its own subdir instead of double-appending;
+    same idempotent-resume rule as the batch pipeline's checkpoints),
+    ``ckpt/`` (streaming checkpoint). Returns the started StreamingQuery;
+    read results with ``spark.read.parquet(work_dir + "/pairs")`` (the
+    ``batch`` partition column records provenance).
     """
+    import functools
     import os
-
-    from ..operators.candidates import candidate_pairs
-    from ..operators.verify import verify_pairs
 
     cfg = cfg or DedupConfig()
     store = os.path.join(work_dir, "sig_store")
     pairs_out = os.path.join(work_dir, "pairs")
     sigs = signatures_stream(stream, cfg, watermark)
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        try:
-            if batch_df.count() == 0:
-                return
-            have_store = os.path.exists(os.path.join(store, "_SUCCESS")) or (
-                os.path.isdir(store)
-                and any(f.endswith(".parquet") for f in os.listdir(store))
-            )
-            all_sigs = (
-                batch_df.unionByName(spark.read.parquet(store))
-                if have_store
-                else batch_df
-            )
-            cand, _stats = candidate_pairs(all_sigs, cfg)
-            new_ids = batch_df.select("conv_id")
-            touches_new = (
-                cand.join(
-                    new_ids.withColumnRenamed("conv_id", "conv_id_a"),
-                    "conv_id_a",
-                    "left_semi",
-                )
-                .unionByName(
-                    cand.join(
-                        new_ids.withColumnRenamed("conv_id", "conv_id_b"),
-                        "conv_id_b",
-                        "left_semi",
-                    )
-                )
-                .distinct()
-            )
-            verified = verify_pairs(all_sigs, touches_new, cfg)
-            incremental = verified.join(
-                new_ids.withColumnRenamed("conv_id", "conv_id_a"),
-                "conv_id_a",
-                "left_semi",
-            ).unionByName(
-                verified.join(
-                    new_ids.withColumnRenamed("conv_id", "conv_id_b"),
-                    "conv_id_b",
-                    "left_semi",
-                )
-            ).distinct()
-            incremental.write.mode("append").parquet(pairs_out)
-            batch_df.write.mode("append").parquet(store)
-        finally:
-            batch_df.unpersist()
-
-    writer = sigs.writeStream.foreachBatch(_process).outputMode("append").option(
+    process = functools.partial(
+        _near_dup_process, store=store, pairs_out=pairs_out, cfg=cfg
+    )
+    writer = sigs.writeStream.foreachBatch(process).outputMode("append").option(
         "checkpointLocation", os.path.join(work_dir, "ckpt")
     )
     if trigger_available_now:

@@ -10,6 +10,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from pcompress_spark.config import DedupConfig
 from pcompress_spark.operators.assemble import assemble
@@ -170,3 +171,26 @@ def test_streaming_near_dup_pairs_match_batch(spark, timed_transcripts,
     assert members(got_set) == members(want_set)
     # each emitted pair appears exactly once across all micro-batches
     assert len(got) == len(got.drop_duplicates(["conv_id_a", "conv_id_b"]))
+
+
+def test_near_dup_process_replay_idempotent(spark, timed_transcripts, tmp_path):
+    """foreachBatch is at-least-once: replaying the same (batch_df, batch_id)
+    must leave store and pairs unchanged (batch-keyed overwrite)."""
+    from pcompress_spark.streaming.dedup_stream import _near_dup_process
+
+    batch_df = spark.createDataFrame(timed_transcripts)
+    sig = compute_signatures(assemble(batch_df), CFG)
+    half = sig.where(F.hash("conv_id") % 2 == 0)
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    _near_dup_process(half, 0, store=store, pairs_out=pairs, cfg=CFG)
+    _near_dup_process(sig.subtract(half), 1, store=store, pairs_out=pairs, cfg=CFG)
+    p1 = spark.read.parquet(pairs).toPandas().sort_values(
+        ["conv_id_a", "conv_id_b"]).reset_index(drop=True)
+    n_store1 = spark.read.parquet(store).count()
+    # replay batch 1 (simulated failure after commit-to-sink, before ckpt)
+    _near_dup_process(sig.subtract(half), 1, store=store, pairs_out=pairs, cfg=CFG)
+    p2 = spark.read.parquet(pairs).toPandas().sort_values(
+        ["conv_id_a", "conv_id_b"]).reset_index(drop=True)
+    assert n_store1 == spark.read.parquet(store).count()
+    assert p1[["conv_id_a", "conv_id_b", "match_kind"]].equals(
+        p2[["conv_id_a", "conv_id_b", "match_kind"]])
