@@ -63,3 +63,25 @@ def test_run_pipeline_script_end_to_end(tmp_path, smoke_data):
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["clusters_rows"] > 0
     assert os.path.exists(tmp_path / "out" / "clusters")
+
+
+def test_bench_emits_one_json_line(tmp_path):
+    """Driver contract: bench.py prints exactly one parseable JSON line with
+    the agreed keys (smoke scale so the test stays fast)."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_DRIVER_MEM="4g",
+        SPARK_GRAFT_BENCH_RUNS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    for key in ("metric", "value", "unit", "queries", "sf", "turns_per_sec"):
+        assert key in res, key
+    assert res["unit"] == "sec" and res["value"] > 0
+    assert "dedup_pipeline" in res["queries"]
