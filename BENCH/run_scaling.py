@@ -105,8 +105,9 @@ Generated {stamp} by BENCH/run_scaling.py.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({f"t{n_lo}": ta, f"t{n_hi}": tb, "efficiency": round(eff, 3),
-                      "t8_supp": t8b, "t32": t32,
+    print(json.dumps({"t_lo": ta, "t_hi": tb, "n_lo": n_lo, "n_hi": n_hi,
+                      "efficiency": round(eff, 3),
+                      "t8_supp": t8b, "t32_supp": t32,
                       "efficiency_supp": round(eff_supp, 3)}))
 
 

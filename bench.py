@@ -65,7 +65,7 @@ def main() -> None:
     n_turns = tdf.count()
     attempts = []
     n_clusters = 0
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))):
+    for _ in range(max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))):
         wd = tempfile.mkdtemp(prefix="pcompress_bench_")
         t0 = time.monotonic()
         res = DedupPipeline(spark, DedupConfig(), work_dir=wd).run(tdf)

@@ -68,17 +68,25 @@ def band_explode(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def bucket_members(banded: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+def bucket_members(
+    banded: DataFrame, cfg: DedupConfig, persist_sizes: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """-> (buckets, bucket_stats).
 
     buckets: (band_idx, band_hash, ids sorted array, capped)
     bucket_stats: per-bucket raw size / kept size for the metrics table.
+
+    persist_sizes: cache the bucket-size frame, which the batch pipeline
+    consumes twice (hot-bucket broadcast + stats collect). Pass False from
+    repeated callers that ignore stats (e.g. the per-micro-batch streaming
+    path) — Spark's cache holds strong references, so per-batch persists
+    would accumulate for the life of a stream.
     """
-    # persisted: consumed by the hot-bucket broadcast, the bucket build, and
-    # the stats aggregate — one materialization instead of three band scans
     sizes = banded.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("raw_size")
-    ).persist()
+    )
+    if persist_sizes:
+        sizes = sizes.persist()
     hot = sizes.where(F.col("raw_size") > cfg.bucket_cap)
     salted = (
         banded.join(F.broadcast(hot), ["band_idx", "band_hash"], "left")
@@ -108,10 +116,12 @@ def bucket_members(banded: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, Data
     return buckets, stats
 
 
-def candidate_pairs(sig: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+def candidate_pairs(
+    sig: DataFrame, cfg: DedupConfig, persist_sizes: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """signatures -> ((conv_id_a, conv_id_b, n_bands) with a < b, stats)."""
     banded = band_explode(sig, cfg)
-    buckets, stats = bucket_members(banded, cfg)
+    buckets, stats = bucket_members(banded, cfg, persist_sizes=persist_sizes)
     pairs = buckets.select(
         F.explode(
             F.expr(

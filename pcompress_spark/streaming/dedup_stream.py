@@ -75,7 +75,9 @@ def stateful_assemble_signatures(
     one conversation's turns — bounded and sharded across executors by the
     state store.
 
-    Emits (conv_id, n_turns, n_tokens, content_hash, simhash).
+    Emits the FULL batch signature schema (operators/signatures.py
+    SIGNATURE_SCHEMA), so downstream batch operators (LSH candidates,
+    verify) run unchanged on the stream's output.
     """
     import numpy as np
     import pandas as pd
@@ -83,27 +85,44 @@ def stateful_assemble_signatures(
 
     cfg = cfg or DedupConfig()
     gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
-    out_schema = ("conv_id string, n_turns long, n_tokens long, "
-                  "content_hash string, simhash long")
+    out_schema = (
+        "conv_id string, id_hash long, n_turns long, n_tokens long, "
+        "content_hash string, shingles array<long>, minhash array<long>, "
+        "simhash long, win_hashes array<long>, win_positions array<long>"
+    )
+    _cols = ["conv_id", "id_hash", "n_turns", "n_tokens", "content_hash",
+             "shingles", "minhash", "simhash", "win_hashes", "win_positions"]
     state_schema = "turn_idxs array<int>, texts array<string>, max_ts long"
 
     def assemble_fn(key, pdf_iter, state: GroupState):
-        from pcompress_spark.kernels import signatures_for_texts
+        from pcompress_spark.kernels import hash_tokens, signatures_for_texts
         from pcompress_spark.operators.assemble import TURN_SEP
 
         if state.hasTimedOut:
             turn_idxs, texts, _ = state.get
-            order = np.argsort(np.asarray(turn_idxs), kind="stable")
-            doc = TURN_SEP.join("" if texts[i] is None else texts[i] for i in order)
+            texts = ["" if t is None else t for t in texts]
+            # (turn_idx, text) ordering — same tie-break as batch assemble's
+            # array_sort(struct(turn_idx, text)) for duplicate turn_idx rows
+            order = sorted(range(len(texts)), key=lambda i: (turn_idxs[i], texts[i]))
+            doc = TURN_SEP.join(texts[i] for i in order)
             sig = signatures_for_texts(pd.Series([doc]), cfg)
+            if "win_hashes" not in sig.columns:
+                sig["win_hashes"] = [[]]
+                sig["win_positions"] = [[]]
             state.remove()
             yield pd.DataFrame(
                 {
                     "conv_id": [key[0]],
+                    "id_hash": [int(hash_tokens(
+                        np.asarray([key[0]], dtype=np.str_)).view(np.int64)[0])],
                     "n_turns": [len(turn_idxs)],
                     "n_tokens": [int(sig.loc[0, "n_tokens"])],
                     "content_hash": [sig.loc[0, "content_hash"]],
+                    "shingles": [np.asarray(sig.loc[0, "shingles"], dtype=np.int64)],
+                    "minhash": [np.asarray(sig.loc[0, "minhash"], dtype=np.int64)],
                     "simhash": [int(sig.loc[0, "simhash"])],
+                    "win_hashes": [np.asarray(sig.loc[0, "win_hashes"], dtype=np.int64)],
+                    "win_positions": [np.asarray(sig.loc[0, "win_positions"], dtype=np.int64)],
                 }
             )
             return
@@ -122,9 +141,7 @@ def stateful_assemble_signatures(
         # clamp so the resurrected conversation closes at the next trigger
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(max_ts + gap_ms, wm + 1))
-        yield pd.DataFrame(
-            columns=["conv_id", "n_turns", "n_tokens", "content_hash", "simhash"]
-        )
+        yield pd.DataFrame(columns=_cols)
 
     return (
         stream.withWatermark("ts", gap)
@@ -144,7 +161,10 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
     """foreachBatch body for start_near_dup_stream (module-level so replay
     idempotence is directly testable). Writes are keyed by batch_id and
     overwritten on replay; the store read EXCLUDES this batch's own subdir,
-    so a replayed batch joins against exactly the state it saw first."""
+    so a replayed batch joins against exactly the state it saw first.
+    Store discovery goes through the Hadoop FileSystem API so work_dir may
+    live on HDFS/S3 (the spark-submit deployment target), not only the
+    driver's local disk."""
     import os
 
     from ..operators.candidates import candidate_pairs
@@ -155,15 +175,22 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
     try:
         if batch_df.count() == 0:
             return
-        prior = [
-            os.path.join(store, d)
-            for d in (os.listdir(store) if os.path.isdir(store) else [])
-            if d.startswith("batch=") and d != f"batch={batch_id}"
-        ]
+        jvm = spark._jvm
+        store_path = jvm.org.apache.hadoop.fs.Path(store)
+        fs = store_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        prior = []
+        if fs.exists(store_path):
+            for status in fs.listStatus(store_path):
+                name = status.getPath().getName()
+                if name.startswith("batch=") and name != f"batch={batch_id}":
+                    prior.append(str(status.getPath()))
         all_sigs = (
             batch_df.unionByName(spark.read.parquet(*prior)) if prior else batch_df
         )
-        cand, _stats = candidate_pairs(all_sigs, cfg)
+        # persist_sizes=False: stats aren't collected here, so the bucket-
+        # size frame is consumed once (hot-bucket broadcast) — persisting it
+        # per micro-batch would leak cache entries over a long-running stream
+        cand, _stats = candidate_pairs(all_sigs, cfg, persist_sizes=False)
         new_ids = batch_df.select("conv_id")
 
         def touching_new(df: DataFrame) -> DataFrame:
@@ -204,14 +231,18 @@ def start_near_dup_stream(
     seen so far (/root/reference/rabin/global/index.c:140-151, first
     occurrence wins /root/reference/rabin/global/index.c:485-558).
 
-    Per micro-batch: LSH candidates + verification run over store ∪ batch
-    with the SAME batch operators (candidate_pairs / verify_pairs), then
-    only pairs touching a conversation from this batch are appended — a
-    pair is emitted exactly once, when its later endpoint arrives. With no
-    hot buckets the accumulated pair set equals the batch pipeline's pairs
-    over the same closed conversations (deterministic kernels end to end);
-    under hot-bucket salting the cap is applied to incremental bucket sizes,
-    so drops can differ from batch order (same recall bound, logged caps).
+    Conversations are closed by the stateful sessionizer
+    (stateful_assemble_signatures: event-time quiescence, never split
+    mid-stream), so each conv_id emits exactly ONE full signature row —
+    window-straddling fragments cannot occur. Per micro-batch: LSH
+    candidates + verification run over store ∪ batch with the SAME batch
+    operators (candidate_pairs / verify_pairs), then only pairs touching a
+    conversation from this batch are appended — a pair is emitted exactly
+    once, when its later endpoint arrives. With no hot buckets the
+    accumulated pair set equals the batch pipeline's pairs over the same
+    closed conversations (deterministic kernels end to end); under
+    hot-bucket salting the cap is applied to incremental bucket sizes, so
+    drops can differ from batch order (same recall bound, logged caps).
 
     Layout under ``work_dir``: ``sig_store/batch=N/`` and ``pairs/batch=N/``
     (parquet, one subdir per micro-batch — foreachBatch is at-least-once, so
@@ -227,7 +258,7 @@ def start_near_dup_stream(
     cfg = cfg or DedupConfig()
     store = os.path.join(work_dir, "sig_store")
     pairs_out = os.path.join(work_dir, "pairs")
-    sigs = signatures_stream(stream, cfg, watermark)
+    sigs = stateful_assemble_signatures(stream, cfg, gap=watermark)
 
     process = functools.partial(
         _near_dup_process, store=store, pairs_out=pairs_out, cfg=cfg

@@ -106,6 +106,9 @@ def test_stateful_assemble_signatures(spark, timed_transcripts,
         assert batch_sig.at[r.conv_id, "content_hash"] == r.content_hash, r.conv_id
         assert int(batch_sig.at[r.conv_id, "simhash"]) == r.simhash, r.conv_id
         assert int(batch_sig.at[r.conv_id, "n_tokens"]) == r.n_tokens, r.conv_id
+        assert int(batch_sig.at[r.conv_id, "id_hash"]) == r.id_hash, r.conv_id
+        assert list(batch_sig.at[r.conv_id, "minhash"]) == list(r.minhash), r.conv_id
+        assert list(batch_sig.at[r.conv_id, "shingles"]) == list(r.shingles), r.conv_id
     # most conversations should have closed (all but the trailing horizon)
     assert len(got) >= 0.7 * len(batch_sig)
 
@@ -146,7 +149,7 @@ def test_streaming_near_dup_pairs_match_batch(spark, timed_transcripts,
     )
     wd = str(tmp_path / "neardup_wd")
     q = start_near_dup_stream(stream, wd, CFG, watermark="10 minutes")
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "near-dup stream did not finish in time"
 
     closed = set(spark.read.parquet(f"{wd}/sig_store").toPandas()["conv_id"])
     assert len(closed) > 0, "no conversations closed"

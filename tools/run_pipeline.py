@@ -41,8 +41,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="'iceberg'/'table' read via spark.read.table(name)")
     ap.add_argument("--work-dir", required=True, help="checkpoint/resume dir")
     ap.add_argument("--output", default=None, help="optional final output dir")
-    ap.add_argument("--master", default=None,
-                    help="override master (default: whatever spark-submit set)")
+    ap.add_argument("--master", default="inherit",
+                    help="override master; default 'inherit' leaves spark.master "
+                         "to spark-submit (use --master 'local[8]' for direct "
+                         "python runs)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--config-json", default=None,
                     help="JSON dict of DedupConfig field overrides")
