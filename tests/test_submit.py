@@ -85,3 +85,27 @@ def test_bench_emits_one_json_line(tmp_path):
         assert key in res, key
     assert res["unit"] == "sec" and res["value"] > 0
     assert "dedup_pipeline" in res["queries"]
+
+
+def test_get_spark_inherit_honors_launcher_master(tmp_path):
+    """master='inherit' must leave spark.master to the launcher. Simulate a
+    spark-submit-style launch by passing --master through the gateway args
+    (exactly how the launcher hands it to the JVM) and assert the inherited
+    value survives instead of being overridden to local[SPARK_GRAFT_CPUS]."""
+    probe = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "from pcompress_spark.session import get_spark\n"
+        "s = get_spark(master='inherit')\n"
+        "m = s.sparkContext.master\n"
+        "assert m == 'local[3]', f'launcher master overridden: {m}'\n"
+        "print('INHERIT_OK')\n"
+    )
+    env = dict(os.environ,
+               PYSPARK_SUBMIT_ARGS="--master local[3] pyspark-shell",
+               SPARK_GRAFT_CPUS="2", SPARK_GRAFT_DRIVER_MEM="2g")
+    out = subprocess.run(
+        [sys.executable, "-c", probe, REPO],
+        capture_output=True, text=True, timeout=180, cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
+    assert "INHERIT_OK" in out.stdout
