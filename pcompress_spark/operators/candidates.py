@@ -41,11 +41,22 @@ from pyspark.sql import functions as F
 from ..config import DedupConfig
 
 
-def band_explode(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
+def band_explode(
+    sig: DataFrame, cfg: DedupConfig, band_range: tuple[int, int] | None = None
+) -> DataFrame:
     """signatures -> (conv_id, id_hash, band_idx, band_hash); docs below the
     shingle floor (empty shingle set) take the exact-hash path only, exactly
     like the reference's trailing-block handling
-    (/root/reference/rabin/rabin_dedup.c:717-757)."""
+    (/root/reference/rabin/rabin_dedup.c:717-757).
+
+    band_range=(lo, hi) explodes only bands lo..hi-1 — the knob for running
+    banding as several sequential passes when the full
+    n_convs x bands exploded shuffle must be bounded in-flight at extreme
+    scale (buckets are independent across bands, so pass-splitting is
+    semantics-preserving: union the per-pass pairs and sum n_bands)."""
+    lo, hi = band_range if band_range is not None else (0, cfg.bands)
+    if not (0 <= lo < hi <= cfg.bands):
+        raise ValueError(f"band_range {band_range} outside [0, {cfg.bands})")
     r = cfg.rows
     # n_tokens >= k  <=>  non-empty shingle set (shingle count per doc is
     # max(n_tokens - (k-1), 0) before distinct; kernels.shingle_hashes_flat).
@@ -58,7 +69,7 @@ def band_explode(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
             "id_hash",
             F.explode(
                 F.expr(
-                    f"transform(sequence(0, {cfg.bands - 1}), b -> "
+                    f"transform(sequence({lo}, {hi - 1}), b -> "
                     f"struct(b as band_idx, "
                     f"xxhash64(b, slice(minhash, b * {r} + 1, {r})) as band_hash))"
                 )

@@ -110,3 +110,30 @@ def test_substring_matches_oracle(spark, engine_sig, oracle_result):
     orc = set(zip(oracle_result.substring_pairs["conv_id_a"],
                   oracle_result.substring_pairs["conv_id_b"]))
     assert eng == orc
+
+
+def test_band_pass_splitting_is_semantics_preserving(spark, engine_sig):
+    """band_range sequential passes (the bounded-shuffle knob for extreme
+    scale) must reproduce the single-pass candidate set and n_bands counts
+    exactly: buckets are independent across bands."""
+    import pandas as pd
+    from pcompress_spark.operators.candidates import band_explode, bucket_members
+    from pyspark.sql import functions as F
+
+    whole, _ = candidate_pairs(engine_sig, CFG)
+    whole = whole.toPandas().set_index(["conv_id_a", "conv_id_b"]).sort_index()
+
+    step = CFG.bands // 4
+    parts = []
+    for lo in range(0, CFG.bands, step):
+        banded = band_explode(engine_sig, CFG, band_range=(lo, lo + step))
+        buckets, _ = bucket_members(banded, CFG, persist_sizes=False)
+        pairs = buckets.select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x as conv_id_a, y as conv_id_b))))")).alias("p")
+        ).select("p.conv_id_a", "p.conv_id_b")
+        parts.append(pairs.groupBy("conv_id_a", "conv_id_b").agg(
+            F.count(F.lit(1)).cast("int").alias("n_bands")).toPandas())
+    merged = (pd.concat(parts).groupby(["conv_id_a", "conv_id_b"])["n_bands"]
+              .sum().astype("int32").to_frame().sort_index())
+    assert merged["n_bands"].to_dict() == whole["n_bands"].to_dict()
