@@ -7,9 +7,10 @@ Prints ONE JSON line:
 
 The flagship measurement is the full transcript near-dup pipeline
 (assemble -> signatures -> LSH -> verify -> CC) on a deterministic synthetic
-corpus sized by SPARK_GRAFT_BENCH_CONVS (default 20000 conversations,
-~450k turns) — fresh work_dir every run so checkpoint resume can never fake
-the number. Scaling-efficiency evidence (local[8] vs local[32]) is produced
+corpus sized by SPARK_GRAFT_BENCH_CONVS (default 160000 conversations,
+~3.3M turns — the same corpus as BENCH/BASELINE.md, large enough that
+per-stage constants don't dominate) — fresh work_dir every run so
+checkpoint resume can never fake the number. Scaling-efficiency evidence (local[8] vs local[32]) is produced
 by BENCH/run_scaling.py from this same script.
 """
 
@@ -26,7 +27,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_conv = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+    n_conv = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "160000"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pcompress_spark.config import DedupConfig

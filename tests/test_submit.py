@@ -74,6 +74,7 @@ def test_bench_emits_one_json_line(tmp_path):
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_DRIVER_MEM="4g",
         SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_BENCH_CONVS="200",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
