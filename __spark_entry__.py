@@ -169,6 +169,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk_lsh"] = ann_topk_lsh
     q["ann_topk_ivf"] = ann_topk_ivf
 
+    # ---- multimodal plumbing (binary payload -> feature vector, stubbed
+    # decode; deterministic synthetic media, independent of sf_dir) ----
+    def multimodal_features(spark, sf_dir):
+        from pcompress_spark.functions.multimodal import extract_features, synthetic_media
+        feats = extract_features(synthetic_media(spark, n=64, seed=42), decode_stub=True)
+        return feats.select(
+            "media_id", "kind", "payload_sha_like",
+            F.round(F.element_at("feature", 1), 6).alias("feat_0"),
+            F.size("feature").cast("long").alias("feat_dim"),
+        )
+
+    q["multimodal_features"] = multimodal_features
+
     # ---- relational (SURVEY §2: S1, A1-A3, J3/J5 patterns) ----
     q["q1_pricing_summary"] = relational.q1_pricing_summary
     q["q3_top_orders"] = relational.q3_top_orders
