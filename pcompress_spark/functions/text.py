@@ -152,7 +152,8 @@ def content_census(docs: DataFrame) -> DataFrame:
 _FP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("fingerprint", T.ArrayType(T.LongType()), False),
+        T.StructField("rank", T.LongType(), False),
+        T.StructField("fp", T.LongType(), False),
     ]
 )
 
@@ -161,7 +162,13 @@ def doc_fingerprints(docs: DataFrame, k: int = 5, keep: int = 16) -> DataFrame:
     """Winnowing-style document fingerprint: the ``keep`` smallest k-gram
     rolling hashes (shared kernels) — a bottom-k sketch usable as a compact
     near-dup key. Reference analog: the K-min-values block sketch
-    (/root/reference/rabin/rabin_dedup.c:684-706)."""
+    (/root/reference/rabin/rabin_dedup.c:684-706).
+
+    Emitted as scalar rows (doc_id, rank, fp) with rank 1..keep in unsigned
+    ascending fp order — array columns break order-insensitive result
+    canonicalization downstream, scalar rows are the exchange format.
+    Docs with fewer than ``keep`` distinct shingles emit fewer rows; empty
+    docs emit none."""
     from ..config import DedupConfig
     from ..kernels import signatures_for_texts, trim_after
 
@@ -170,10 +177,20 @@ def doc_fingerprints(docs: DataFrame, k: int = 5, keep: int = 16) -> DataFrame:
     def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sig = signatures_for_texts(pdf["text"], cfg)
-            fps = [
-                np.sort(np.asarray(s, dtype=np.int64).view(np.uint64))[:keep].view(np.int64)
-                for s in sig["shingles"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "fingerprint": fps})
+            ids, ranks, fps = [], [], []
+            for doc_id, s in zip(pdf["doc_id"].values, sig["shingles"]):
+                # shingles are sorted ascending as uint64 already (np.unique
+                # on the uint64 view) — the bottom-k IS the prefix
+                bot = np.asarray(s, dtype=np.int64)[:keep]
+                ids.extend([doc_id] * len(bot))
+                ranks.extend(range(1, len(bot) + 1))
+                fps.extend(bot)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "rank": np.asarray(ranks, dtype=np.int64),
+                    "fp": np.asarray(fps, dtype=np.int64),
+                }
+            )
 
     return docs.select("doc_id", "text").mapInPandas(trim_after(_fp), schema=_FP_SCHEMA)
