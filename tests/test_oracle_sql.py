@@ -1,0 +1,209 @@
+"""oracle_sql (DuckDB) vs kernels (numpy) — exact parity of the SQL twins.
+
+Every fragment in pcompress_spark/oracle_sql.py must reproduce the shared
+kernels bit-for-bit; these tests are the foundation the driver-facing
+oracle strings in __spark_entry__ stand on."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pcompress_spark import datagen, kernels, oracle
+from pcompress_spark import oracle_sql as osql
+from pcompress_spark.config import DedupConfig
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def docs() -> pd.DataFrame:
+    data = datagen.generate(seed=7, n_conv=40, dup_frac=0.4)
+    asm = oracle.assemble(data.transcripts)
+    rows = list(zip(asm["conv_id"], asm["doc_text"]))
+    rows += [
+        ("edge_empty", ""),
+        ("edge_space", "   \t\n "),
+        ("edge_one", "single"),
+        ("edge_longtok", "x" * 200 + " " + "y" * 63 + " done"),
+        ("edge_uni", "héllo wörld ünïcode 123 héllo wörld again and again"),
+        ("edge_rep", ("the quick brown fox jumps over the lazy dog " * 12)),
+    ]
+    return pd.DataFrame(rows, columns=["sid", "text"])
+
+
+@pytest.fixture(scope="module")
+def con(docs):
+    c = duckdb.connect()
+    c.execute(osql.PRELUDE)
+    c.register("docs", docs)
+    return c
+
+
+@pytest.fixture(scope="module")
+def ksig(docs):
+    return kernels.signatures_for_texts(docs["text"], CFG)
+
+
+def _by_sid(rows):
+    return {r[0]: r[1] for r in rows}
+
+
+def test_token_hashes_match(con, docs):
+    got = _by_sid(con.sql(f"""
+        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')}
+        SELECT sid, th FROM tth""").fetchall())
+    for sid, text in zip(docs["sid"], docs["text"]):
+        want = kernels.tokens_to_hashes(text, CFG.max_token_chars)
+        if len(want) == 0:
+            assert sid not in got
+        else:
+            assert [int(x) for x in got[sid]] == [int(x) for x in want], sid
+
+
+def test_id_hash_matches(con, docs):
+    got = _by_sid(con.sql(f"""
+        WITH ids AS (SELECT sid, fnv_raw(left(sid, 64)) AS f0 FROM docs),
+        {osql.staged_smix('i', 'ids', ['sid'], 'f0', 'idh')}
+        SELECT sid, idh FROM is3""").fetchall())
+    want = kernels.hash_tokens(docs["sid"].to_numpy(dtype=np.str_))
+    for sid, w in zip(docs["sid"], want):
+        assert int(got[sid]) == int(w), sid
+
+
+def test_shingles_match(con, docs, ksig):
+    res = con.sql(f"""
+        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')},
+        {osql.shingle_ctes('t', 'tth', CFG.shingle_k)}
+        SELECT sid, shp, sh FROM tshp JOIN tsh USING (sid)""").fetchall()
+    got_p = {r[0]: r[1] for r in res}
+    got_d = {r[0]: r[2] for r in res}
+    for i, sid in enumerate(docs["sid"]):
+        want_d = np.asarray(ksig.loc[i, "shingles"], dtype=np.int64).view(np.uint64)
+        if len(want_d) == 0:
+            assert sid not in got_d
+            continue
+        assert [int(x) for x in got_d[sid]] == [int(x) for x in want_d], sid
+        th = kernels.tokens_to_hashes(docs["text"].iloc[i], CFG.max_token_chars)
+        want_p = kernels.shingle_hashes(th, CFG.shingle_k)
+        assert [int(x) for x in got_p[sid]] == [int(x) for x in want_p], sid
+
+
+def test_minhash_oph_matches(con, docs, ksig):
+    got = _by_sid(con.sql(f"""
+        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')},
+        {osql.shingle_ctes('t', 'tth', CFG.shingle_k)},
+        {osql.minhash_ctes('m', 'tsh', CFG.num_perm, CFG.seed)}
+        SELECT sid, mh FROM mmh""").fetchall())
+    for i, sid in enumerate(docs["sid"]):
+        want = np.asarray(ksig.loc[i, "minhash"], dtype=np.int64).view(np.uint64)
+        if len(np.asarray(ksig.loc[i, "shingles"])) == 0:
+            assert sid not in got  # engine band-path excludes these too
+            continue
+        assert [int(x) for x in got[sid]] == [int(x) for x in want], sid
+
+
+def test_simhash_matches(con, docs, ksig):
+    got = _by_sid(con.sql(f"""
+        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')},
+        {osql.shingle_ctes('t', 'tth', CFG.shingle_k)},
+        {osql.simhash_ctes('x', 'tsh', CFG.simhash_sample)}
+        SELECT sid, simh FROM xsimh""").fetchall())
+    for i, sid in enumerate(docs["sid"]):
+        want = int(np.int64(ksig.loc[i, "simhash"]).view(np.uint64))
+        if len(np.asarray(ksig.loc[i, "shingles"])) == 0:
+            assert sid not in got
+            continue
+        assert int(got[sid]) == want, sid
+
+
+def test_simhash_sample_cap(con):
+    """A doc with > sample_cap distinct shingles votes with the bottom-k
+    prefix only — same content-stable sample as the kernel."""
+    text = " ".join(f"tok{i} alpha beta gamma delta" for i in range(400))
+    pdf = pd.DataFrame({"sid": ["big"], "text": [text]})
+    sig = kernels.signatures_for_texts(pdf["text"], CFG)
+    assert len(sig.loc[0, "shingles"]) > CFG.simhash_sample
+    c = duckdb.connect()
+    c.execute(osql.PRELUDE)
+    c.register("bigdocs", pdf)
+    got = c.sql(f"""
+        WITH {osql.token_hash_ctes('t', 'bigdocs', 'sid', 'text')},
+        {osql.shingle_ctes('t', 'tth', CFG.shingle_k)},
+        {osql.simhash_ctes('x', 'tsh', CFG.simhash_sample)}
+        SELECT simh FROM xsimh""").fetchone()[0]
+    assert int(got) == int(np.int64(sig.loc[0, "simhash"]).view(np.uint64))
+
+
+def test_window_fingerprints_match(con, docs, ksig):
+    got = con.sql(f"""
+        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')},
+        {osql.shingle_ctes('t', 'tth', CFG.shingle_k)},
+        {osql.window_ctes('w', 'tshp', CFG.shingle_k, CFG.substring_window,
+                          CFG.substring_stride)}
+        SELECT sid, list(wh) FROM wwin GROUP BY sid""").fetchall()
+    got = _by_sid(got)
+    for i, sid in enumerate(docs["sid"]):
+        want = set(
+            int(x) for x in np.asarray(ksig.loc[i, "win_hashes"],
+                                       dtype=np.int64).view(np.uint64)
+        )
+        if not want:
+            assert sid not in got
+            continue
+        assert set(int(x) for x in got[sid]) == want, sid
+
+
+def test_prefix_hashes_and_lcs_match(con, docs):
+    res = con.sql(f"""
+        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')},
+        {osql.prefix_hash_ctes('p', 'tth')}
+        SELECT sid, n, pref FROM ppref""").fetchall()
+    pref_by_sid = {r[0]: (r[1], r[2]) for r in res}
+    texts = dict(zip(docs["sid"], docs["text"]))
+    for sid, (n, pref) in list(pref_by_sid.items())[:20]:
+        th = kernels.tokens_to_hashes(texts[sid], CFG.max_token_chars)
+        want = kernels._prefix_hashes(th)
+        assert n == len(th)
+        assert [int(x) for x in pref] == [int(x) for x in want], sid
+    # window-hash reconstruction: h[i..i+L) = pref[i+L] - pref[i]*GOLD^L
+    sid = max(pref_by_sid, key=lambda s: pref_by_sid[s][0])
+    th = kernels.tokens_to_hashes(texts[sid], CFG.max_token_chars)
+    L = min(7, len(th))
+    powL = np.uint64(pow(osql.GOLD, L, 1 << 64))
+    want_wh = kernels._window_hash_all(th, L, powL, kernels._prefix_hashes(th))
+    got_wh = con.sql(f"""
+        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')},
+        {osql.prefix_hash_ctes('p', 'tth')}
+        SELECT list_transform(range(1, n - {L} + 2),
+                              i -> submod(pref[i + {L}],
+                                          mulmod(pref[i], {pow(osql.GOLD, L, 1 << 64)}::HUGEINT)))
+        FROM ppref WHERE sid = '{sid}'""").fetchone()[0]
+    assert [int(x) for x in got_wh] == [int(x) for x in want_wh]
+
+
+def test_empty_token_hash_sentinel(con):
+    """kernels.hash_tokens of an empty token = splitmix64(FNV_OFFSET)."""
+    got = con.sql("SELECT smix(fnv_raw(''))").fetchone()[0]
+    want = int(kernels.splitmix64(np.uint64(osql.FNV_OFFSET)))
+    assert int(got) == want
+
+
+def test_python_splitmix_constant_twin():
+    for v in [0, 1, 0xE0F1, 2**63, 2**64 - 1]:
+        assert osql.splitmix64_int(v) == int(kernels.splitmix64(np.uint64(v)))
+
+
+def test_xxh64_long_matches_spark(spark, con):
+    from pyspark.sql import functions as F
+
+    vals = [0, 1, -1, 42, 2**62, -(2**62), 123456789, -987654321]
+    sdf = spark.createDataFrame([(v,) for v in vals], "v long")
+    want = {r["v"]: r["h"] for r in
+            sdf.select("v", F.xxhash64("v").alias("h")).collect()}
+    got = con.sql(f"""
+        WITH vals AS (SELECT unnest({vals}) AS v),
+        {osql.xxh64_long_ctes('x', 'vals', ['v'], 'v', 'xh')}
+        SELECT v, tobig(xh) FROM xx5""").fetchall()
+    for v, h in got:
+        assert int(h) == want[v], v
