@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import DedupConfig
-from ..kernels import signatures_for_texts, trim_after
+from ..kernels import signatures_for_texts, splitmix64, trim_after
 from .text import norm_words
 
 
@@ -96,6 +96,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> 
 _DOCSIG_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
+        T.StructField("id_hash", T.LongType(), False),
         T.StructField("shingles", T.ArrayType(T.LongType()), False),
         T.StructField("minhash", T.ArrayType(T.LongType()), False),
         T.StructField("simhash", T.LongType(), False),
@@ -104,14 +105,18 @@ _DOCSIG_SCHEMA = T.StructType(
 
 
 def doc_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """MinHash/SimHash signatures for a documents table (shared kernels)."""
+    """MinHash/SimHash signatures for a documents table (shared kernels).
+    id_hash = splitmix64(doc_id): the deterministic salting hash for
+    hot-bucket sampling (same role as the transcript pipeline's id_hash)."""
 
     def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sig = signatures_for_texts(pdf["text"], cfg)
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].values,
+                    "doc_id": ids,
+                    "id_hash": splitmix64(ids.view(np.uint64)).view(np.int64),
                     "shingles": sig["shingles"].values,
                     "minhash": sig["minhash"].values,
                     "simhash": sig["simhash"].values,
@@ -122,87 +127,112 @@ def doc_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, cfg: DedupConfig | None = None, threshold: float = 0.3
-) -> DataFrame:
+    docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    threshold: float = 0.3,
+    with_stats: bool = False,
+):
     """MinHash+LSH near-dup pairs with exact shingle-Jaccard verify.
     The scale path: shuffles only (band_idx, band_hash) buckets — never the
-    quadratic pair space. Same LSH geometry as the transcript engine."""
+    quadratic pair space. Same LSH geometry as the transcript engine, and
+    the SAME shared salted/capped/LOGGED bucket implementation
+    (operators.candidates.bucket_members — no silent caps): hot buckets are
+    deterministically sampled by splitmix64(doc_id), truncated to
+    bucket_cap in doc_id order, and the drop counts surface in the stats
+    frame (returned when with_stats=True)."""
+    from ..operators.candidates import bucket_members, bucket_pairs
+
     cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
                              jaccard_threshold=threshold)
     sig = doc_signatures(docs, cfg)
     r = cfg.rows
     banded = sig.where(F.size("shingles") > 0).select(
         "doc_id",
+        "id_hash",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {cfg.bands - 1}), b -> "
                 f"struct(b as band_idx, xxhash64(b, slice(minhash, b * {r} + 1, {r})) as band_hash))"
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, cfg.bucket_cap).alias("ids"))
-        .where(F.size("ids") >= 2)
+    ).select("doc_id", "id_hash", "band.band_idx", "band.band_hash")
+    buckets, stats = bucket_members(
+        banded, cfg, id_col="doc_id", salt_col="id_hash", persist_sizes=with_stats
     )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x as doc_id_a, y as doc_id_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_id_a", "p.doc_id_b")
-        .distinct()
-    )
+    cand = bucket_pairs(buckets, "doc_id_a", "doc_id_b").distinct()
     a = sig.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
-    return (
+    pairs = (
         cand.join(a, "doc_id_a").join(b, "doc_id_b")
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    return (pairs, stats) if with_stats else pairs
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
-                  cfg: DedupConfig | None = None) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
+                  cfg: DedupConfig | None = None,
+                  with_stats: bool = False):
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Candidate generation: split the 64-bit fingerprint into 8 contiguous
-    8-bit bands; by pigeonhole any pair within Hamming distance <= 7 shares
-    at least one exact band (>= ceil(64/(d+1))-bit guarantee); verify with
-    exact popcount. Scale: shuffles (band_idx, band_value) buckets only —
-    the J2 theta-join re-expressed as hash-equality + residual."""
+    Candidate generation — multi-index segment PAIRS: split the 64-bit
+    fingerprint into 8 contiguous 8-bit segments and index every pair of
+    segments (i < j) as one 16-bit key, 28 keys per doc. Pigeonhole: at
+    Hamming distance d <= 6, at most 6 of the 8 segments differ, so at
+    least TWO are clean and their pair key matches exactly. Verify with
+    exact popcount.
+
+    Scale rationale: single 8-bit segments give only 256 bucket values per
+    band — at 1B docs that is ~4M members per bucket and a quadratic
+    within-bucket join. 16-bit pair keys give a 65536-value keyspace per
+    band, and the shared bucket_members path salts + caps + LOGS anything
+    still hot (reference eviction analog,
+    /root/reference/rabin/global/index.c:539-547). For d > 6 the pair-key
+    guarantee breaks; this function refuses rather than silently losing
+    recall."""
+    from ..operators.candidates import bucket_members, bucket_pairs
+
+    n_segs, seg_bits = 8, 8
+    if max_hamming > n_segs - 2:
+        raise ValueError(
+            f"segment-pair multi-index guarantees recall only for "
+            f"max_hamming <= {n_segs - 2}; got {max_hamming}"
+        )
     cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False)
-    sig = doc_signatures(docs, cfg).select("doc_id", "simhash")
-    n_bands, band_bits = 8, 8
+    sig = doc_signatures(docs, cfg).select("doc_id", "id_hash", "simhash")
+    # seg(i) as JVM expr; arithmetic shiftright is safe under the & 255 mask
+    seg_pairs = [(i, j) for i in range(n_segs) for j in range(i + 1, n_segs)]
+    mask = (1 << seg_bits) - 1
+    bands = F.array(*[
+        F.struct(
+            F.lit(p).alias("band_idx"),
+            (
+                (F.shiftright("simhash", i * seg_bits).bitwiseAND(F.lit(mask))
+                 * F.lit(1 << seg_bits))
+                + F.shiftright("simhash", j * seg_bits).bitwiseAND(F.lit(mask))
+            ).cast("long").alias("band_hash"),
+        )
+        for p, (i, j) in enumerate(seg_pairs)
+    ])
     banded = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}), b -> struct(b as band_idx, "
-                f"(shiftright(simhash, b * {band_bits}) & {2**band_bits - 1}) as band_val))"
-            )
-        ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
-    a = banded.select("band_idx", "band_val", F.col("doc_id").alias("doc_id_a"),
-                      F.col("simhash").alias("sh_a"))
-    b = banded.select("band_idx", "band_val", F.col("doc_id").alias("doc_id_b"),
-                      F.col("simhash").alias("sh_b"))
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", ham.alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+        "doc_id", "id_hash", F.explode(bands).alias("band")
+    ).select("doc_id", "id_hash", "band.band_idx", "band.band_hash")
+    buckets, stats = bucket_members(
+        banded, cfg, id_col="doc_id", salt_col="id_hash", persist_sizes=with_stats
     )
+    cand = bucket_pairs(buckets, "doc_id_a", "doc_id_b").distinct()
+    a = sig.select(F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    pairs = (
+        cand.join(a, "doc_id_a").join(b, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return (pairs, stats) if with_stats else pairs
 
 
 def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:

@@ -187,6 +187,48 @@ def hash_tokens(tokens: np.ndarray, max_token_chars: int = 64) -> np.ndarray:
     return splitmix64(h)  # final avalanche
 
 
+def hash_bytes_rows(payloads) -> np.ndarray:
+    """FNV-1a-style 64-bit CONTENT hash of each byte payload, vectorized
+    across the batch with the same masked-column scheme as hash_tokens
+    (step value = byte + 1 so trailing-pad lanes are maskable; dead lanes
+    keep their value). None/empty payloads hash to splitmix64(FNV_OFFSET).
+
+    Reference analog: the per-block crypto hash over raw bytes
+    (/root/reference/rabin/rabin_dedup.c:790-797) — the exact-dup key for
+    opaque media. Unlike a length hash, equal-length payloads with
+    different bytes always differ (modulo 64-bit collisions).
+
+    Memory note: the batch is padded to the longest payload; callers should
+    size-bucket very mixed payload batches upstream (multimodal.py does)."""
+    n = len(payloads)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter(
+        ((len(p) if p is not None else 0) for p in payloads), dtype=np.int64, count=n
+    )
+    width = int(lens.max())
+    if width == 0:
+        return np.full(n, splitmix64(_FNV_OFFSET), dtype=np.uint64)
+    mat = np.zeros((n, width), dtype=np.uint8)
+    for r, p in enumerate(payloads):
+        if p:
+            mat[r, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+    cols = np.ascontiguousarray(mat.T)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    c64 = np.empty(n, dtype=np.uint64)
+    hj = np.empty(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            live = lens > j
+            if not live.any():
+                break
+            np.add(cols[j], 1, out=c64, casting="unsafe", dtype=np.uint64)
+            np.bitwise_xor(h, c64, out=hj)
+            np.multiply(hj, _FNV_PRIME, out=hj)
+            np.copyto(h, hj, where=live)
+    return splitmix64(h)
+
+
 def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
     """k-gram shingle hashes over a single doc's token-hash sequence.
     Returns array of length max(0, n-k+1). Horner combine with an odd

@@ -8,6 +8,15 @@ index: explode (band_idx, band_hash), group, and every bucket with >= 2
 members nominates candidate pairs. No shared mutable state, no semaphore
 ring — determinism comes from sorted bucket membership.
 
+Long keys through every shuffle: banding, buckets, and pairs carry only the
+64-bit ``id_hash`` (derived deterministically from conv_id by the shared
+kernel), never the conv_id string — at 10^12-turn scale the string id would
+multiply shuffle bytes by ~4x across the three hottest exchanges. conv_ids
+are joined back from the signatures table at verify time. A 64-bit id
+collision (P ~ n^2/2^65; ~3e4 pairs at 10^12 docs) can only DROP a
+candidate pair (equal keys never pair) or merge two clusters — far inside
+the 0.99-recall budget; tests assert injectivity on real fixtures.
+
 Skew handling (north_rule: explicit salting of hot LSH buckets; reference
 analog: lossy eviction of the oldest chain entry at capacity,
 /root/reference/rabin/global/index.c:539-547 — theirs is silent, ours is
@@ -15,14 +24,16 @@ deterministic and LOGGED):
   1. bucket sizes via groupBy().count() — cheap, map-side partial agg;
   2. hot buckets (size > bucket_cap) broadcast back to the exploded rows;
   3. salt-sample hot buckets map-side: keep members with
-     pmod(id_hash, n_groups) == 0, n_groups = ceil(size / cap) — so the
+     pmod(salt, n_groups) == 0, n_groups = ceil(size / cap) — so the
      expensive collect_list reducer never sees more than ~cap rows for a
      hot bucket (prevents the 10M-member boilerplate bucket from creating
      a straggler/OOM at 10^12-turn scale);
   4. final deterministic cap: sorted members truncated to bucket_cap.
 The same rule runs in the oracle (same id_hash kernel), so engine and
 oracle candidate sets stay identical. Dropped-membership counts surface in
-the metrics table — no silent caps.
+the metrics table — no silent caps. ``bucket_members`` is THE shared bucket
+implementation: the transcript pipeline, the documents MinHash-LSH path,
+and the documents SimHash path all route through it.
 
 Pair generation is entirely JVM (transform/slice/flatten over the sorted
 member array): bucket of m members -> C(m,2) struct rows, m <= bucket_cap.
@@ -44,7 +55,7 @@ from ..config import DedupConfig
 def band_explode(
     sig: DataFrame, cfg: DedupConfig, band_range: tuple[int, int] | None = None
 ) -> DataFrame:
-    """signatures -> (conv_id, id_hash, band_idx, band_hash); docs below the
+    """signatures -> (id_hash, band_idx, band_hash); docs below the
     shingle floor (empty shingle set) take the exact-hash path only, exactly
     like the reference's trailing-block handling
     (/root/reference/rabin/rabin_dedup.c:717-757).
@@ -65,7 +76,6 @@ def band_explode(
     return (
         sig.where(F.col("n_tokens") >= cfg.shingle_k)
         .select(
-            "conv_id",
             "id_hash",
             F.explode(
                 F.expr(
@@ -75,17 +85,27 @@ def band_explode(
                 )
             ).alias("band"),
         )
-        .select("conv_id", "id_hash", "band.band_idx", "band.band_hash")
+        .select("id_hash", "band.band_idx", "band.band_hash")
     )
 
 
 def bucket_members(
-    banded: DataFrame, cfg: DedupConfig, persist_sizes: bool = True
+    banded: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "id_hash",
+    salt_col: str | None = None,
+    persist_sizes: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """-> (buckets, bucket_stats).
+    """-> (buckets, bucket_stats). THE shared salted/capped/logged bucket
+    implementation (see module docstring).
 
-    buckets: (band_idx, band_hash, ids sorted array, capped)
+    banded: (id_col, [salt_col,] band_idx, band_hash) exploded rows.
+    buckets: (band_idx, band_hash, ids sorted-by-id_col array <= bucket_cap)
     bucket_stats: per-bucket raw size / kept size for the metrics table.
+
+    id_col is the member identity collected into buckets (long id_hash for
+    transcripts, doc_id for document tables); salt_col (default id_col) is
+    the 64-bit hash used for deterministic hot-bucket sampling.
 
     persist_sizes: cache the bucket-size frame, which the batch pipeline
     consumes twice (hot-bucket broadcast + stats collect). Pass False from
@@ -93,6 +113,7 @@ def bucket_members(
     path) — Spark's cache holds strong references, so per-batch persists
     would accumulate for the life of a stream.
     """
+    salt_col = salt_col or id_col
     sizes = banded.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("raw_size")
     )
@@ -105,7 +126,7 @@ def bucket_members(
             F.col("raw_size").isNull()
             | (
                 F.pmod(
-                    F.col("id_hash"),
+                    F.col(salt_col),
                     F.ceil(F.col("raw_size") / F.lit(cfg.bucket_cap)).cast("long"),
                 )
                 == 0
@@ -115,7 +136,7 @@ def bucket_members(
     )
     buckets = (
         salted.groupBy("band_idx", "band_hash")
-        .agg(F.slice(F.sort_array(F.collect_list("conv_id")), 1, cfg.bucket_cap).alias("ids"))
+        .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, cfg.bucket_cap).alias("ids"))
         .where(F.size("ids") >= 2)
     )
     stats = sizes.select(
@@ -127,22 +148,29 @@ def bucket_members(
     return buckets, stats
 
 
-def candidate_pairs(
-    sig: DataFrame, cfg: DedupConfig, persist_sizes: bool = True
-) -> tuple[DataFrame, DataFrame]:
-    """signatures -> ((conv_id_a, conv_id_b, n_bands) with a < b, stats)."""
-    banded = band_explode(sig, cfg)
-    buckets, stats = bucket_members(banded, cfg, persist_sizes=persist_sizes)
-    pairs = buckets.select(
+def bucket_pairs(buckets: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Explode each bucket's sorted member array into C(m,2) (a, b) pairs
+    with a < b — entirely JVM (transform/slice/flatten)."""
+    return buckets.select(
         F.explode(
             F.expr(
                 "flatten(transform(ids, (x, i) -> "
                 "transform(slice(ids, i + 2, size(ids)), y -> "
-                "struct(x as conv_id_a, y as conv_id_b))))"
+                f"struct(x as {a_col}, y as {b_col}))))"
             )
         ).alias("p")
-    ).select("p.conv_id_a", "p.conv_id_b")
-    agg = pairs.groupBy("conv_id_a", "conv_id_b").agg(
+    ).select(f"p.{a_col}", f"p.{b_col}")
+
+
+def candidate_pairs(
+    sig: DataFrame, cfg: DedupConfig, persist_sizes: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """signatures -> ((ih_a, ih_b, n_bands) with ih_a < ih_b signed, stats).
+    Long keys only — conv_ids are resolved at verify time."""
+    banded = band_explode(sig, cfg)
+    buckets, stats = bucket_members(banded, cfg, persist_sizes=persist_sizes)
+    pairs = bucket_pairs(buckets, "ih_a", "ih_b")
+    agg = pairs.groupBy("ih_a", "ih_b").agg(
         F.count(F.lit(1)).cast("int").alias("n_bands")
     )
     return agg, stats

@@ -87,11 +87,19 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
 def connected_components(
     all_nodes: DataFrame, pairs: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
-    """all_nodes: DataFrame with column conv_id (every doc, clustered or not);
-    pairs: (conv_id_a, conv_id_b, ...). Returns (conv_id, cluster_id) where
-    cluster_id = min conv_id of the component (singletons map to self)."""
+    """all_nodes: (conv_id, id_hash) for every doc, clustered or not;
+    pairs: (..., ih_a, ih_b) long edge keys. Returns (conv_id, cluster_id)
+    where cluster_id = min conv_id of the component (singletons map to
+    self).
+
+    Every CC round shuffles only 8-byte node ids (the id_hash longs), never
+    conv_id strings — at 10^12 nodes the string keys would ~4x every
+    iteration's exchange. The final labels table (tiny: clustered nodes
+    only) is mapped back to conv_ids with two small joins, and the
+    representative is still the LEXICOGRAPHIC min conv_id of the component
+    — identical output to a string-keyed run."""
     edges = (
-        pairs.select(F.col("conv_id_a").alias("u"), F.col("conv_id_b").alias("v"))
+        pairs.select(F.col("ih_a").alias("u"), F.col("ih_b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .cache()
@@ -106,14 +114,16 @@ def connected_components(
             prev = cur
         else:
             raise RuntimeError(f"connected components did not converge in {cfg.cc_max_iters} iters")
-    # converged: every edge is (node, component_min)
+    # converged: every edge is (node, component_min) over id_hash longs
     labels = (
-        edges.select(F.greatest("u", "v").alias("conv_id"), F.least("u", "v").alias("lab"))
-        .groupBy("conv_id")
+        edges.select(F.greatest("u", "v").alias("id_hash"), F.least("u", "v").alias("lab"))
+        .groupBy("id_hash")
         .agg(F.min("lab").alias("lab"))
     )
-    return (
-        all_nodes.select("conv_id")
-        .join(labels, "conv_id", "left")
-        .select("conv_id", F.coalesce("lab", "conv_id").alias("cluster_id"))
+    comp = (
+        all_nodes.select("conv_id", "id_hash")
+        .join(labels, "id_hash", "left")
+        .select("conv_id", F.coalesce("lab", "id_hash").alias("lab"))
     )
+    reps = comp.groupBy("lab").agg(F.min("conv_id").alias("cluster_id"))
+    return comp.join(reps, "lab").select("conv_id", "cluster_id")

@@ -28,15 +28,17 @@ from ..config import DedupConfig
 
 
 def substring_candidates(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """signatures -> (conv_id_a, conv_id_b, n_windows) pairs sharing at
-    least substring_min_windows distinct window fingerprints."""
+    """signatures -> (ih_a, ih_b, n_windows) pairs (long id_hash keys)
+    sharing at least substring_min_windows distinct window fingerprints.
+    Same deterministic sorted-cap as the LSH buckets; the window-hash
+    shuffle carries only 8-byte ids."""
     exploded = (
         sig.where(F.size("win_hashes") > 0)
-        .select("conv_id", F.explode(F.array_distinct("win_hashes")).alias("win_hash"))
+        .select("id_hash", F.explode(F.array_distinct("win_hashes")).alias("win_hash"))
     )
     buckets = (
         exploded.groupBy("win_hash")
-        .agg(F.slice(F.sort_array(F.collect_list("conv_id")), 1, cfg.bucket_cap).alias("ids"))
+        .agg(F.slice(F.sort_array(F.collect_list("id_hash")), 1, cfg.bucket_cap).alias("ids"))
         .where(F.size("ids") >= 2)
     )
     pairs = buckets.select(
@@ -44,12 +46,12 @@ def substring_candidates(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
             F.expr(
                 "flatten(transform(ids, (x, i) -> "
                 "transform(slice(ids, i + 2, size(ids)), y -> "
-                "struct(x as conv_id_a, y as conv_id_b))))"
+                "struct(x as ih_a, y as ih_b))))"
             )
         ).alias("p")
-    ).select("p.conv_id_a", "p.conv_id_b")
+    ).select("p.ih_a", "p.ih_b")
     return (
-        pairs.groupBy("conv_id_a", "conv_id_b")
+        pairs.groupBy("ih_a", "ih_b")
         .agg(F.count(F.lit(1)).cast("int").alias("n_windows"))
         .where(F.col("n_windows") >= cfg.substring_min_windows)
     )
@@ -58,10 +60,22 @@ def substring_candidates(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
 def substring_pairs(
     sig: DataFrame, verified_pairs: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
-    """Substring-overlap pairs not already explained by exact/near dedup."""
+    """Substring-overlap pairs not already explained by exact/near dedup:
+    (conv_id_a, conv_id_b, n_windows) with a < b lexicographic. conv_ids
+    are resolved from the signatures table (long-key joins)."""
     cand = substring_candidates(sig, cfg)
+    a = sig.select(F.col("id_hash").alias("ih_a"), F.col("conv_id").alias("cid_a"))
+    b = sig.select(F.col("id_hash").alias("ih_b"), F.col("conv_id").alias("cid_b"))
+    named = (
+        cand.join(a, "ih_a").join(b, "ih_b")
+        .select(
+            F.least("cid_a", "cid_b").alias("conv_id_a"),
+            F.greatest("cid_a", "cid_b").alias("conv_id_b"),
+            "n_windows",
+        )
+    )
     known = verified_pairs.select("conv_id_a", "conv_id_b")
-    return cand.join(known, ["conv_id_a", "conv_id_b"], "left_anti")
+    return named.join(known, ["conv_id_a", "conv_id_b"], "left_anti")
 
 
 _VERIFY_SCHEMA = T.StructType(

@@ -15,8 +15,8 @@ table, then pure JVM expressions:
   - exact: content_hash equality (crypto-hash path).
 
 Everything here is whole-stage-codegen JVM; no Python. The joins are keyed
-on conv_id; candidate lists are tiny relative to signatures, and AQE turns
-these into broadcast joins automatically when the pair list fits.
+on the 64-bit id_hash; candidate lists are tiny relative to signatures, and
+AQE turns these into broadcast joins automatically when the pair list fits.
 
 Exact-duplicate pairs are generated independently of LSH from
 content_hash groups (J3 analog: the global crypto-hash index,
@@ -44,10 +44,16 @@ def exact_pairs(sig: DataFrame) -> DataFrame:
     """Star edges within each content_hash group: (min_id, other_id).
     One shuffle on content_hash; groups collapse to a representative star,
     never the quadratic pair set — at 10^12 scale a 1M-copy boilerplate
-    document yields 1M-1 edges, not 10^12/2 pairs."""
+    document yields 1M-1 edges, not 10^12/2 pairs. Carries both the conv_id
+    strings (the public pair columns, a < b lexicographic by construction)
+    and the 64-bit id hashes (the connected-components join keys)."""
     reps = (
         sig.groupBy("content_hash")
-        .agg(F.min("conv_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.min("conv_id").alias("rep"),
+            F.min_by("id_hash", "conv_id").alias("rep_ih"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .where(F.col("n") > 1)
         .drop("n")
     )
@@ -59,26 +65,36 @@ def exact_pairs(sig: DataFrame) -> DataFrame:
             F.col("conv_id").alias("conv_id_b"),
             F.lit(1.0).alias("jaccard"),
             F.lit("exact").alias("match_kind"),
+            F.col("rep_ih").alias("ih_a"),
+            F.col("id_hash").alias("ih_b"),
         )
     )
 
 
 def verify_pairs(sig: DataFrame, candidates: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """candidates (conv_id_a, conv_id_b, n_bands) -> verified pairs
-    (conv_id_a, conv_id_b, jaccard, match_kind in {exact, near})."""
+    """candidates (ih_a, ih_b, n_bands — long keys) -> verified pairs
+    (conv_id_a, conv_id_b, jaccard, match_kind in {exact, near}, ih_a, ih_b)
+    with (conv_id_a, conv_id_b) normalized lexicographic a < b and the ih
+    columns aligned to that order.
+
+    The joins are keyed on the 64-bit id_hash, not the conv_id string — the
+    candidate table never carries strings, and the join hashes 8-byte keys.
+    conv_ids come along for free from the signature rows."""
     a = sig.select(
-        F.col("conv_id").alias("conv_id_a"),
+        F.col("id_hash").alias("ih_a"),
+        F.col("conv_id").alias("cid_a"),
         F.col("content_hash").alias("ch_a"),
         F.col("shingles").alias("sh_a"),
         F.col("minhash").alias("mh_a"),
     )
     b = sig.select(
-        F.col("conv_id").alias("conv_id_b"),
+        F.col("id_hash").alias("ih_b"),
+        F.col("conv_id").alias("cid_b"),
         F.col("content_hash").alias("ch_b"),
         F.col("shingles").alias("sh_b"),
         F.col("minhash").alias("mh_b"),
     )
-    joined = candidates.join(a, "conv_id_a").join(b, "conv_id_b")
+    joined = candidates.join(a, "ih_a").join(b, "ih_b")
     est = (
         F.aggregate(
             F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
@@ -98,14 +114,17 @@ def verify_pairs(sig: DataFrame, candidates: DataFrame, cfg: DedupConfig) -> Dat
         )
         .withColumn("jaccard_x", jac)
     )
+    a_first = F.col("cid_a") < F.col("cid_b")
     near = scored.where(
         (F.col("ch_a") != F.col("ch_b"))
         & (F.col("jaccard_x") >= F.lit(cfg.jaccard_threshold))
     ).select(
-        "conv_id_a",
-        "conv_id_b",
+        F.least("cid_a", "cid_b").alias("conv_id_a"),
+        F.greatest("cid_a", "cid_b").alias("conv_id_b"),
         F.col("jaccard_x").alias("jaccard"),
         F.lit("near").alias("match_kind"),
+        F.when(a_first, F.col("ih_a")).otherwise(F.col("ih_b")).alias("ih_a"),
+        F.when(a_first, F.col("ih_b")).otherwise(F.col("ih_a")).alias("ih_b"),
     )
     # exact pairs come from the content-hash star (complete by construction);
     # LSH-sourced exact pairs are dropped here to avoid duplicates.

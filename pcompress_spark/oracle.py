@@ -62,7 +62,12 @@ def signatures(assembled: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
 def lsh_candidates(sig: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     """Bucket by (band_idx, tuple of r minhash values); emit all in-bucket
     pairs. Bucket membership depends only on equality of the minhash slice,
-    so any injective-enough band hash in the engine yields the same buckets."""
+    so any injective-enough band hash in the engine yields the same buckets.
+
+    Bucket members are sorted and capped by the signed 64-bit id_hash —
+    the engine's long-key shuffle order (operators/candidates.py) — and the
+    emitted pairs are then normalized to lexicographic conv_id order, which
+    is how the engine's verify stage publishes them."""
     buckets: dict[tuple, list[tuple[str, int]]] = {}
     ids = sig["conv_id"].tolist()
     id_hashes = sig["id_hash"].tolist()
@@ -78,14 +83,15 @@ def lsh_candidates(sig: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     counts: dict[tuple[str, str], int] = {}
     for key, members in buckets.items():
         # hot-bucket salting, same rule as the engine (candidates.py):
-        # keep id_hash % ceil(m/cap) == 0, then sorted cap.
+        # keep id_hash % ceil(m/cap) == 0, then id_hash-sorted cap.
         m = len(members)
         if m > cfg.bucket_cap:
             n_groups = -(-m // cfg.bucket_cap)
             members = [(c, h) for c, h in members if h % n_groups == 0]
-        kept = sorted({c for c, _ in members})[: cfg.bucket_cap]
-        for a, b in itertools.combinations(kept, 2):
-            counts[(a, b)] = counts.get((a, b), 0) + 1
+        kept = sorted(members, key=lambda ch: ch[1])[: cfg.bucket_cap]
+        for (ca, _), (cb, _) in itertools.combinations(kept, 2):
+            pair = (ca, cb) if ca < cb else (cb, ca)
+            counts[pair] = counts.get(pair, 0) + 1
     if not counts:
         return pd.DataFrame(columns=["conv_id_a", "conv_id_b", "n_bands"])
     out = pd.DataFrame(
@@ -130,15 +136,17 @@ def substring_pairs(
     are excluded (matches engine operators/substring.py)."""
     if not cfg.substring_enabled or "win_hashes" not in sig.columns:
         return pd.DataFrame(columns=["conv_id_a", "conv_id_b", "n_windows"])
-    buckets: dict[int, list[str]] = {}
-    for cid, whs in zip(sig["conv_id"], sig["win_hashes"]):
+    buckets: dict[int, list[tuple[str, int]]] = {}
+    for cid, ih, whs in zip(sig["conv_id"], sig["id_hash"], sig["win_hashes"]):
         for h in set(int(x) for x in whs):
-            buckets.setdefault(h, []).append(cid)
+            buckets.setdefault(h, []).append((cid, int(ih)))
     counts: dict[tuple[str, str], int] = {}
     for members in buckets.values():
-        members = sorted(set(members))[: cfg.bucket_cap]
-        for a, b in itertools.combinations(members, 2):
-            counts[(a, b)] = counts.get((a, b), 0) + 1
+        # engine cap order: signed id_hash (operators/substring.py)
+        kept = sorted(members, key=lambda ch: ch[1])[: cfg.bucket_cap]
+        for (ca, _), (cb, _) in itertools.combinations(kept, 2):
+            pair = (ca, cb) if ca < cb else (cb, ca)
+            counts[pair] = counts.get(pair, 0) + 1
     skip = (
         set(zip(verified["conv_id_a"], verified["conv_id_b"]))
         if verified is not None

@@ -46,6 +46,12 @@ from .operators.substring import substring_pairs
 from .operators.verify import verify_pairs
 
 
+# Bumped whenever a stage's output schema/semantics change: a resume only
+# reuses checkpoints written by the same format (e.g. format 2 switched the
+# candidates/pairs tables to 64-bit id_hash keys).
+PIPELINE_FORMAT = 2
+
+
 @dataclass
 class StageResult:
     name: str
@@ -78,6 +84,7 @@ class DedupPipeline:
         self.cfg = cfg or DedupConfig()
         self.work_dir = work_dir
         self._stages: list[StageResult] = []
+        self._input_fp: str | None = None
 
     # ---- checkpoint bookkeeping -------------------------------------
     def _stage_dir(self, name: str) -> str | None:
@@ -98,7 +105,11 @@ class DedupPipeline:
                 manifest = json.load(f)
         except (OSError, json.JSONDecodeError):
             return False
-        return manifest.get("config_hash") == self.cfg.config_hash()
+        return (
+            manifest.get("config_hash") == self.cfg.config_hash()
+            and manifest.get("format") == PIPELINE_FORMAT
+            and manifest.get("input") == self._input_fp
+        )
 
     def _checkpoint(self, name: str, df: DataFrame) -> tuple[DataFrame, int, bool]:
         """Write stage output (if work_dir set), record lineage, return the
@@ -126,7 +137,8 @@ class DedupPipeline:
         rows = int(obs.get["rows"])
         with open(self._manifest_path(name), "w") as f:
             json.dump(
-                {"stage": name, "config_hash": self.cfg.config_hash(), "rows": rows},
+                {"stage": name, "config_hash": self.cfg.config_hash(),
+                 "rows": rows, "format": PIPELINE_FORMAT, "input": self._input_fp},
                 f,
             )
         return self.spark.read.parquet(sd), rows, False
@@ -153,9 +165,28 @@ class DedupPipeline:
         )
 
     # ---- the pipeline ---------------------------------------------------
+    @staticmethod
+    def _input_fingerprint(df: DataFrame) -> str:
+        """Cheap input-identity key for resume safety: hash of the input
+        file listing when the DataFrame reads files (no Spark job), else a
+        row count (one job, first run only). Re-running the same work_dir
+        against DIFFERENT input must not silently reuse stale stage outputs
+        — a resumed run is only 'bit-identical to an uninterrupted one' if
+        (input, config) both match."""
+        import hashlib
+
+        try:
+            files = sorted(df.inputFiles())
+        except Exception:
+            files = []
+        if files:
+            return "files:" + hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+        return f"rows:{df.count()}"
+
     def run(self, transcripts: DataFrame, with_substring: bool | None = None) -> PipelineResult:
         cfg = self.cfg
         self._stages = []
+        self._input_fp = self._input_fingerprint(transcripts) if self.work_dir else None
         with_substring = cfg.substring_enabled if with_substring is None else with_substring
 
         par = self.spark.sparkContext.defaultParallelism * 2
@@ -168,7 +199,8 @@ class DedupPipeline:
         pairs = self._run_stage("pairs", verify_pairs(sig, cand, cfg))
 
         clusters = self._run_stage(
-            "clusters", connected_components(sig.select("conv_id"), pairs, cfg)
+            "clusters",
+            connected_components(sig.select("conv_id", "id_hash"), pairs, cfg),
         )
 
         tables: dict[str, DataFrame] = {

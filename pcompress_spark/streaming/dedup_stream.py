@@ -192,19 +192,22 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
         # per micro-batch would leak cache entries over a long-running stream
         cand, _stats = candidate_pairs(all_sigs, cfg, persist_sizes=False)
         new_ids = batch_df.select("conv_id")
+        new_ihs = batch_df.select("id_hash")
 
-        def touching_new(df: DataFrame) -> DataFrame:
+        def touching_new(df: DataFrame, a: str, b: str, keys: DataFrame,
+                         key: str) -> DataFrame:
             return (
-                df.join(new_ids.withColumnRenamed("conv_id", "conv_id_a"),
-                        "conv_id_a", "left_semi")
-                .unionByName(
-                    df.join(new_ids.withColumnRenamed("conv_id", "conv_id_b"),
-                            "conv_id_b", "left_semi"))
+                df.join(keys.withColumnRenamed(key, a), a, "left_semi")
+                .unionByName(df.join(keys.withColumnRenamed(key, b), b, "left_semi"))
                 .distinct()
             )
 
-        verified = verify_pairs(all_sigs, touching_new(cand), cfg)
-        incremental = touching_new(verified)
+        verified = verify_pairs(
+            all_sigs, touching_new(cand, "ih_a", "ih_b", new_ihs, "id_hash"), cfg
+        )
+        incremental = touching_new(
+            verified, "conv_id_a", "conv_id_b", new_ids, "conv_id"
+        )
         incremental.write.mode("overwrite").parquet(
             os.path.join(pairs_out, f"batch={batch_id}"))
         batch_df.write.mode("overwrite").parquet(

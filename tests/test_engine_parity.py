@@ -65,11 +65,32 @@ def test_signatures_match_oracle(engine_sig, oracle_result):
 
 def test_candidates_match_oracle(spark, engine_sig, oracle_result):
     cand, stats = candidate_pairs(engine_sig, CFG)
-    eng = set(map(tuple, cand.select("conv_id_a", "conv_id_b").toPandas().values))
+    ih_to_cid = dict(zip(*map(list, (
+        engine_sig.toPandas()["id_hash"], engine_sig.toPandas()["conv_id"]))))
+    cpdf = cand.toPandas()
+    eng = {
+        tuple(sorted((ih_to_cid[a], ih_to_cid[b])))
+        for a, b in zip(cpdf["ih_a"], cpdf["ih_b"])
+    }
     orc = set(zip(oracle_result.candidates["conv_id_a"], oracle_result.candidates["conv_id_b"]))
     assert eng == orc
+    # n_bands evidence counts must agree pair-for-pair
+    eng_counts = {
+        tuple(sorted((ih_to_cid[a], ih_to_cid[b]))): int(n)
+        for a, b, n in zip(cpdf["ih_a"], cpdf["ih_b"], cpdf["n_bands"])
+    }
+    orc_counts = {
+        (a, b): int(n)
+        for a, b, n in zip(oracle_result.candidates["conv_id_a"],
+                           oracle_result.candidates["conv_id_b"],
+                           oracle_result.candidates["n_bands"])
+    }
+    assert eng_counts == orc_counts
     srow = stats.collect()[0]
     assert srow["n_buckets"] > 0
+    # id_hash must be injective on the fixture (the long-key invariant)
+    sig_pdf = engine_sig.toPandas()
+    assert sig_pdf["id_hash"].nunique() == sig_pdf["conv_id"].nunique()
 
 
 def test_verified_pairs_match_oracle(spark, engine_sig, oracle_result):
@@ -92,7 +113,8 @@ def test_verified_pairs_match_oracle(spark, engine_sig, oracle_result):
 def test_clusters_match_oracle_and_truth(spark, engine_sig, oracle_result, smoke_data):
     cand, _ = candidate_pairs(engine_sig, CFG)
     pairs = verify_pairs(engine_sig, cand, CFG)
-    clus = connected_components(engine_sig.select("conv_id"), pairs, CFG).toPandas()
+    clus = connected_components(
+        engine_sig.select("conv_id", "id_hash"), pairs, CFG).toPandas()
     eng = dict(zip(clus["conv_id"], clus["cluster_id"]))
     orc = dict(zip(oracle_result.clusters["conv_id"], oracle_result.clusters["cluster_id"]))
     assert eng == orc
@@ -121,19 +143,17 @@ def test_band_pass_splitting_is_semantics_preserving(spark, engine_sig):
     from pyspark.sql import functions as F
 
     whole, _ = candidate_pairs(engine_sig, CFG)
-    whole = whole.toPandas().set_index(["conv_id_a", "conv_id_b"]).sort_index()
+    whole = whole.toPandas().set_index(["ih_a", "ih_b"]).sort_index()
 
     step = CFG.bands // 4
     parts = []
     for lo in range(0, CFG.bands, step):
         banded = band_explode(engine_sig, CFG, band_range=(lo, lo + step))
         buckets, _ = bucket_members(banded, CFG, persist_sizes=False)
-        pairs = buckets.select(F.explode(F.expr(
-            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
-            "y -> struct(x as conv_id_a, y as conv_id_b))))")).alias("p")
-        ).select("p.conv_id_a", "p.conv_id_b")
-        parts.append(pairs.groupBy("conv_id_a", "conv_id_b").agg(
+        from pcompress_spark.operators.candidates import bucket_pairs
+        pairs = bucket_pairs(buckets, "ih_a", "ih_b")
+        parts.append(pairs.groupBy("ih_a", "ih_b").agg(
             F.count(F.lit(1)).cast("int").alias("n_bands")).toPandas())
-    merged = (pd.concat(parts).groupby(["conv_id_a", "conv_id_b"])["n_bands"]
+    merged = (pd.concat(parts).groupby(["ih_a", "ih_b"])["n_bands"]
               .sum().astype("int32").to_frame().sort_index())
     assert merged["n_bands"].to_dict() == whole["n_bands"].to_dict()

@@ -1,7 +1,9 @@
-"""Multimodal plumbing: schema, batching, determinism of the stubbed decode."""
+"""Multimodal plumbing: schema, batching, real PNM decode, content hashing."""
 
+import numpy as np
 import pytest
 
+from pcompress_spark import kernels
 from pcompress_spark.functions import multimodal as mm
 
 
@@ -16,12 +18,65 @@ def test_feature_extraction_shape_and_determinism(spark, media):
         "media_id").reset_index(drop=True)
     assert len(f1) == 48
     assert all(len(v) == mm.FEATURE_DIM for v in f1["feature"])
-    # partition-independent (content-addressed stub)
+    # partition-independent (content-addressed)
     assert f1["payload_sha_like"].tolist() == f2["payload_sha_like"].tolist()
     for a, b in zip(f1["feature"], f2["feature"]):
         assert list(a) == list(b)
+    # images decode for real, audio/video use the declared stub
+    by_kind = f1.groupby("kind")["decoded"].all()
+    assert by_kind["image"]
+    assert not f1[f1["kind"] != "image"]["decoded"].any()
 
 
-def test_real_decode_is_explicit_stub(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|pillow|ffmpeg"):
-        mm.extract_features(media, decode_stub=False).collect()
+def test_pnm_decode_roundtrip():
+    raster = np.arange(12, dtype=np.uint8)
+    p5 = b"P5\n4 3\n255\n" + raster.tobytes()
+    got = mm.decode_pnm(p5)
+    assert got is not None and got.tolist() == list(range(12))
+    # comments + arbitrary whitespace in header
+    p5c = b"P5 # comment\n # more\n 4\t3\n255\n" + raster.tobytes()
+    assert mm.decode_pnm(p5c).tolist() == list(range(12))
+    # P6 RGB
+    p6 = b"P6\n2 2\n255\n" + bytes(range(12))
+    assert mm.decode_pnm(p6).tolist() == list(range(12))
+    # invalid payloads
+    assert mm.decode_pnm(None) is None
+    assert mm.decode_pnm(b"JFIF....") is None
+    assert mm.decode_pnm(b"P5\n4 3\n255\nshort") is None
+    assert mm.decode_pnm(b"P5\n0 3\n255\n") is None
+
+
+def test_image_feature_is_pixel_histogram(spark):
+    pdf = mm.generate_media_pdf(n=6, seed=9)
+    img = pdf[pdf["kind"] == "image"].iloc[0]
+    raster = mm.decode_pnm(img["payload"])
+    want = mm.raster_histogram(raster)
+    sdf = mm.synthetic_media(spark, n=6, seed=9)
+    feats = mm.extract_features(sdf).toPandas().set_index("media_id")
+    got = np.asarray(feats.loc[img["media_id"], "feature"], dtype=np.float32)
+    assert np.array_equal(got, want)
+    assert abs(float(want.sum()) - 1.0) < 1e-6
+
+
+def test_payload_hash_is_content_hash():
+    """Equal-length payloads with different bytes MUST hash differently
+    (the round-1 length-hash bug)."""
+    a, b = b"\x00" * 128, b"\x00" * 127 + b"\x01"
+    ha, hb = kernels.hash_bytes_rows([a, b])
+    assert int(ha) != int(hb)
+    # batch result == singleton result (mask correctness across widths)
+    mixed = kernels.hash_bytes_rows([a, b"xy", b, b"", None])
+    assert int(mixed[0]) == int(ha)
+    assert int(mixed[2]) == int(hb)
+    assert int(mixed[3]) == int(mixed[4])  # empty == None sentinel
+
+
+def test_real_decode_raises_only_for_undecodable(spark, media):
+    from pyspark.sql import functions as F
+
+    imgs = media.where(F.col("kind") == "image")
+    out = mm.extract_features(imgs, decode_stub=False).toPandas()
+    assert out["decoded"].all()
+    with pytest.raises(Exception, match="NotImplementedError|decoder|decode_stub"):
+        mm.extract_features(media.where(F.col("kind") == "audio"),
+                            decode_stub=False).collect()

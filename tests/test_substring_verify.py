@@ -9,7 +9,7 @@ from pcompress_spark import kernels as K
 from pcompress_spark.operators.assemble import assemble
 from pcompress_spark.operators.cluster import connected_components
 from pcompress_spark.operators.signatures import compute_signatures
-from pcompress_spark.operators.substring import substring_candidates, verify_substring_pairs
+from pcompress_spark.operators.substring import substring_pairs, verify_substring_pairs
 
 CFG = DedupConfig()
 
@@ -32,7 +32,8 @@ def test_longest_common_run_exact():
 def test_verify_substring_pairs_engine(spark, smoke_transcripts, smoke_data):
     asm = assemble(smoke_transcripts, parallelism=8).cache()
     sig = compute_signatures(asm, CFG)
-    cand = substring_candidates(sig, CFG)
+    no_verified = spark.createDataFrame([], "conv_id_a string, conv_id_b string")
+    cand = substring_pairs(sig, no_verified, CFG)
     ver = verify_substring_pairs(cand, asm, CFG).toPandas()
     assert (ver["lcs_tokens"] > 0).all()
     # planted substring family pairs must show a long run (>= 150 tokens)
@@ -53,12 +54,17 @@ def test_verify_substring_pairs_engine(spark, smoke_transcripts, smoke_data):
 def test_connected_components_long_chain(spark):
     """Chain of 120 nodes + two cliques -> star iteration must converge to
     single components (union-find ground truth)."""
+    from pyspark.sql import functions as F
+
     chain = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(120)]
     clique = [(f"c{i}", f"c{j}") for i in range(6) for j in range(i + 1, 6)]
     iso = [("z1", "z2")]
     edges = spark.createDataFrame(chain + clique + iso, ["conv_id_a", "conv_id_b"])
+    edges = edges.withColumn("ih_a", F.xxhash64("conv_id_a")).withColumn(
+        "ih_b", F.xxhash64("conv_id_b"))
     nodes = edges.selectExpr("conv_id_a as conv_id").union(
-        edges.selectExpr("conv_id_b as conv_id")).distinct()
+        edges.selectExpr("conv_id_b as conv_id")).distinct().withColumn(
+        "id_hash", F.xxhash64("conv_id"))
     out = connected_components(nodes, edges, CFG).toPandas()
     lab = dict(zip(out["conv_id"], out["cluster_id"]))
     assert all(lab[f"n{i:03d}"] == "n000" for i in range(121))

@@ -48,7 +48,7 @@ def main() -> None:
         "LSH candidates (band shuffle, broadcast hot-bucket salt, JVM pair explosion)": cand,
         "verify (AQE-broadcastable pair joins, JVM Jaccard)": pairs,
         "connected-components large-star half-round (agg+join, no collect_set)": _large_star(
-            pairs.selectExpr("conv_id_a as u", "conv_id_b as v")
+            pairs.selectExpr("ih_a as u", "ih_b as v")
         ),
         "q1 pricing summary (pushdown + partial agg)": relational.q1_pricing_summary(spark, SF),
         "q3 top orders (broadcast dim join)": relational.q3_top_orders(spark, SF),
