@@ -71,11 +71,12 @@ def exact_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def verify_pairs(sig: DataFrame, candidates: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """candidates (ih_a, ih_b, n_bands — long keys) -> verified pairs
-    (conv_id_a, conv_id_b, jaccard, match_kind in {exact, near}, ih_a, ih_b)
-    with (conv_id_a, conv_id_b) normalized lexicographic a < b and the ih
-    columns aligned to that order.
+def near_pairs(sig: DataFrame, candidates: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """candidates (ih_a, ih_b, n_bands — long keys) -> verified NEAR pairs
+    (conv_id_a, conv_id_b, jaccard, match_kind='near', ih_a, ih_b) with
+    (conv_id_a, conv_id_b) normalized lexicographic a < b and the ih
+    columns aligned to that order. Exact-hash pairs are excluded here; they
+    come from exact_pairs (the content-hash star).
 
     The joins are keyed on the 64-bit id_hash, not the conv_id string — the
     candidate table never carries strings, and the join hashes 8-byte keys.
@@ -115,7 +116,7 @@ def verify_pairs(sig: DataFrame, candidates: DataFrame, cfg: DedupConfig) -> Dat
         .withColumn("jaccard_x", jac)
     )
     a_first = F.col("cid_a") < F.col("cid_b")
-    near = scored.where(
+    return scored.where(
         (F.col("ch_a") != F.col("ch_b"))
         & (F.col("jaccard_x") >= F.lit(cfg.jaccard_threshold))
     ).select(
@@ -126,6 +127,11 @@ def verify_pairs(sig: DataFrame, candidates: DataFrame, cfg: DedupConfig) -> Dat
         F.when(a_first, F.col("ih_a")).otherwise(F.col("ih_b")).alias("ih_a"),
         F.when(a_first, F.col("ih_b")).otherwise(F.col("ih_a")).alias("ih_b"),
     )
-    # exact pairs come from the content-hash star (complete by construction);
-    # LSH-sourced exact pairs are dropped here to avoid duplicates.
-    return near.unionByName(exact_pairs(sig))
+
+
+def verify_pairs(sig: DataFrame, candidates: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Full verified-pair table: near pairs (LSH candidates -> est-jaccard
+    prefilter -> exact shingle jaccard) plus exact star edges. Exact pairs
+    come from the content-hash star (complete by construction); LSH-sourced
+    exact pairs are dropped in near_pairs to avoid duplicates."""
+    return near_pairs(sig, candidates, cfg).unionByName(exact_pairs(sig))

@@ -156,41 +156,81 @@ def stateful_assemble_signatures(
     )
 
 
+def _prior_batch_dirs(spark, root: str, batch_id: int) -> list[str]:
+    """batch=N subdirs under root, excluding this batch's own (replay
+    safety). Hadoop FileSystem API so work_dir may live on HDFS/S3 (the
+    spark-submit deployment target), not only the driver's local disk."""
+    jvm = spark._jvm
+    root_path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    if fs.exists(root_path):
+        for status in fs.listStatus(root_path):
+            name = status.getPath().getName()
+            if name.startswith("batch=") and name != f"batch={batch_id}":
+                out.append(str(status.getPath()))
+    return out
+
+
 def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
-                      pairs_out: str, cfg: DedupConfig) -> None:
+                      pairs_out: str, cfg: DedupConfig,
+                      band_store: str | None = None) -> None:
     """foreachBatch body for start_near_dup_stream (module-level so replay
-    idempotence is directly testable). Writes are keyed by batch_id and
-    overwritten on replay; the store read EXCLUDES this batch's own subdir,
-    so a replayed batch joins against exactly the state it saw first.
-    Store discovery goes through the Hadoop FileSystem API so work_dir may
-    live on HDFS/S3 (the spark-submit deployment target), not only the
-    driver's local disk."""
+    idempotence is directly testable).
+
+    INCREMENTAL index probe — per-batch work is proportional to the batch,
+    never to stream lifetime (the reference's pipe-mode segmented index
+    probes a persistent index instead of rebuilding it,
+    /root/reference/rabin/global/index.c:140-151):
+
+      1. band only the NEW batch (band_explode — O(batch));
+      2. broadcast the new batch's distinct bucket keys against the
+         PERSISTED banded store (band_store/batch=N parquet of
+         (id_hash, band_idx, band_hash)) — prior banding is never
+         recomputed, and only store rows in TOUCHED buckets survive the
+         broadcast semi-join (a map-side filter over a 3-long-column scan);
+      3. bucket_members + pair-gen over (touched store bands ∪ new bands),
+         keeping candidate pairs with a new endpoint;
+      4. verify: near pairs join the signature store on id_hash (AQE
+         broadcasts the small candidate side, so the store is scanned, not
+         shuffled); exact star edges run only over content_hash groups
+         present in the batch (semi-join).
+
+    Writes are keyed by batch_id and overwritten on replay; store reads
+    EXCLUDE this batch's own subdirs, so a replayed batch joins against
+    exactly the state it saw first."""
     import os
 
-    from ..operators.candidates import candidate_pairs
-    from ..operators.verify import verify_pairs
+    from ..operators.candidates import band_explode, bucket_members, bucket_pairs
+    from ..operators.verify import exact_pairs, near_pairs
 
+    band_store = band_store or store + "_bands"
     spark = batch_df.sparkSession
     batch_df = batch_df.persist()
     try:
         if batch_df.count() == 0:
             return
-        jvm = spark._jvm
-        store_path = jvm.org.apache.hadoop.fs.Path(store)
-        fs = store_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        prior = []
-        if fs.exists(store_path):
-            for status in fs.listStatus(store_path):
-                name = status.getPath().getName()
-                if name.startswith("batch=") and name != f"batch={batch_id}":
-                    prior.append(str(status.getPath()))
-        all_sigs = (
-            batch_df.unionByName(spark.read.parquet(*prior)) if prior else batch_df
+        prior_sig = _prior_batch_dirs(spark, store, batch_id)
+        prior_band = _prior_batch_dirs(spark, band_store, batch_id)
+
+        batch_bands = band_explode(batch_df, cfg)
+        new_buckets = batch_bands.select("band_idx", "band_hash").distinct()
+        if prior_band:
+            touched_store = (
+                spark.read.parquet(*prior_band)
+                .join(F.broadcast(new_buckets), ["band_idx", "band_hash"],
+                      "left_semi")
+            )
+            all_bands = touched_store.unionByName(batch_bands)
+        else:
+            all_bands = batch_bands
+        # persist_sizes=False: stats aren't collected here — persisting per
+        # micro-batch would leak cache entries over a long-running stream
+        buckets, _stats = bucket_members(all_bands, cfg, persist_sizes=False)
+        cand = bucket_pairs(buckets, "ih_a", "ih_b").groupBy("ih_a", "ih_b").agg(
+            F.count(F.lit(1)).cast("int").alias("n_bands")
         )
-        # persist_sizes=False: stats aren't collected here, so the bucket-
-        # size frame is consumed once (hot-bucket broadcast) — persisting it
-        # per micro-batch would leak cache entries over a long-running stream
-        cand, _stats = candidate_pairs(all_sigs, cfg, persist_sizes=False)
+
         new_ids = batch_df.select("conv_id")
         new_ihs = batch_df.select("id_hash")
 
@@ -202,9 +242,18 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
                 .distinct()
             )
 
-        verified = verify_pairs(
+        all_sigs = (
+            batch_df.unionByName(spark.read.parquet(*prior_sig))
+            if prior_sig else batch_df
+        )
+        near = near_pairs(
             all_sigs, touching_new(cand, "ih_a", "ih_b", new_ihs, "id_hash"), cfg
         )
+        # exact star: only content-hash groups the batch touches
+        sig_exact = all_sigs.join(
+            batch_df.select("content_hash").distinct(), "content_hash", "left_semi"
+        )
+        verified = near.unionByName(exact_pairs(sig_exact))
         incremental = touching_new(
             verified, "conv_id_a", "conv_id_b", new_ids, "conv_id"
         )
@@ -212,6 +261,8 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
             os.path.join(pairs_out, f"batch={batch_id}"))
         batch_df.write.mode("overwrite").parquet(
             os.path.join(store, f"batch={batch_id}"))
+        batch_bands.write.mode("overwrite").parquet(
+            os.path.join(band_store, f"batch={batch_id}"))
     finally:
         batch_df.unpersist()
 
@@ -237,23 +288,31 @@ def start_near_dup_stream(
     Conversations are closed by the stateful sessionizer
     (stateful_assemble_signatures: event-time quiescence, never split
     mid-stream), so each conv_id emits exactly ONE full signature row —
-    window-straddling fragments cannot occur. Per micro-batch: LSH
-    candidates + verification run over store ∪ batch with the SAME batch
-    operators (candidate_pairs / verify_pairs), then only pairs touching a
-    conversation from this batch are appended — a pair is emitted exactly
-    once, when its later endpoint arrives. With no hot buckets the
-    accumulated pair set equals the batch pipeline's pairs over the same
-    closed conversations (deterministic kernels end to end); under
-    hot-bucket salting the cap is applied to incremental bucket sizes, so
-    drops can differ from batch order (same recall bound, logged caps).
+    window-straddling fragments cannot occur. Per micro-batch the
+    INCREMENTAL probe in _near_dup_process runs (band the batch, probe the
+    persisted banded store, verify, append pairs touching the batch) — a
+    near pair is emitted exactly once, when its later endpoint arrives.
 
-    Layout under ``work_dir``: ``sig_store/batch=N/`` and ``pairs/batch=N/``
-    (parquet, one subdir per micro-batch — foreachBatch is at-least-once, so
-    a replayed batch OVERWRITES its own subdir instead of double-appending;
-    same idempotent-resume rule as the batch pipeline's checkpoints),
-    ``ckpt/`` (streaming checkpoint). Returns the started StreamingQuery;
-    read results with ``spark.read.parquet(work_dir + "/pairs")`` (the
-    ``batch`` partition column records provenance).
+    Equivalence to the batch pipeline, precisely scoped: with no hot
+    buckets the accumulated NEAR pair set equals the batch pipeline's near
+    pairs over the same closed conversations, and the exact-star edges are
+    CLUSTER-EQUIVALENT — the star re-anchors when a later batch introduces
+    a smaller conv_id for an existing content_hash group, so the
+    accumulated exact edge set can be a superset of the batch star (same
+    connected components, same membership). Under hot-bucket salting the
+    cap applies to incremental bucket sizes, so drops can differ from batch
+    order (same recall bound, logged caps).
+
+    Layout under ``work_dir``: ``sig_store/batch=N/``,
+    ``sig_store_bands/batch=N/`` (the persisted banded index) and
+    ``pairs/batch=N/`` (parquet, one subdir per micro-batch — foreachBatch
+    is at-least-once, so a replayed batch OVERWRITES its own subdirs
+    instead of double-appending; same idempotent-resume rule as the batch
+    pipeline's checkpoints), ``ckpt/`` (streaming checkpoint). Returns the
+    started StreamingQuery; read results with
+    ``spark.read.parquet(work_dir + "/pairs")`` (the ``batch`` partition
+    column records provenance). Run compact_near_dup_store periodically
+    (stream quiesced) to bound the batch-dir count.
     """
     import functools
     import os
@@ -272,6 +331,35 @@ def start_near_dup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_near_dup_store(spark, work_dir: str) -> None:
+    """Maintenance: merge the per-batch signature/band store dirs into one
+    ``batch=c<maxN>`` dir each and delete the originals — bounds the file
+    listing a long-lived stream accumulates. Run only while the stream is
+    stopped/quiesced past those batches (a replay of a compacted batch
+    would otherwise see its own rows in the store)."""
+    import os
+    import shutil
+
+    for root in (os.path.join(work_dir, "sig_store"),
+                 os.path.join(work_dir, "sig_store_bands")):
+        if not os.path.isdir(root):
+            continue
+        dirs = sorted(
+            os.path.join(root, d) for d in os.listdir(root)
+            if d.startswith("batch=")
+        )
+        if len(dirs) <= 1:
+            continue
+        tag = max(
+            int(d.rsplit("=", 1)[1].lstrip("c")) for d in dirs
+        )
+        tmp = os.path.join(root, f"_compact_tmp_{tag}")
+        spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+        for d in dirs:
+            shutil.rmtree(d)
+        os.replace(tmp, os.path.join(root, f"batch=c{tag}"))
 
 
 def streaming_exact_dedup(stream: DataFrame, cfg: DedupConfig | None = None,

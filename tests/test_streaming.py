@@ -197,3 +197,50 @@ def test_near_dup_process_replay_idempotent(spark, timed_transcripts, tmp_path):
     assert n_store1 == spark.read.parquet(store).count()
     assert p1[["conv_id_a", "conv_id_b", "match_kind"]].equals(
         p2[["conv_id_a", "conv_id_b", "match_kind"]])
+
+
+def test_incremental_band_store_is_per_batch(spark, timed_transcripts, tmp_path):
+    """The banded store persists each batch's OWN bands only — per-batch
+    banding work is proportional to the batch, never to stream lifetime
+    (the round-1 O(N^2)-lifetime rebuild is gone)."""
+    from pcompress_spark.operators.candidates import band_explode
+    from pcompress_spark.streaming.dedup_stream import _near_dup_process
+
+    batch_df = spark.createDataFrame(timed_transcripts)
+    sig = compute_signatures(assemble(batch_df), CFG)
+    half_a = sig.where(F.hash("conv_id") % 2 == 0).cache()
+    half_b = sig.subtract(half_a).cache()
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    _near_dup_process(half_a, 0, store=store, pairs_out=pairs, cfg=CFG)
+    _near_dup_process(half_b, 1, store=store, pairs_out=pairs, cfg=CFG)
+    for batch_id, half in ((0, half_a), (1, half_b)):
+        got = spark.read.parquet(f"{store}_bands/batch={batch_id}").count()
+        want = band_explode(half, CFG).count()
+        assert got == want, f"batch {batch_id}: band store {got} != own bands {want}"
+
+
+def test_compact_near_dup_store(spark, timed_transcripts, tmp_path):
+    from pcompress_spark.streaming.dedup_stream import (
+        _near_dup_process, compact_near_dup_store)
+
+    batch_df = spark.createDataFrame(timed_transcripts)
+    sig = compute_signatures(assemble(batch_df), CFG)
+    half_a = sig.where(F.hash("conv_id") % 2 == 0).cache()
+    half_b = sig.subtract(half_a).cache()
+    wd = tmp_path / "wd"
+    store, pairs = str(wd / "sig_store"), str(wd / "pairs")
+    _near_dup_process(half_a, 0, store=store, pairs_out=pairs, cfg=CFG)
+    _near_dup_process(half_b, 1, store=store, pairs_out=pairs, cfg=CFG)
+    before_sig = spark.read.parquet(store).toPandas()
+    before_band = spark.read.parquet(store + "_bands").count()
+    compact_near_dup_store(spark, str(wd))
+    after_dirs = [d for d in os.listdir(store) if d.startswith("batch=")]
+    assert after_dirs == ["batch=c1"]
+    after_sig = spark.read.parquet(store).toPandas()
+    assert len(after_sig) == len(before_sig)
+    assert set(after_sig["conv_id"]) == set(before_sig["conv_id"])
+    assert spark.read.parquet(store + "_bands").count() == before_band
+    # a subsequent batch still probes the compacted store
+    extra = half_b.limit(5).withColumn("conv_id", F.concat(F.lit("re_"), "conv_id"))
+    _near_dup_process(extra, 2, store=store, pairs_out=pairs, cfg=CFG)
+    assert spark.read.parquet(store).count() == len(after_sig) + 5
