@@ -235,6 +235,57 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
     return (pairs, stats) if with_stats else pairs
 
 
+# routes per content class — the D6 adaptive-algorithm dispatch made real:
+# shingling/MinHash is wasted work on empty docs and misleading on numeric
+# blobs (digit-run shingles collide pathologically), so those classes take
+# the exact-hash path only, exactly like the reference skipping dedup-
+# unfriendly filters per detected type
+# (/root/reference/adaptive_compress.c:255-335).
+CLASS_ROUTES = {
+    "empty": "exact_only",
+    "numeric": "exact_only",
+    "airy": "shingle",
+    "dense": "shingle",
+}
+
+
+def route_docs(docs: DataFrame) -> DataFrame:
+    """Adds (content_class, route) columns from the shared census
+    classifier. Pure JVM; the routing decision itself is driver-checkable
+    (see the doc_routed_dedup query)."""
+    from .text import content_class_col
+
+    route = F.lit(None).cast("string")
+    expr = None
+    for klass, r in CLASS_ROUTES.items():
+        cond = content_class_col() == klass
+        expr = F.when(cond, r) if expr is None else expr.when(cond, r)
+    return docs.withColumn("content_class", content_class_col()).withColumn(
+        "route", expr
+    )
+
+
+def routed_lsh_pairs(
+    docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    threshold: float = 0.3,
+    with_stats: bool = False,
+):
+    """minhash_lsh_pairs restricted to the shingle-routed classes — the
+    exact_only classes contribute nothing to the expensive signature UDF
+    and LSH shuffle (they are covered completely by exact_dup_groups).
+    Returns the same pair schema; with_stats adds per-route doc counts."""
+    routed = route_docs(docs)
+    shingled = routed.where(F.col("route") == "shingle").drop(
+        "content_class", "route"
+    )
+    pairs = minhash_lsh_pairs(shingled, cfg, threshold)
+    if not with_stats:
+        return pairs
+    stats = routed.groupBy("route").agg(F.count(F.lit(1)).alias("n_docs"))
+    return pairs, stats
+
+
 def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Embedding near-dup: pairs with cosine similarity >= threshold.
     Brute-force O(n^2) form (oracle-checkable); ANN/LSH variant lives in

@@ -124,26 +124,31 @@ def bpe_ish_token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def content_census(docs: DataFrame) -> DataFrame:
-    """Dataset-type census: classify each document by character-class
-    ratios and count per (lang, content_class) — the analog of the
-    reference's byte-histogram TEXT/BINARY/XML classifier with its fixed
-    percentage thresholds (/root/reference/filters/analyzer/analyzer.c:33-98).
-    Pure JVM expressions; exact SQL twin in the oracle."""
-    lower = F.lower(F.col("text"))
+def content_class_col(col: str | Column = "text") -> Column:
+    """Per-document content class from character-class ratios — the analog
+    of the reference's byte-histogram TEXT/BINARY/XML classifier with its
+    fixed percentage thresholds
+    (/root/reference/filters/analyzer/analyzer.c:33-98). Shared by the
+    census query AND the D6 routing path (doc_dedup.route_docs)."""
+    lower = F.lower(F.col(col) if isinstance(col, str) else col)
     total = F.length(lower)
     digits = F.length(F.regexp_replace(lower, "[^0-9]", ""))
     spaces = F.length(F.regexp_replace(lower, "[^ ]", ""))
     digit_ratio = F.when(total > 0, digits.cast("double") / total).otherwise(0.0)
     space_ratio = F.when(total > 0, spaces.cast("double") / total).otherwise(0.0)
-    klass = (
+    return (
         F.when(total == 0, "empty")
         .when(digit_ratio > 0.10, "numeric")
         .when(space_ratio > 0.25, "airy")
         .otherwise("dense")
     )
+
+
+def content_census(docs: DataFrame) -> DataFrame:
+    """Dataset-type census: count documents per (lang, content_class).
+    Pure JVM expressions; exact SQL twin in the oracle."""
     return (
-        docs.select("lang", klass.alias("content_class"))
+        docs.select("lang", content_class_col().alias("content_class"))
         .groupBy("lang", "content_class")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
