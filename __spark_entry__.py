@@ -169,13 +169,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk_lsh"] = ann_topk_lsh
     q["ann_topk_ivf"] = ann_topk_ivf
 
-    # ---- multimodal plumbing (binary payload -> feature vector, stubbed
-    # decode; deterministic synthetic media, independent of sf_dir) ----
+    # ---- multimodal plumbing (binary payload -> content hash + feature;
+    # real in-tree PNM decode for images, declared stub for audio/video;
+    # deterministic parquet-backed media fixture, independent of sf_dir) ----
     def multimodal_features(spark, sf_dir):
-        from pcompress_spark.functions.multimodal import extract_features, synthetic_media
-        feats = extract_features(synthetic_media(spark, n=64, seed=42), decode_stub=True)
+        from pcompress_spark.functions.multimodal import extract_features, load_media
+        feats = extract_features(load_media(spark, n=64, seed=42), decode_stub=True)
         return feats.select(
-            "media_id", "kind", "payload_sha_like",
+            "media_id", "kind", "payload_sha_like", "decoded",
             F.round(F.element_at("feature", 1), 6).alias("feat_0"),
             F.size("feature").cast("long").alias("feat_dim"),
         )
@@ -226,6 +227,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return verify_substring_pairs(tabs["substring_pairs"], asm, CFG)
 
     q["tr_substring_verified"] = tr_substring_verified
+
+    # ---- S3 analog: multi-source union scan with provenance ----
+    def tr_provenance_dedup(spark, sf_dir):
+        """Exact dedup across several sources with per-group provenance:
+        which content exists in how many sources, and who represents it.
+        The reference tags every archive member with its origin
+        (/root/reference/archive/pc_archive.c:108-110); real multi-crawl
+        pipelines dedup across dumps exactly like this."""
+        from pcompress_spark.sources.tables import load_transcripts_multi
+
+        t = load_transcripts_multi(spark, sf_dir)
+        asm = assemble(t)
+        norm = F.trim(F.regexp_replace(F.lower("doc_text"), "[^a-z0-9]+", " "))
+        return (
+            asm.select(
+                "conv_id",
+                F.substring_index("conv_id", "/", 1).alias("source"),
+                F.sha2(norm, 256).alias("content_hash"),
+            )
+            .groupBy("content_hash")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_copies"),
+                F.countDistinct("source").cast("long").alias("n_sources"),
+                F.min("conv_id").alias("rep_conv_id"),
+            )
+        )
+
+    q["tr_provenance_dedup"] = tr_provenance_dedup
+
+    # ---- D6 routing: per-content-class algorithm dispatch ----
+    def doc_routed_dedup(spark, sf_dir):
+        """The routing DECISION table (class -> exact_only | shingle);
+        routed_lsh_pairs applies it (numeric/empty docs skip the signature
+        UDF and LSH shuffle entirely — reference analog
+        /root/reference/adaptive_compress.c:255-335)."""
+        routed = doc_dedup.route_docs(load_table(spark, sf_dir, "documents"))
+        return routed.select("doc_id", "content_class", "route")
+
+    q["doc_routed_dedup"] = doc_routed_dedup
     return q
 
 
@@ -234,6 +274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from pcompress_spark import oracle_queries as oq
+    from pcompress_spark.functions.multimodal import media_fixture_path
+
     tr = _tr_parquet("/root/testdata/sf0.01")  # driver compares at sf0.01
     norm_doc = _NORM.format(x=_DOC_AGG)
     words = (
@@ -465,6 +508,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
     """
+    # ---- kernel-twin oracles (oracle_queries composes the DuckDB macros
+    # that reproduce splitmix64/FNV/Horner/OPH/SimHash bit-for-bit) ----
+    o["doc_fingerprints"] = oq.doc_fingerprints_sql(k=5, keep=16)
+    o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
+    o["doc_simhash_pairs"] = oq.doc_simhash_sql(max_hamming=6, k=3)
+    o["tr_near_pairs"] = oq.tr_near_pairs_sql(tr, CFG)
+    o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)
+    o["tr_dedup_view"] = oq.tr_dedup_view_sql(tr, CFG)
+    o["tr_substring_pairs"] = oq.tr_substring_pairs_sql(tr, CFG)
+    o["tr_substring_verified"] = oq.tr_substring_verified_sql(tr, CFG)
+    o["ann_topk_lsh"] = oq.ann_lsh_sql(k=5)
+    o["ann_topk_ivf"] = oq.ann_ivf_sql(k=5)
+    o["multimodal_features"] = oq.multimodal_sql(media_fixture_path(n=64, seed=42))
+
+    # ---- provenance (multi-source union) ----
+    from pcompress_spark.sources.tables import multi_source_paths
+
+    srcs = multi_source_paths("/root/testdata/sf0.01")
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT '{tag}/' || conv_id AS conv_id, '{tag}' AS source, turn_idx, text "
+        f"FROM read_parquet('{path}')"
+        for tag, path in srcs
+    )
+    o["tr_provenance_dedup"] = f"""
+        WITH u AS (
+        {union}
+        ), asm AS (
+            SELECT conv_id, source, {_DOC_AGG} AS doc_text
+            FROM u GROUP BY conv_id, source
+        )
+        SELECT sha256({_NORM.format(x='doc_text')}) AS content_hash,
+               count(*)::BIGINT AS n_copies,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               min(conv_id) AS rep_conv_id
+        FROM asm GROUP BY 1
+    """
+
+    o["doc_routed_dedup"] = """
+        WITH cls AS (
+            SELECT doc_id,
+                   CASE WHEN length(lower(text)) = 0 THEN 'empty'
+                        WHEN length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
+                             / length(lower(text)) > 0.10 THEN 'numeric'
+                        WHEN length(regexp_replace(lower(text), '[^ ]', '', 'g'))::DOUBLE
+                             / length(lower(text)) > 0.25 THEN 'airy'
+                        ELSE 'dense' END AS content_class
+            FROM documents
+        )
+        SELECT doc_id, content_class,
+               CASE WHEN content_class IN ('empty', 'numeric')
+                    THEN 'exact_only' ELSE 'shingle' END AS route
+        FROM cls
+    """
+
     o["events_sessionize"] = """
         WITH flagged AS (
             SELECT user_id,

@@ -1,0 +1,548 @@
+"""Full DuckDB oracle queries for every hash-bearing Spark query.
+
+Composes the kernel-twin statement builders from oracle_sql.py into
+self-contained multi-statement SQL scripts (macro prelude + TEMP TABLE
+staging + one final SELECT) that the driver's correctness gate can run
+verbatim against the same parquet inputs. Column names/aliases match the
+Spark queries exactly.
+
+Why statements instead of one big WITH: DuckDB inlines plain CTEs (every
+reference re-evaluates the chain) and parallelizes pipelines over base-
+table row groups — a million-token chain rooted at a 1000-row CTE runs
+near single-threaded. TEMP TABLE staging fixed the transcript signature
+chain from ~170 s to a few seconds at sf0.01."""
+
+from __future__ import annotations
+
+from .config import DedupConfig
+from . import oracle_sql as osql
+
+_H = "::HUGEINT"
+
+_NORM = "trim(regexp_replace(lower({x}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _script(*parts: str) -> str:
+    return osql.PRELUDE + "\n" + "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# shared bucket -> candidate-pair statement (engine bucket_members twin:
+# hot-bucket salting by pymod(salt, ceil(m/cap)), sort-by-member cap, >= 2)
+# ---------------------------------------------------------------------------
+
+def _bucket_pair_stmt(bands_table: str, cap: int, out: str = "cand") -> str:
+    """``{bands_table}`` must provide (mem, salt, band_idx, key). Creates
+    TEMP TABLE ``{out}`` (ma, mb distinct pairs, ma < mb in member order)."""
+    return f"""
+CREATE OR REPLACE TEMP TABLE {out} AS
+WITH bsize_ AS (SELECT band_idx, key, count(*) AS m FROM {bands_table}
+                GROUP BY band_idx, key),
+bkept_ AS (SELECT bd.mem, bd.band_idx, bd.key
+           FROM {bands_table} bd
+           JOIN bsize_ s ON s.band_idx = bd.band_idx AND s.key = bd.key
+           WHERE s.m <= {cap} OR pymod(bd.salt, (s.m + {cap - 1}) // {cap}) = 0),
+bcap_ AS (SELECT band_idx, key, list_sort(list(mem))[1 : {cap}] AS ids
+          FROM bkept_ GROUP BY band_idx, key HAVING count(*) >= 2)
+SELECT DISTINCT pr['a'] AS ma, pr['b'] AS mb FROM (
+    SELECT unnest(flatten(list_transform(range(1, len(ids) + 1), i ->
+        list_transform(range(i + 1, len(ids) + 1), j ->
+            {{'a': ids[i], 'b': ids[j]}})))) AS pr
+    FROM bcap_);
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents-table oracles
+# ---------------------------------------------------------------------------
+
+def _doc_sig_stmts(k: int, with_minhash: bool, with_simhash: bool,
+                   cfg: DedupConfig) -> str:
+    """TEMP TABLE ``dsig`` over ALL documents (engine parity: docs below
+    the shingle floor keep sh = [] and the sentinel simhash — the SimHash
+    path bands them, the MinHash path filters len(sh) > 0)."""
+    parts = [
+        osql.token_stmts("t", "documents", "doc_id", "text",
+                         cfg.max_token_chars),
+        osql.shingle_stmts("t", "ttok", k),
+    ]
+    cols = ["d.doc_id AS sid", "coalesce(s.sh, []) AS sh"]
+    joins = (" LEFT JOIN (SELECT sid, list(sh ORDER BY sh) AS sh FROM tshd "
+             "GROUP BY sid) s ON s.sid = d.doc_id")
+    if with_minhash:
+        parts.append(osql.minhash_stmts("m", "tshd", cfg.num_perm, cfg.seed))
+        cols.append("m.mh")
+        joins += " LEFT JOIN mmh m ON m.sid = d.doc_id"
+    if with_simhash:
+        parts.append(osql.simhash_stmts("x", "tshd", cfg.simhash_sample))
+        cols.append(f"coalesce(x.simh, {osql.EMPTY_SENTINEL}{_H}) AS simh")
+        joins += " LEFT JOIN xsimh x ON x.sid = d.doc_id"
+    parts.append(f"""
+CREATE OR REPLACE TEMP TABLE dih AS
+{osql.smix_chain(['sid'], 'unsig(sid)', 'idh',
+                 '(SELECT doc_id AS sid FROM documents)')};
+CREATE OR REPLACE TEMP TABLE dsig AS
+SELECT {', '.join(cols)}, i.idh
+FROM documents d{joins} JOIN dih i ON i.sid = d.doc_id;
+""")
+    return "\n".join(parts)
+
+
+def doc_fingerprints_sql(k: int = 5, keep: int = 16) -> str:
+    return _script(
+        osql.token_stmts("t", "documents", "doc_id", "text"),
+        osql.shingle_stmts("t", "ttok", k),
+        f"""
+WITH fp_ AS (
+    SELECT sid, sh, row_number() OVER (PARTITION BY sid ORDER BY sh) AS rank
+    FROM tshd)
+SELECT sid::BIGINT AS doc_id, rank::BIGINT AS rank, tobig(sh) AS fp
+FROM fp_ WHERE rank <= {keep}""",
+    )
+
+
+def doc_minhash_lsh_sql(k: int = 3, threshold: float = 0.3,
+                        cfg: DedupConfig | None = None) -> str:
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    r = cfg.rows
+    return _script(
+        _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE bands AS
+SELECT sid AS mem, tobig(idh) AS salt, b.b AS band_idx,
+       mh[b.b * {r} + 1 : b.b * {r} + {r}] AS key
+FROM dsig CROSS JOIN (SELECT unnest(range(0, {cfg.bands}))::INT AS b) b
+WHERE len(sh) > 0;""",
+        _bucket_pair_stmt("bands", cfg.bucket_cap),
+        f"""
+WITH ver_ AS (SELECT c.ma, c.mb, len(a.sh) AS la, len(b.sh) AS lb,
+                     len(list_intersect(a.sh, b.sh)) AS inter
+              FROM cand c JOIN dsig a ON a.sid = c.ma
+              JOIN dsig b ON b.sid = c.mb),
+ver2_ AS (SELECT ma, mb,
+                 CASE WHEN la + lb - inter > 0
+                      THEN inter::DOUBLE / (la + lb - inter) ELSE 1.0 END AS jac
+          FROM ver_)
+SELECT ma::BIGINT AS doc_id_a, mb::BIGINT AS doc_id_b, round(jac, 6) AS jaccard
+FROM ver2_ WHERE round(jac, 6) >= {threshold}""",
+    )
+
+
+def doc_simhash_sql(max_hamming: int = 6, k: int = 3,
+                    cfg: DedupConfig | None = None) -> str:
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    n_segs = 8
+    seg_pairs = [(i, j) for i in range(n_segs) for j in range(i + 1, n_segs)]
+    vals = ", ".join(f"({p}, {i}, {j})" for p, (i, j) in enumerate(seg_pairs))
+    return _script(
+        _doc_sig_stmts(k, with_minhash=False, with_simhash=True, cfg=cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE bands AS
+SELECT d.sid AS mem, tobig(d.idh) AS salt, sp.p AS band_idx,
+       (rsh64(d.simh, sp.i * 8) % 256) * 256
+       + (rsh64(d.simh, sp.j * 8) % 256) AS key
+FROM dsig d CROSS JOIN (VALUES {vals}) sp(p, i, j);""",
+        _bucket_pair_stmt("bands", cfg.bucket_cap),
+        f"""
+WITH ver_ AS (SELECT c.ma, c.mb,
+                     bit_count(xor(tobig(a.simh), tobig(b.simh)))::BIGINT AS hamming
+              FROM cand c JOIN dsig a ON a.sid = c.ma
+              JOIN dsig b ON b.sid = c.mb)
+SELECT ma::BIGINT AS doc_id_a, mb::BIGINT AS doc_id_b, hamming
+FROM ver_ WHERE hamming <= {max_hamming}""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# transcript-pipeline oracles
+# ---------------------------------------------------------------------------
+
+def _tr_sig_stmts(tr_path: str, cfg: DedupConfig) -> str:
+    """TEMP TABLE ``tsig`` (conv_id, ih signed, chash, sh list, mh list)
+    for ALL conversations (empty docs carry sh = []); plus the token /
+    shingle staging tables (ttok, tshr, tshd) downstream oracles reuse."""
+    norm = _NORM.format(x="doc_text")
+    return "\n".join([
+        f"""
+CREATE OR REPLACE TEMP TABLE asm AS
+SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+FROM read_parquet('{tr_path}') GROUP BY conv_id;""",
+        osql.token_stmts("t", "asm", "conv_id", "doc_text",
+                         cfg.max_token_chars),
+        osql.shingle_stmts("t", "ttok", cfg.shingle_k),
+        osql.minhash_stmts("m", "tshd", cfg.num_perm, cfg.seed),
+        f"""
+CREATE OR REPLACE TEMP TABLE tih AS
+{osql.smix_chain(['conv_id'],
+                 f'fnv_raw(left(conv_id, {cfg.max_token_chars}))', 'idh',
+                 'asm')};
+CREATE OR REPLACE TEMP TABLE tsig AS
+SELECT a.conv_id, tobig(i.idh) AS ih, sha256({norm}) AS chash,
+       coalesce(s.sh, []) AS sh, m.mh
+FROM asm a
+JOIN tih i USING (conv_id)
+LEFT JOIN (SELECT sid, list(sh ORDER BY sh) AS sh FROM tshd GROUP BY sid) s
+  ON s.sid = a.conv_id
+LEFT JOIN mmh m ON m.sid = a.conv_id;""",
+    ])
+
+
+def _tr_pairs_stmts(tr_path: str, cfg: DedupConfig) -> str:
+    """Adds TEMP TABLE ``allpairs`` — the verified-pairs twin (LSH
+    candidates -> est-jaccard prefilter -> exact shingle jaccard; exact
+    star from content-hash groups)."""
+    r = cfg.rows
+    return "\n".join([
+        _tr_sig_stmts(tr_path, cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE bands AS
+SELECT ih AS mem, ih AS salt, b.b AS band_idx,
+       mh[b.b * {r} + 1 : b.b * {r} + {r}] AS key
+FROM tsig CROSS JOIN (SELECT unnest(range(0, {cfg.bands}))::INT AS b) b
+WHERE len(sh) > 0;""",
+        _bucket_pair_stmt("bands", cfg.bucket_cap),
+        f"""
+CREATE OR REPLACE TEMP TABLE allpairs AS
+WITH ver_ AS (SELECT a.conv_id AS ca, b.conv_id AS cb, a.chash AS cha,
+                     b.chash AS chb,
+                     len(list_filter(range(1, {cfg.num_perm} + 1),
+                                     i -> a.mh[i] = b.mh[i])) AS nmatch,
+                     len(a.sh) AS la, len(b.sh) AS lb,
+                     len(list_intersect(a.sh, b.sh)) AS inter
+              FROM cand c JOIN tsig a ON a.ih = c.ma
+              JOIN tsig b ON b.ih = c.mb),
+ver2_ AS (SELECT *, CASE WHEN la + lb - inter > 0
+                         THEN inter::DOUBLE / (la + lb - inter)
+                         ELSE 1.0 END AS jac
+          FROM ver_),
+near_ AS (SELECT least(ca, cb) AS conv_id_a, greatest(ca, cb) AS conv_id_b,
+                 jac AS jaccard, 'near' AS match_kind
+          FROM ver2_
+          WHERE cha != chb
+            AND nmatch::DOUBLE / {cfg.num_perm} >= {cfg.minhash_prefilter}
+            AND jac >= {cfg.jaccard_threshold}),
+exact_ AS (SELECT rep AS conv_id_a, conv_id AS conv_id_b,
+                  1.0 AS jaccard, 'exact' AS match_kind
+           FROM (SELECT conv_id, chash,
+                        min(conv_id) OVER (PARTITION BY chash) AS rep,
+                        count(*) OVER (PARTITION BY chash) AS n
+                 FROM tsig)
+           WHERE n > 1 AND conv_id != rep)
+SELECT * FROM near_ UNION ALL SELECT * FROM exact_;""",
+    ])
+
+
+def tr_near_pairs_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
+    cfg = cfg or DedupConfig()
+    return _script(
+        _tr_pairs_stmts(tr_path, cfg),
+        """
+SELECT conv_id_a, conv_id_b, round(jaccard, 6) AS jaccard, match_kind
+FROM allpairs""",
+    )
+
+
+def _tr_clusters_stmts(tr_path: str, cfg: DedupConfig) -> str:
+    """Adds TEMP TABLE ``clusters`` (conv_id, cluster_id = min conv_id of
+    the transitive closure over allpairs) via recursive reachability over
+    the (tiny, materialized) symmetric edge table."""
+    return "\n".join([
+        _tr_pairs_stmts(tr_path, cfg),
+        """
+CREATE OR REPLACE TEMP TABLE sym AS
+SELECT conv_id_a AS a, conv_id_b AS b FROM allpairs
+UNION
+SELECT conv_id_b AS a, conv_id_a AS b FROM allpairs;
+CREATE OR REPLACE TEMP TABLE clusters AS
+WITH RECURSIVE reach(src, dst) AS (
+    SELECT conv_id, conv_id FROM tsig
+    UNION
+    SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+SELECT src AS conv_id, min(dst) AS cluster_id FROM reach GROUP BY src;""",
+    ])
+
+
+def tr_clusters_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
+    cfg = cfg or DedupConfig()
+    return _script(
+        _tr_clusters_stmts(tr_path, cfg),
+        "SELECT conv_id, cluster_id FROM clusters",
+    )
+
+
+def tr_dedup_view_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
+    cfg = cfg or DedupConfig()
+    return _script(
+        _tr_clusters_stmts(tr_path, cfg),
+        f"""
+SELECT t.conv_id, t.turn_idx, t.role, t.text
+FROM read_parquet('{tr_path}') t
+JOIN clusters c ON c.conv_id = t.conv_id AND c.cluster_id = t.conv_id""",
+    )
+
+
+def _tr_substring_stmts(tr_path: str, cfg: DedupConfig) -> str:
+    """Adds TEMP TABLE ``subpairs`` (conv_id_a, conv_id_b lexicographic,
+    n_windows): window-fingerprint buckets (id_hash sorted-cap) minus
+    verified pairs."""
+    return "\n".join([
+        _tr_pairs_stmts(tr_path, cfg),
+        osql.window_stmts("w", "tshr", cfg.shingle_k, cfg.substring_window,
+                          cfg.substring_stride),
+        f"""
+CREATE OR REPLACE TEMP TABLE subpairs AS
+WITH wrows_ AS (SELECT t.ih AS mem, w.wh
+                FROM wwin w JOIN tsig t ON t.conv_id = w.sid),
+wsize_ AS (SELECT wh, count(*) AS m FROM wrows_ GROUP BY wh),
+wcap_ AS (SELECT w.wh, list_sort(list(w.mem))[1 : {cfg.bucket_cap}] AS ids
+          FROM wrows_ w JOIN wsize_ s ON s.wh = w.wh
+          GROUP BY w.wh HAVING count(*) >= 2),
+wpair_ AS (SELECT pr['a'] AS ma, pr['b'] AS mb, count(*) AS n_windows FROM (
+    SELECT unnest(flatten(list_transform(range(1, len(ids) + 1), i ->
+        list_transform(range(i + 1, len(ids) + 1), j ->
+            {{'a': ids[i], 'b': ids[j]}})))) AS pr
+    FROM wcap_) GROUP BY ma, mb
+    HAVING count(*) >= {cfg.substring_min_windows})
+SELECT least(a.conv_id, b.conv_id) AS conv_id_a,
+       greatest(a.conv_id, b.conv_id) AS conv_id_b,
+       p.n_windows
+FROM wpair_ p JOIN tsig a ON a.ih = p.ma JOIN tsig b ON b.ih = p.mb
+WHERE NOT EXISTS (
+    SELECT 1 FROM allpairs v
+    WHERE v.conv_id_a = least(a.conv_id, b.conv_id)
+      AND v.conv_id_b = greatest(a.conv_id, b.conv_id));""",
+    ])
+
+
+def tr_substring_pairs_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
+    cfg = cfg or DedupConfig()
+    return _script(
+        _tr_substring_stmts(tr_path, cfg),
+        "SELECT conv_id_a, conv_id_b, n_windows FROM subpairs",
+    )
+
+
+_BS_ITERS = 22  # covers least(na, nb) up to 2^22 tokens; converged rows no-op
+
+
+def _bs_iter_stmt(t: int) -> str:
+    """One unrolled binary-search iteration (kernels.longest_common_run
+    twin). The probe — 'do the two convs share ANY common token run of
+    length mid?' — is row-based: explode each side's windows of length mid
+    (prefix-hash reconstruction, one row per start position) and hash-join
+    on (pair, window hash). The earlier recursive-CTE form used
+    list_has_any over two ~n-element lists per pair per iteration (O(n^2)
+    per probe) and took >10 min at sf0.01; this is O(n) rows per probe."""
+    return f"""
+CREATE OR REPLACE TEMP TABLE bs{t} AS
+WITH alive_ AS (
+    SELECT conv_id_a, conv_id_b, lo, hi, (lo + hi + 1) // 2 AS mid
+    FROM bs{t - 1} WHERE lo < hi),
+aw_ AS (SELECT a.conv_id_a, a.conv_id_b,
+               unnest(list_transform(range(1, p.na - a.mid + 2),
+                   i -> submod(p.pa[i + a.mid], mulmod(p.pa[i], w.pp)))) AS wh
+        FROM alive_ a
+        JOIN pairpre p USING (conv_id_a, conv_id_b)
+        JOIN ppw w ON w.i = a.mid),
+bw_ AS (SELECT a.conv_id_a, a.conv_id_b,
+               unnest(list_transform(range(1, p.nb - a.mid + 2),
+                   i -> submod(p.pb[i + a.mid], mulmod(p.pb[i], w.pp)))) AS wh
+        FROM alive_ a
+        JOIN pairpre p USING (conv_id_a, conv_id_b)
+        JOIN ppw w ON w.i = a.mid),
+hit_ AS (SELECT DISTINCT a.conv_id_a, a.conv_id_b
+         FROM aw_ a JOIN bw_ b
+           ON b.conv_id_a = a.conv_id_a AND b.conv_id_b = a.conv_id_b
+          AND b.wh = a.wh)
+SELECT s.conv_id_a, s.conv_id_b,
+       CASE WHEN h.conv_id_a IS NOT NULL THEN s.mid ELSE s.lo END AS lo,
+       CASE WHEN h.conv_id_a IS NOT NULL THEN s.hi ELSE s.mid - 1 END AS hi
+FROM alive_ s LEFT JOIN hit_ h USING (conv_id_a, conv_id_b)
+UNION ALL
+SELECT conv_id_a, conv_id_b, lo, hi FROM bs{t - 1} WHERE lo >= hi;"""
+
+
+def tr_substring_verified_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
+    """subpairs + exact longest-common-token-run via rolling-hash binary
+    search (kernels.longest_common_run twin), unrolled into {_BS_ITERS}
+    temp-table iterations halving (lo, hi] per pair."""
+    cfg = cfg or DedupConfig()
+    return _script(
+        _tr_substring_stmts(tr_path, cfg),
+        osql.prefix_stmts("p", "ttok"),
+        """
+CREATE OR REPLACE TEMP TABLE pairpre AS
+SELECT s.conv_id_a, s.conv_id_b, s.n_windows,
+       pa.pref AS pa, pa.n AS na, pb.pref AS pb, pb.n AS nb
+FROM subpairs s
+JOIN ppref pa ON pa.sid = s.conv_id_a
+JOIN ppref pb ON pb.sid = s.conv_id_b;
+CREATE OR REPLACE TEMP TABLE bs0 AS
+SELECT conv_id_a, conv_id_b, 0::BIGINT AS lo, least(na, nb)::BIGINT AS hi
+FROM pairpre;""",
+        *[_bs_iter_stmt(t) for t in range(1, _BS_ITERS + 1)],
+        f"""
+SELECT p.conv_id_a, p.conv_id_b, p.n_windows,
+       coalesce(f.lo, 0)::BIGINT AS lcs_tokens
+FROM pairpre p
+LEFT JOIN bs{_BS_ITERS} f
+  ON f.conv_id_a = p.conv_id_a AND f.conv_id_b = p.conv_id_b""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN oracles
+# ---------------------------------------------------------------------------
+
+_FOLD_SUM = "list_reduce(list_prepend(0.0, {xs}), (a, x) -> a + x)"
+
+
+def _emb_norm_stmt(name: str = "nrm") -> str:
+    sq = _FOLD_SUM.format(xs="list_transform(v, x -> x * x)")
+    return f"""
+CREATE OR REPLACE TEMP TABLE {name} AS
+SELECT vec_id, v, sqrt({sq}) AS nv FROM (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+    FROM embeddings);
+"""
+
+
+def _dot(a: str, b: str, dim: int) -> str:
+    return _FOLD_SUM.format(
+        xs=f"list_transform(range(1, {dim} + 1), i -> {a}[i] * {b}[i])")
+
+
+def ann_lsh_sql(k: int = 5, n_planes: int = 6, n_tables: int = 8,
+                dim: int = 64, seed: int = 42) -> str:
+    c = (seed * 0x9E37) % osql.M64
+    total = n_tables * n_planes * dim
+    dot = _dot("n.v", "pl.coefs", dim)
+    return _script(
+        f"""
+CREATE OR REPLACE TEMP TABLE planes AS
+WITH pe_ AS ({osql.smix_chain(['idx'], f'(idx + {c}{_H}) % {osql.M64}{_H}', 'u',
+                              f'(SELECT unnest(range(0, {total})) AS idx)')})
+SELECT (idx // {n_planes * dim})::INT AS t,
+       ((idx % {n_planes * dim}) // {dim})::INT AS p,
+       list(u::DOUBLE / 9223372036854775808.0 - 1.0
+            ORDER BY idx % {dim}) AS coefs
+FROM pe_ GROUP BY 1, 2;""",
+        _emb_norm_stmt(),
+        f"""
+CREATE OR REPLACE TEMP TABLE sigs AS
+SELECT n.vec_id, pl.t,
+       sum(CASE WHEN {dot} >= 0 THEN (1 << pl.p) ELSE 0 END)::BIGINT AS bucket
+FROM nrm n CROSS JOIN planes pl
+GROUP BY n.vec_id, pl.t;""",
+        f"""
+WITH qids_ AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0),
+cand_ AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM sigs q JOIN qids_ USING (vec_id)
+          JOIN sigs c ON c.t = q.t AND c.bucket = q.bucket
+          WHERE c.vec_id != q.vec_id),
+scored_ AS (SELECT cd.query_id, cd.neighbor_id,
+                   round(CASE WHEN a.nv > 0 AND b.nv > 0
+                         THEN {_dot("a.v", "b.v", dim)} / (a.nv * b.nv)
+                         ELSE 0.0 END, 6) AS cosine
+            FROM cand_ cd
+            JOIN nrm a ON a.vec_id = cd.query_id
+            JOIN nrm b ON b.vec_id = cd.neighbor_id)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+FROM scored_ QUALIFY rank <= {k}""",
+    )
+
+
+def ann_ivf_sql(k: int = 5, n_cells: int = 16, n_probe: int = 4,
+                dim: int = 64) -> str:
+    return _script(
+        _emb_norm_stmt(),
+        f"""
+CREATE OR REPLACE TEMP TABLE anchors AS
+WITH {osql.xxh64_long_ctes('r', 'nrm', ['vec_id'], 'vec_id', 'rk')}
+SELECT (row_number() OVER (ORDER BY tobig(x.rk)) - 1)::INT AS cell,
+       n.v AS av, n.nv AS an
+FROM rx5 x JOIN nrm n USING (vec_id)
+ORDER BY tobig(x.rk) LIMIT {n_cells};""",
+        f"""
+CREATE OR REPLACE TEMP TABLE ranked AS
+WITH cellscore_ AS (
+    SELECT n.vec_id, a.cell,
+           CASE WHEN a.an > 0 AND n.nv > 0
+                THEN {_dot("n.v", "a.av", dim)} / (a.an * n.nv)
+                ELSE -2.0 END AS score
+    FROM nrm n CROSS JOIN anchors a)
+SELECT vec_id, cell,
+       row_number() OVER (PARTITION BY vec_id
+                          ORDER BY score DESC, cell DESC) AS rc
+FROM cellscore_;""",
+        f"""
+WITH corpus_ AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rc = 1),
+probes_ AS (SELECT r.vec_id AS query_id, r.cell
+            FROM ranked r
+            JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
+              USING (vec_id)
+            WHERE r.rc <= {n_probe}),
+cand_ AS (SELECT DISTINCT p.query_id, c.neighbor_id
+          FROM probes_ p JOIN corpus_ c USING (cell)
+          WHERE p.query_id != c.neighbor_id),
+scored_ AS (SELECT cd.query_id, cd.neighbor_id,
+                   round(CASE WHEN a.nv > 0 AND b.nv > 0
+                         THEN {_dot("a.v", "b.v", dim)} / (a.nv * b.nv)
+                         ELSE 0.0 END, 6) AS cosine
+            FROM cand_ cd
+            JOIN nrm a ON a.vec_id = cd.query_id
+            JOIN nrm b ON b.vec_id = cd.neighbor_id)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+FROM scored_ QUALIFY rank <= {k}""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal oracle (reads the same deterministic media parquet)
+# ---------------------------------------------------------------------------
+
+def multimodal_sql(media_path: str, feature_dim: int = 32) -> str:
+    fnv_bytes = (f"list_reduce(list_prepend({osql.FNV_OFFSET}{_H}, "
+                 f"list_transform(bs, c -> (c + 1){_H})), "
+                 f"(h, c) -> (xor64(h, c) * {osql.FNV_PRIME}{_H}) % {osql.M64}{_H})")
+    return _script(
+        f"""
+CREATE OR REPLACE TEMP TABLE byts AS
+SELECT media_id, kind, width, height, nb,
+       list_transform(range(1, nb + 1), i ->
+           (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS bs
+FROM (SELECT media_id, kind, width, height,
+             hex(payload) AS hx, octet_length(payload) AS nb
+      FROM read_parquet('{media_path}'));""",
+        f"""
+CREATE OR REPLACE TEMP TABLE mchash AS
+{osql.smix_chain(['media_id', 'kind', 'width', 'height', 'nb', 'bs'],
+                 'fr', 'chash',
+                 f'(SELECT *, {fnv_bytes} AS fr FROM byts)')};""",
+        f"""
+WITH feat_ AS (
+    SELECT media_id, kind, chash,
+           kind = 'image' AS decoded,
+           CASE WHEN kind = 'image' THEN
+               -- P5 header 'P5\\n{{w}} {{h}}\\n255\\n' -> 9 + digits(w) + digits(h)
+               len(list_filter(
+                   bs[10 + length(width::VARCHAR) + length(height::VARCHAR) :
+                      9 + length(width::VARCHAR) + length(height::VARCHAR)
+                      + width * height],
+                   b -> b // 8 = 0))::DOUBLE / (width * height)
+           ELSE NULL END AS hist0
+    FROM mchash),
+sh_ AS ({osql.smix_chain(['media_id', 'kind', 'chash', 'decoded', 'hist0'],
+                         f'mulmod(chash, 2654435761{_H})', 'sh0', 'feat_')})
+SELECT media_id, kind, tobig(chash) AS payload_sha_like, decoded,
+       round((CASE WHEN decoded THEN hist0
+                   ELSE sh0::DOUBLE / 18446744073709551616.0
+              END)::FLOAT::DOUBLE, 6) AS feat_0,
+       {feature_dim}::BIGINT AS feat_dim
+FROM sh_""",
+    )

@@ -101,6 +101,196 @@ CREATE OR REPLACE TEMP MACRO rotl64(x, r) AS
 """
 
 
+# ---------------------------------------------------------------------------
+# statement builders (TEMP TABLE staging)
+#
+# DuckDB parallelizes pipelines over base-table row groups; a CTE chain
+# rooted at a 1000-row source (docs exploding to millions of token rows)
+# runs near single-threaded, and plain CTEs are re-evaluated per reference.
+# Each heavy stage therefore lands in a TEMP TABLE (CREATE OR REPLACE =
+# idempotent re-runs); the oracle strings are multi-statement scripts —
+# macro prelude, staging statements, one final SELECT.
+# ---------------------------------------------------------------------------
+
+def smix_chain(carry: list[str], expr: str, out: str, src: str) -> str:
+    """Inline WITH chain applying splitmix64 one stage per projection;
+    usable as the body of a CREATE TEMP TABLE ... AS."""
+    cols = ", ".join(carry)
+    return f"""WITH z0_ AS (SELECT {cols}, sm0({expr}) AS z0 FROM {src}),
+z1_ AS (SELECT {cols}, sm1(z0) AS z1 FROM z0_),
+z2_ AS (SELECT {cols}, sm2(z1) AS z2 FROM z1_)
+SELECT {cols}, sm3(z2) AS {out} FROM z2_"""
+
+
+def token_stmts(p: str, src_sql: str, sid_expr: str, text_expr: str,
+                max_token_chars: int = 64) -> str:
+    """TEMP TABLEs: ``{p}wl`` (sid, ws word list — all docs), ``{p}tok``
+    (sid, pos, th token-hash rows — docs with >= 1 token). Token hashes are
+    computed once per DISTINCT token text, then joined back (training-data
+    corpora repeat tokens heavily). Mirrors kernels.normalize_texts +
+    hash_tokens exactly."""
+    return f"""
+CREATE OR REPLACE TEMP TABLE {p}wl AS
+SELECT {sid_expr} AS sid, norm_words({text_expr}) AS ws FROM {src_sql};
+CREATE OR REPLACE TEMP TABLE {p}tokw AS
+SELECT sid, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w
+FROM {p}wl WHERE len(ws) > 0;
+CREATE OR REPLACE TEMP TABLE {p}dtok AS
+{smix_chain(['w'], f'fnv_raw(left(w, {max_token_chars}))', 'th',
+            f'(SELECT DISTINCT w FROM {p}tokw)')};
+CREATE OR REPLACE TEMP TABLE {p}tok AS
+SELECT t.sid, t.pos, d.th FROM {p}tokw t JOIN {p}dtok d USING (w);
+"""
+
+
+def _horner_lead_stmts(p: str, src_table: str, val_col: str, step: int,
+                       n_terms: int, out_table: str, out_col: str) -> str:
+    """Per-LEVEL TEMP TABLE statements computing, for every position, the
+    splitmix64-avalanched Horner combine of ``n_terms`` values spaced
+    ``step`` positions apart (kernels.shingle_hashes / window_hashes_flat).
+
+    One temp table per Horner level: DuckDB inlines single-use CTE chains
+    into ONE fused projection whose expression tree re-expands macro
+    arguments at every use — a k-level mulmod chain explodes ~4^k and a
+    6-level chain simply hangs. Table boundaries keep every level a flat,
+    vectorized, parallel pass (macro args are then plain column refs)."""
+    leads = ", ".join(
+        f"lead({val_col}, {j * step}) OVER {p}win AS t{j}" for j in range(1, n_terms)
+    )
+    stmts = [f"""
+CREATE OR REPLACE TEMP TABLE {p}l0 AS
+SELECT sid, pos, {val_col} AS h0, {leads} FROM {src_table}
+WINDOW {p}win AS (PARTITION BY sid ORDER BY pos);"""]
+    for j in range(1, n_terms):
+        rest = ", ".join(f"t{i}" for i in range(j + 1, n_terms))
+        rest = (", " + rest) if rest else ""
+        guard = f" WHERE t{n_terms - 1} IS NOT NULL" if j == 1 else ""
+        stmts.append(f"""
+CREATE OR REPLACE TEMP TABLE {p}l{j} AS
+SELECT sid, pos, (mulmod(h{j - 1}, {GOLD}{_H}) + t{j}) % {_M} AS h{j}{rest}
+FROM {p}l{j - 1}{guard};""")
+    stmts.append(f"""
+CREATE OR REPLACE TEMP TABLE {out_table} AS
+SELECT sid, pos, smix(h{n_terms - 1}) AS {out_col} FROM {p}l{n_terms - 1};""")
+    return "\n".join(stmts)
+
+
+def shingle_stmts(p: str, tok_table: str, k: int) -> str:
+    """TEMP TABLEs: ``{p}shr`` (sid, pos, sh positional shingle rows) and
+    ``{p}shd`` (sid, sh DISTINCT shingle rows). k-gram Horner combine via
+    lead() windows — no per-shingle list slicing, fully vectorized."""
+    return f"""
+{_horner_lead_stmts(p + "sg", tok_table, "th", 1, k, p + "shr", "sh")}
+CREATE OR REPLACE TEMP TABLE {p}shd AS
+SELECT DISTINCT sid, sh FROM {p}shr;
+"""
+
+
+def minhash_stmts(p: str, shd_table: str, num_perm: int = 128,
+                  seed: int = 42) -> str:
+    """TEMP TABLE ``{p}mh`` (sid, mh list of num_perm HUGEINTs) — OPH with
+    rotation densification (kernels.minhash_oph_flat), fill logic as in
+    minhash_ctes."""
+    if num_perm & (num_perm - 1):
+        raise ValueError("oph requires power-of-two num_perm")
+    shift = 64 - num_perm.bit_length() + 1
+    c_route = (seed * 0xD1B54A32D192ED03) % M64
+    c_val = (seed * 0x9E3779B1) % M64
+    return f"""
+CREATE OR REPLACE TEMP TABLE {p}rt AS
+{smix_chain(['sid', 's'], f'xor64(s, {c_route}{_H})', 'routed',
+            f'(SELECT sid, sh AS s FROM {shd_table})')};
+CREATE OR REPLACE TEMP TABLE {p}bm AS
+WITH v_ AS ({smix_chain(['sid', 'routed'], f'(s + {c_val}{_H}) % {_M}', 'val',
+                        f'(SELECT sid, routed, s FROM {p}rt)')})
+SELECT sid, rsh64(routed, {shift})::INT AS bin, min(val) AS mval
+FROM v_ GROUP BY sid, bin;
+CREATE OR REPLACE TEMP TABLE {p}mh AS
+WITH grid_ AS (
+    SELECT d.sid, g.bin, b.mval
+    FROM (SELECT DISTINCT sid FROM {p}bm) d
+    CROSS JOIN (SELECT unnest(range(0, {num_perm}))::INT AS bin) g
+    LEFT JOIN {p}bm b ON b.sid = d.sid AND b.bin = g.bin),
+fill_ AS (
+    SELECT sid, bin, coalesce(
+        mval,
+        last_value(mval IGNORE NULLS) OVER (
+            PARTITION BY sid ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        last_value(mval IGNORE NULLS) OVER (
+            PARTITION BY sid ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ) AS v
+    FROM grid_)
+SELECT sid, list(v ORDER BY bin) AS mh FROM fill_ GROUP BY sid;
+"""
+
+
+def simhash_stmts(p: str, shd_table: str, sample_cap: int = 512) -> str:
+    """TEMP TABLE ``{p}simh`` (sid, simh) — per-bit majority vote over the
+    bottom-``sample_cap`` distinct shingles, ties vote 1 (kernels
+    .simhash_flat). Docs with no shingles are absent (caller coalesces the
+    sentinel)."""
+    return f"""
+CREATE OR REPLACE TEMP TABLE {p}simh AS
+WITH capd_ AS (
+    SELECT sid, sh FROM (
+        SELECT sid, sh, row_number() OVER (PARTITION BY sid ORDER BY sh) AS rk
+        FROM {shd_table})
+    WHERE rk <= {sample_cap}),
+n_ AS (SELECT sid, count(*) AS n FROM capd_ GROUP BY sid),
+bits_ AS (
+    SELECT c.sid, b.b, sum((rsh64(c.sh, b.b) % 2)::BIGINT) AS cnt
+    FROM capd_ c CROSS JOIN (SELECT unnest(range(0, 64))::INT AS b) b
+    GROUP BY c.sid, b.b)
+SELECT t.sid,
+       sum(CASE WHEN 2 * t.cnt >= n_.n THEN 1{_H} << t.b ELSE 0{_H} END)
+       % {_M} AS simh
+FROM bits_ t JOIN n_ USING (sid) GROUP BY t.sid;
+"""
+
+
+def window_stmts(p: str, shr_table: str, k: int, window: int,
+                 stride: int) -> str:
+    """TEMP TABLE ``{p}win`` (sid, wh) — DISTINCT selected substring window
+    fingerprints (kernels.window_hashes_flat + stride selection), via
+    lead(sh, j*k) windows over positional shingle rows."""
+    if window % k:
+        raise ValueError("window must be a multiple of shingle_k")
+    nsub = window // k
+    return f"""
+{_horner_lead_stmts(p + "wg", shr_table, "sh", k, nsub, p + "winr", "wh")}
+CREATE OR REPLACE TEMP TABLE {p}win AS
+SELECT DISTINCT sid, wh FROM {p}winr WHERE wh % {stride} = 0;
+"""
+
+
+def prefix_stmts(p: str, tok_table: str) -> str:
+    """TEMP TABLEs: ``{p}pw`` (i, pp = GOLD^i, ip = GOLD^-i) and ``{p}pref``
+    (sid, n, pref list; pref[1] = 0) — kernels._prefix_hashes twin via the
+    inverse-power running-sum trick."""
+    return f"""
+CREATE OR REPLACE TEMP TABLE {p}pw AS
+WITH {p}irange AS (SELECT unnest(range(0,
+        (SELECT coalesce(max(n), 0) + 1
+         FROM (SELECT count(*) AS n FROM {tok_table} GROUP BY sid)))) AS i),
+{_pow_stage_ctes(p, p + "irange")}
+SELECT i, pp, ip FROM {p}pw;
+CREATE OR REPLACE TEMP TABLE {p}pref AS
+WITH wrow_ AS (SELECT t.sid, t.pos, mulmod(t.th, w.ip) AS wv
+               FROM {tok_table} t JOIN {p}pw w ON w.i = t.pos),
+srow_ AS (SELECT sid, pos,
+                 sum(wv) OVER (PARTITION BY sid ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 % {_M} AS sv
+          FROM wrow_),
+prow_ AS (SELECT s.sid, s.pos, mulmod(w.pp, s.sv) AS pv
+          FROM srow_ s JOIN {p}pw w ON w.i = s.pos)
+SELECT sid, count(*) AS n, list_prepend(0{_H}, list(pv ORDER BY pos)) AS pref
+FROM prow_ GROUP BY sid;
+"""
+
+
 def staged_smix(prefix: str, src: str, carry: list[str], expr: str, out: str) -> str:
     """CTE chain applying splitmix64 to ``expr`` one stage per projection.
 
@@ -125,7 +315,7 @@ def token_hash_ctes(p: str, src: str, sid_expr: str, text_expr: str,
                      fnv_raw(left(unnest(ws), {max_token_chars})) AS f0
               FROM {p}w WHERE len(ws) > 0),
     {staged_smix(p + "t", p + "tr", ["sid", "pos"], "f0", "th")},
-    {p}th AS (SELECT sid, list(th ORDER BY pos) AS th FROM {p}ts3 GROUP BY sid)"""
+    {p}th AS MATERIALIZED (SELECT sid, list(th ORDER BY pos) AS th FROM {p}ts3 GROUP BY sid)"""
 
 
 def shingle_ctes(p: str, src_th: str, k: int) -> str:
@@ -141,8 +331,8 @@ def shingle_ctes(p: str, src_th: str, k: int) -> str:
     {p}hr AS (SELECT sid, unnest(range(1, len(hv) + 1)) AS pos, unnest(hv) AS h0
               FROM {p}h0),
     {staged_smix(p + "g", p + "hr", ["sid", "pos"], "h0", "sh")},
-    {p}shp AS (SELECT sid, list(sh ORDER BY pos) AS shp FROM {p}gs3 GROUP BY sid),
-    {p}sh AS (SELECT sid, list_sort(list_distinct(shp)) AS sh FROM {p}shp)"""
+    {p}shp AS MATERIALIZED (SELECT sid, list(sh ORDER BY pos) AS shp FROM {p}gs3 GROUP BY sid),
+    {p}sh AS MATERIALIZED (SELECT sid, list_sort(list_distinct(shp)) AS sh FROM {p}shp)"""
 
 
 def minhash_ctes(p: str, src_sh: str, num_perm: int = 128, seed: int = 42) -> str:
@@ -165,7 +355,7 @@ def minhash_ctes(p: str, src_sh: str, num_perm: int = 128, seed: int = 42) -> st
     {staged_smix(p + "r", p + "ex", ["sid", "s"], f"xor64(s, {c_route}{_H})", "routed")},
     {staged_smix(p + "v", p + "rs3",
                  ["sid", "routed"], f"(s + {c_val}{_H}) % {_M}", "val")},
-    {p}bm AS (SELECT sid, rsh64(routed, {shift})::INT AS bin, min(val) AS mval
+    {p}bm AS MATERIALIZED (SELECT sid, rsh64(routed, {shift})::INT AS bin, min(val) AS mval
               FROM {p}vs3 GROUP BY sid, bin),
     {p}grid AS (
         SELECT d.sid, g.bin, b.mval
@@ -183,7 +373,7 @@ def minhash_ctes(p: str, src_sh: str, num_perm: int = 128, seed: int = 42) -> st
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ) AS v
         FROM {p}grid),
-    {p}mh AS (SELECT sid, list(v ORDER BY bin) AS mh FROM {p}fill GROUP BY sid)"""
+    {p}mh AS MATERIALIZED (SELECT sid, list(v ORDER BY bin) AS mh FROM {p}fill GROUP BY sid)"""
 
 
 def simhash_ctes(p: str, src_sh: str, sample_cap: int = 512) -> str:

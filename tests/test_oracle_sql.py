@@ -1,8 +1,8 @@
 """oracle_sql (DuckDB) vs kernels (numpy) — exact parity of the SQL twins.
 
-Every fragment in pcompress_spark/oracle_sql.py must reproduce the shared
-kernels bit-for-bit; these tests are the foundation the driver-facing
-oracle strings in __spark_entry__ stand on."""
+Every statement builder in pcompress_spark/oracle_sql.py must reproduce the
+shared kernels bit-for-bit; these tests are the foundation the driver-facing
+oracle scripts in __spark_entry__ stand on."""
 
 import duckdb
 import numpy as np
@@ -34,9 +34,17 @@ def docs() -> pd.DataFrame:
 
 @pytest.fixture(scope="module")
 def con(docs):
+    """Connection with the full signature staging executed once."""
     c = duckdb.connect()
     c.execute(osql.PRELUDE)
     c.register("docs", docs)
+    c.execute(osql.token_stmts("t", "docs", "sid", "text", CFG.max_token_chars))
+    c.execute(osql.shingle_stmts("t", "ttok", CFG.shingle_k))
+    c.execute(osql.minhash_stmts("m", "tshd", CFG.num_perm, CFG.seed))
+    c.execute(osql.simhash_stmts("x", "tshd", CFG.simhash_sample))
+    c.execute(osql.window_stmts("w", "tshr", CFG.shingle_k,
+                                CFG.substring_window, CFG.substring_stride))
+    c.execute(osql.prefix_stmts("p", "ttok"))
     return c
 
 
@@ -50,9 +58,8 @@ def _by_sid(rows):
 
 
 def test_token_hashes_match(con, docs):
-    got = _by_sid(con.sql(f"""
-        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')}
-        SELECT sid, th FROM tth""").fetchall())
+    got = _by_sid(con.sql(
+        "SELECT sid, list(th ORDER BY pos) FROM ttok GROUP BY sid").fetchall())
     for sid, text in zip(docs["sid"], docs["text"]):
         want = kernels.tokens_to_hashes(text, CFG.max_token_chars)
         if len(want) == 0:
@@ -63,21 +70,19 @@ def test_token_hashes_match(con, docs):
 
 def test_id_hash_matches(con, docs):
     got = _by_sid(con.sql(f"""
-        WITH ids AS (SELECT sid, fnv_raw(left(sid, 64)) AS f0 FROM docs),
-        {osql.staged_smix('i', 'ids', ['sid'], 'f0', 'idh')}
-        SELECT sid, idh FROM is3""").fetchall())
+        WITH ih AS ({osql.smix_chain(['sid'], 'fnv_raw(left(sid, 64))',
+                                     'idh', '(SELECT DISTINCT sid FROM docs)')})
+        SELECT sid, idh FROM ih""").fetchall())
     want = kernels.hash_tokens(docs["sid"].to_numpy(dtype=np.str_))
     for sid, w in zip(docs["sid"], want):
         assert int(got[sid]) == int(w), sid
 
 
 def test_shingles_match(con, docs, ksig):
-    res = con.sql(f"""
-        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')},
-        {osql.shingle_ctes('t', 'tth', CFG.shingle_k)}
-        SELECT sid, shp, sh FROM tshp JOIN tsh USING (sid)""").fetchall()
-    got_p = {r[0]: r[1] for r in res}
-    got_d = {r[0]: r[2] for r in res}
+    got_p = _by_sid(con.sql(
+        "SELECT sid, list(sh ORDER BY pos) FROM tshr GROUP BY sid").fetchall())
+    got_d = _by_sid(con.sql(
+        "SELECT sid, list(sh ORDER BY sh) FROM tshd GROUP BY sid").fetchall())
     for i, sid in enumerate(docs["sid"]):
         want_d = np.asarray(ksig.loc[i, "shingles"], dtype=np.int64).view(np.uint64)
         if len(want_d) == 0:
@@ -90,11 +95,7 @@ def test_shingles_match(con, docs, ksig):
 
 
 def test_minhash_oph_matches(con, docs, ksig):
-    got = _by_sid(con.sql(f"""
-        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')},
-        {osql.shingle_ctes('t', 'tth', CFG.shingle_k)},
-        {osql.minhash_ctes('m', 'tsh', CFG.num_perm, CFG.seed)}
-        SELECT sid, mh FROM mmh""").fetchall())
+    got = _by_sid(con.sql("SELECT sid, mh FROM mmh").fetchall())
     for i, sid in enumerate(docs["sid"]):
         want = np.asarray(ksig.loc[i, "minhash"], dtype=np.int64).view(np.uint64)
         if len(np.asarray(ksig.loc[i, "shingles"])) == 0:
@@ -104,11 +105,7 @@ def test_minhash_oph_matches(con, docs, ksig):
 
 
 def test_simhash_matches(con, docs, ksig):
-    got = _by_sid(con.sql(f"""
-        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')},
-        {osql.shingle_ctes('t', 'tth', CFG.shingle_k)},
-        {osql.simhash_ctes('x', 'tsh', CFG.simhash_sample)}
-        SELECT sid, simh FROM xsimh""").fetchall())
+    got = _by_sid(con.sql("SELECT sid, simh FROM xsimh").fetchall())
     for i, sid in enumerate(docs["sid"]):
         want = int(np.int64(ksig.loc[i, "simhash"]).view(np.uint64))
         if len(np.asarray(ksig.loc[i, "shingles"])) == 0:
@@ -117,7 +114,7 @@ def test_simhash_matches(con, docs, ksig):
         assert int(got[sid]) == want, sid
 
 
-def test_simhash_sample_cap(con):
+def test_simhash_sample_cap():
     """A doc with > sample_cap distinct shingles votes with the bottom-k
     prefix only — same content-stable sample as the kernel."""
     text = " ".join(f"tok{i} alpha beta gamma delta" for i in range(400))
@@ -127,22 +124,16 @@ def test_simhash_sample_cap(con):
     c = duckdb.connect()
     c.execute(osql.PRELUDE)
     c.register("bigdocs", pdf)
-    got = c.sql(f"""
-        WITH {osql.token_hash_ctes('t', 'bigdocs', 'sid', 'text')},
-        {osql.shingle_ctes('t', 'tth', CFG.shingle_k)},
-        {osql.simhash_ctes('x', 'tsh', CFG.simhash_sample)}
-        SELECT simh FROM xsimh""").fetchone()[0]
+    c.execute(osql.token_stmts("t", "bigdocs", "sid", "text"))
+    c.execute(osql.shingle_stmts("t", "ttok", CFG.shingle_k))
+    c.execute(osql.simhash_stmts("x", "tshd", CFG.simhash_sample))
+    got = c.sql("SELECT simh FROM xsimh").fetchone()[0]
     assert int(got) == int(np.int64(sig.loc[0, "simhash"]).view(np.uint64))
 
 
 def test_window_fingerprints_match(con, docs, ksig):
-    got = con.sql(f"""
-        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')},
-        {osql.shingle_ctes('t', 'tth', CFG.shingle_k)},
-        {osql.window_ctes('w', 'tshp', CFG.shingle_k, CFG.substring_window,
-                          CFG.substring_stride)}
-        SELECT sid, list(wh) FROM wwin GROUP BY sid""").fetchall()
-    got = _by_sid(got)
+    got = _by_sid(con.sql(
+        "SELECT sid, list(wh) FROM wwin GROUP BY sid").fetchall())
     for i, sid in enumerate(docs["sid"]):
         want = set(
             int(x) for x in np.asarray(ksig.loc[i, "win_hashes"],
@@ -155,10 +146,7 @@ def test_window_fingerprints_match(con, docs, ksig):
 
 
 def test_prefix_hashes_and_lcs_match(con, docs):
-    res = con.sql(f"""
-        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')},
-        {osql.prefix_hash_ctes('p', 'tth')}
-        SELECT sid, n, pref FROM ppref""").fetchall()
+    res = con.sql("SELECT sid, n, pref FROM ppref").fetchall()
     pref_by_sid = {r[0]: (r[1], r[2]) for r in res}
     texts = dict(zip(docs["sid"], docs["text"]))
     for sid, (n, pref) in list(pref_by_sid.items())[:20]:
@@ -173,8 +161,6 @@ def test_prefix_hashes_and_lcs_match(con, docs):
     powL = np.uint64(pow(osql.GOLD, L, 1 << 64))
     want_wh = kernels._window_hash_all(th, L, powL, kernels._prefix_hashes(th))
     got_wh = con.sql(f"""
-        WITH {osql.token_hash_ctes('t', 'docs', 'sid', 'text')},
-        {osql.prefix_hash_ctes('p', 'tth')}
         SELECT list_transform(range(1, n - {L} + 2),
                               i -> submod(pref[i + {L}],
                                           mulmod(pref[i], {pow(osql.GOLD, L, 1 << 64)}::HUGEINT)))
