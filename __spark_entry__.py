@@ -256,6 +256,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tr_provenance_dedup"] = tr_provenance_dedup
 
+    def tr_provenance_clusters(spark, sf_dir):
+        """Near-dup clusters over the multi-source union corpus, rolled up
+        with provenance: members + distinct sources per cluster. Because
+        src2 byte-mirrors src0, every src0 conversation's cluster must span
+        two sources — the cross-crawl dedup picture the reference's
+        origin-tagged archive members give (/root/reference/archive/
+        pc_archive.c:108-110)."""
+        from pcompress_spark.sources.tables import load_transcripts_multi
+
+        t = load_transcripts_multi(spark, sf_dir).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        wd = os.path.join(CACHE_DIR, f"pipeline_multi_{tag}_{CFG.config_hash()}")
+        os.makedirs(wd, exist_ok=True)
+        clusters = DedupPipeline(spark, CFG, work_dir=wd).run(t).tables["clusters"]
+        src = F.substring_index("conv_id", "/", 1)
+        return clusters.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.countDistinct(src).cast("long").alias("n_sources"),
+        )
+
+    q["tr_provenance_clusters"] = tr_provenance_clusters
+
     # ---- D6 routing: per-content-class algorithm dispatch ----
     def doc_routed_dedup(spark, sf_dir):
         """The routing DECISION table (class -> exact_only | shingle);
@@ -531,6 +555,8 @@ def oracle_sql() -> dict[str, str]:
         f"FROM read_parquet('{path}')"
         for tag, path in srcs
     )
+    o["tr_provenance_clusters"] = oq.tr_provenance_clusters_sql(srcs, CFG)
+
     o["tr_provenance_dedup"] = f"""
         WITH u AS (
         {union}

@@ -157,16 +157,24 @@ FROM ver_ WHERE hamming <= {max_hamming}""",
 # transcript-pipeline oracles
 # ---------------------------------------------------------------------------
 
+def _tr_src(tr_path: str) -> str:
+    """Path -> FROM-able source. Paths pass through read_parquet; anything
+    already parenthesized (a union subquery) is used verbatim."""
+    return tr_path if tr_path.lstrip().startswith("(") else f"read_parquet('{tr_path}')"
+
+
 def _tr_sig_stmts(tr_path: str, cfg: DedupConfig) -> str:
     """TEMP TABLE ``tsig`` (conv_id, ih signed, chash, sh list, mh list)
     for ALL conversations (empty docs carry sh = []); plus the token /
-    shingle staging tables (ttok, tshr, tshd) downstream oracles reuse."""
+    shingle staging tables (ttok, tshr, tshd) downstream oracles reuse.
+    ``tr_path`` is a parquet path or a parenthesized SQL source providing
+    (conv_id, turn_idx, text)."""
     norm = _NORM.format(x="doc_text")
     return "\n".join([
         f"""
 CREATE OR REPLACE TEMP TABLE asm AS
 SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
-FROM read_parquet('{tr_path}') GROUP BY conv_id;""",
+FROM {_tr_src(tr_path)} GROUP BY conv_id;""",
         osql.token_stmts("t", "asm", "conv_id", "doc_text",
                          cfg.max_token_chars),
         osql.shingle_stmts("t", "ttok", cfg.shingle_k),
@@ -276,8 +284,30 @@ def tr_dedup_view_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
         _tr_clusters_stmts(tr_path, cfg),
         f"""
 SELECT t.conv_id, t.turn_idx, t.role, t.text
-FROM read_parquet('{tr_path}') t
+FROM {_tr_src(tr_path)} t
 JOIN clusters c ON c.conv_id = t.conv_id AND c.cluster_id = t.conv_id""",
+    )
+
+
+def tr_provenance_clusters_sql(srcs: list[tuple[str, str]],
+                               cfg: DedupConfig | None = None) -> str:
+    """Near-dup clusters over the multi-source union corpus, rolled up per
+    cluster with provenance: how many members, how many distinct sources.
+    ``srcs`` is [(tag, parquet_path)] — conv_ids are namespaced ``tag/id``
+    exactly like sources.tables.load_transcripts_multi."""
+    cfg = cfg or DedupConfig()
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{tag}/' || conv_id AS conv_id, turn_idx, text "
+        f"FROM read_parquet('{path}')"
+        for tag, path in srcs
+    )
+    return _script(
+        _tr_clusters_stmts(f"({union})", cfg),
+        """
+SELECT c.cluster_id,
+       count(*)::BIGINT AS n_members,
+       count(DISTINCT split_part(c.conv_id, '/', 1))::BIGINT AS n_sources
+FROM clusters c GROUP BY c.cluster_id""",
     )
 
 

@@ -52,10 +52,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # zstd shuffle blocks: ~30-40% smaller than lz4 on hash-heavy rows,
-        # cutting the DRAM/disk traffic that binds this box's shuffle stages
-        # (and the network on a real cluster) for a modest CPU cost
-        .config("spark.io.compression.codec", "zstd")
+        # shuffle-block codec, env-switchable for A/B benchmarking. zstd
+        # blocks are ~30-40% smaller than lz4 (less network on a real
+        # cluster) but measured 10-20% SLOWER end-to-end on this single box
+        # at >=4 cores — shuffle bytes never leave the page cache here, so
+        # the extra compression CPU buys nothing; default stays lz4
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
         # local mode: the driver JVM hosts ALL task threads — an undersized
         # heap GC-thrashes the text shuffle (measured 4-6x slowdown at 8g),
         # while an oversized one starves the 32 Python workers of RAM

@@ -40,6 +40,20 @@ def test_provenance_dedup_finds_cross_source_dups(spark):
     assert not two["rep_conv_id"].str.startswith("src2/").any()
 
 
+def test_provenance_clusters_span_sources(spark):
+    """src2 byte-mirrors src0, so every src0-anchored near-dup cluster
+    must contain the src2 mirror: >= 2 members spanning >= 2 sources.
+    (cluster_id is the min conv_id; 'src0/...' sorts first, so src0
+    clusters are exactly the src0-anchored ones.)"""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["tr_provenance_clusters"](spark, SF).toPandas()
+    anchored = out[out["cluster_id"].str.startswith("src0/")]
+    assert len(anchored) > 0
+    assert (anchored["n_sources"] >= 2).all()
+    assert (anchored["n_members"] >= 2).all()
+
+
 def test_route_docs_classes(spark, docs):
     routed = doc_dedup.route_docs(docs).toPandas()
     assert set(routed["route"]) <= {"exact_only", "shingle"}
