@@ -290,6 +290,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return routed.select("doc_id", "content_class", "route")
 
     q["doc_routed_dedup"] = doc_routed_dedup
+
+    def doc_routed_lsh_pairs(spark, sf_dir):
+        """The routing applied: MinHash-LSH near-dup pairs over the
+        shingle-routed classes only (empty/numeric docs never enter the
+        signature UDF or the LSH shuffle; the exact-hash path covers
+        them)."""
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = doc_dedup.routed_lsh_pairs(docs, threshold=0.3)
+        return pairs.select(
+            "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    q["doc_routed_lsh_pairs"] = doc_routed_lsh_pairs
     return q
 
 
@@ -536,6 +549,8 @@ def oracle_sql() -> dict[str, str]:
     # that reproduce splitmix64/FNV/Horner/OPH/SimHash bit-for-bit) ----
     o["doc_fingerprints"] = oq.doc_fingerprints_sql(k=5, keep=16)
     o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
+    o["doc_routed_lsh_pairs"] = oq.doc_minhash_lsh_sql(
+        k=3, threshold=0.3, src=oq.ROUTED_DOC_SRC)
     o["doc_simhash_pairs"] = oq.doc_simhash_sql(max_hamming=6, k=3)
     o["tr_near_pairs"] = oq.tr_near_pairs_sql(tr, CFG)
     o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)

@@ -57,12 +57,14 @@ SELECT DISTINCT pr['a'] AS ma, pr['b'] AS mb FROM (
 # ---------------------------------------------------------------------------
 
 def _doc_sig_stmts(k: int, with_minhash: bool, with_simhash: bool,
-                   cfg: DedupConfig) -> str:
-    """TEMP TABLE ``dsig`` over ALL documents (engine parity: docs below
+                   cfg: DedupConfig, src: str = "documents") -> str:
+    """TEMP TABLE ``dsig`` over ALL rows of ``src`` (a table name or a
+    parenthesized subquery with (doc_id, text)). Engine parity: docs below
     the shingle floor keep sh = [] and the sentinel simhash — the SimHash
-    path bands them, the MinHash path filters len(sh) > 0)."""
+    path bands them, the MinHash path filters len(sh) > 0."""
     parts = [
-        osql.token_stmts("t", "documents", "doc_id", "text",
+        f"CREATE OR REPLACE TEMP TABLE dsrc AS SELECT doc_id, text FROM {src};",
+        osql.token_stmts("t", "dsrc", "doc_id", "text",
                          cfg.max_token_chars),
         osql.shingle_stmts("t", "ttok", k),
     ]
@@ -80,10 +82,10 @@ def _doc_sig_stmts(k: int, with_minhash: bool, with_simhash: bool,
     parts.append(f"""
 CREATE OR REPLACE TEMP TABLE dih AS
 {osql.smix_chain(['sid'], 'unsig(sid)', 'idh',
-                 '(SELECT doc_id AS sid FROM documents)')};
+                 '(SELECT doc_id AS sid FROM dsrc)')};
 CREATE OR REPLACE TEMP TABLE dsig AS
 SELECT {', '.join(cols)}, i.idh
-FROM documents d{joins} JOIN dih i ON i.sid = d.doc_id;
+FROM dsrc d{joins} JOIN dih i ON i.sid = d.doc_id;
 """)
     return "\n".join(parts)
 
@@ -101,12 +103,22 @@ FROM fp_ WHERE rank <= {keep}""",
     )
 
 
+# the shingle-routed class subset (doc_dedup.route_docs twin: NOT empty,
+# NOT numeric — digit ratio <= 0.10); airy/dense keep the LSH path
+ROUTED_DOC_SRC = """(SELECT doc_id, text FROM documents
+ WHERE length(lower(text)) > 0
+   AND length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
+       / length(lower(text)) <= 0.10)"""
+
+
 def doc_minhash_lsh_sql(k: int = 3, threshold: float = 0.3,
-                        cfg: DedupConfig | None = None) -> str:
+                        cfg: DedupConfig | None = None,
+                        src: str = "documents") -> str:
     cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
     r = cfg.rows
     return _script(
-        _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg),
+        _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg,
+                       src=src),
         f"""
 CREATE OR REPLACE TEMP TABLE bands AS
 SELECT sid AS mem, tobig(idh) AS salt, b.b AS band_idx,
