@@ -63,9 +63,27 @@ Protocol (see /root/repo/BASELINE.md): same job, same deterministic input,
 two parallelism levels standing in for N and 4N executors. Python workers
 are warmed before timing and each point is the best of {n_runs} pipeline
 run(s) in one warmed session, so one-time startup and page-cache variance
-don't pollute the ratio.
+don't pollute the ratio. Both core pairs are reported; neither replaces
+the other.
 
-## Primary: N={n_lo} -> 4N={n_hi} cores ({n_primary} conversations, {ra['bench_turns']} turns)
+## Headline: 8 -> 32 cores ({n_supp} conversations, {r8b['bench_turns']} turns)
+
+| run | master | pipeline wall (s) | throughput (turns/s) |
+|---|---|---|---|
+| A | local[8]  | {r8b['queries']['dedup_pipeline']} | {t8b} |
+| B | local[32] | {r32['queries']['dedup_pipeline']} | {t32} |
+
+**Efficiency = {eff_supp:.3f}** against the >= 0.8 target. Read honestly:
+this pair does NOT meet 0.8 on this box, and we do not claim it does. Both
+points sit above this VM's shared-DRAM saturation knee, so the ratio
+measures the host's memory-bandwidth ceiling rather than the engine's
+shuffle/partition behavior: the raw numpy signature kernels with no Spark
+at all saturate the DRAM channels from ~8 worker processes up (8 procs
+~4.3k docs/s aggregate vs 32 procs ~6-7k), so quadrupling threads past 8
+cannot quadruple throughput on one machine regardless of how the engine is
+written.
+
+## Supporting: N={n_lo} -> 4N={n_hi} cores ({n_primary} conversations, {ra['bench_turns']} turns)
 
 | run | master | pipeline wall (s) | throughput (turns/s) |
 |---|---|---|---|
@@ -74,25 +92,13 @@ don't pollute the ratio.
 
 **Scaling efficiency = T_B / (4 x T_A) = {eff:.3f}** (target >= 0.8)
 
-The primary pair sits below this box's shared-DRAM saturation point, which
-is the regime that models adding EXECUTORS on a real cluster: each executor
-brings its own memory bandwidth, whereas extra threads on one box share it.
-
-## Supplementary: 8 -> 32 cores ({n_supp} conversations, {r8b['bench_turns']} turns)
-
-| run | master | pipeline wall (s) | throughput (turns/s) |
-|---|---|---|---|
-| A | local[8]  | {r8b['queries']['dedup_pipeline']} | {t8b} |
-| B | local[32] | {r32['queries']['dedup_pipeline']} | {t32} |
-
-Efficiency = {eff_supp:.3f}. This is the single-box MEMORY-BANDWIDTH
-ceiling, not an engine property: the raw numpy signature kernels (no Spark
-at all) saturate this VM's DRAM channels from ~8 processes up (8 procs
-~4.3k docs/s aggregate vs 32 procs ~6-7k), so quadrupling threads past 8
-cannot quadruple throughput on one box. All shuffle-level scalability
-properties (hash-partitioned LSH, agg+join connected components, salted hot
-buckets, no driver-side loops, no per-stage collects) are independent of
-this host limit and are what a 1000-executor cluster exercises.
+This pair sits below the DRAM saturation knee, which is the closest
+single-machine stand-in for the rule's actual criterion — growing
+EXECUTORS from N to 4N: each real executor brings its own memory channels,
+whereas extra threads on one box share them. All engine-level scalability
+properties (hash-partitioned LSH, agg+join connected components,
+salted+capped hot buckets, one full-data shuffle, no driver-side loops or
+collects) are exercised identically at both points.
 
 Full bench JSON:
 
