@@ -53,6 +53,10 @@ def main() -> None:
         "q1 pricing summary (pushdown + partial agg)": relational.q1_pricing_summary(spark, SF),
         "q3 top orders (broadcast dim join)": relational.q3_top_orders(spark, SF),
         "doc exact dedup (hash agg, first-occurrence-wins)": doc_dedup.dedup_keep_first(docs),
+        "SimHash multi-index pairs (16-bit segment-pair buckets, no quadratic stage)":
+            doc_dedup.simhash_pairs(docs),
+        "routed LSH pairs (exact_only classes pruned before the signature UDF)":
+            doc_dedup.routed_lsh_pairs(docs),
     }
 
     checks: list[str] = []
@@ -99,6 +103,15 @@ def main() -> None:
             f"OK {df_name}: whole-stage codegen spans present"
             if ("*(" in executed or "*(" in simple_plan(df))
             else f"WARN {df_name}: no WholeStageCodegen span"
+        )
+
+    for name, df in (("simhash_pairs", doc_dedup.simhash_pairs(docs)),
+                     ("routed_lsh_pairs", doc_dedup.routed_lsh_pairs(docs))):
+        p = plan_of(df)
+        checks.append(
+            f"OK {name}: no cartesian/nested-loop stage"
+            if "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+            else f"FAIL {name}: quadratic join stage in plan"
         )
 
     out.append("## Plan-quality checks\n")
