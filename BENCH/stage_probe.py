@@ -1,0 +1,77 @@
+"""Per-stage 1 -> 4 scaling decomposition.
+
+Runs the dedup pipeline once per core count with a kept work_dir and reads
+the pipeline's own metrics.json (per-stage seconds recorded by the stage
+checkpointer), printing the stage-level efficiency table that backs
+BENCH/BASELINE.md's analysis. One invocation = one comparable pair (see the
+variance rule there).
+
+Usage: python BENCH/stage_probe.py [n_conv] [lo_cores] [hi_cores]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = """
+import json, sys, tempfile
+sys.path.insert(0, {repo!r})
+from pcompress_spark.session import get_spark
+from pcompress_spark.config import DedupConfig
+from pcompress_spark.pipeline import DedupPipeline
+from pcompress_spark.sources.tables import transcripts_path
+
+spark = get_spark(master="local[{cores}]", shuffle_partitions={parts})
+spark.sparkContext.setLogLevel("ERROR")
+tdf = spark.read.parquet(transcripts_path("/root/testdata/sf0.1", {n_conv}))
+# warm python workers so worker fork/import cost is not in stage timings
+import pandas as pd
+def _noop(it):
+    for pdf in it:
+        yield pdf
+spark.range(0, 10_000, 1, {parts}).mapInPandas(_noop, "id long").count()
+DedupPipeline(spark, DedupConfig(), work_dir={wd!r}).run(tdf)
+print(json.dumps(json.load(open({wd!r} + "/metrics.json"))["stages"]))
+"""
+
+
+def probe(cores: int, n_conv: int) -> dict[str, float]:
+    wd = tempfile.mkdtemp(prefix=f"pcompress_stageprobe_{cores}_")
+    try:
+        code = _CHILD.format(repo=REPO, cores=cores, parts=max(2 * cores, 8),
+                             n_conv=n_conv, wd=wd)
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, timeout=3600, check=True)
+        stages = json.loads(out.stdout.strip().splitlines()[-1])
+        return {s["stage"]: s["seconds"] for s in stages}
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def main() -> None:
+    n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    a, b = probe(lo, n_conv), probe(hi, n_conv)
+    print(f"| stage | local[{lo}] (s) | local[{hi}] (s) | speedup | efficiency |")
+    print("|---|---|---|---|---|")
+    for stage, ta in a.items():
+        tb = b.get(stage)
+        if tb is None or tb <= 0:
+            continue
+        sp = ta / tb
+        print(f"| {stage} | {ta:.1f} | {tb:.1f} | {sp:.2f}x | {sp / (hi / lo):.2f} |")
+    ta_tot, tb_tot = sum(a.values()), sum(b.values())
+    print(f"| TOTAL (stage sum) | {ta_tot:.1f} | {tb_tot:.1f} | "
+          f"{ta_tot / tb_tot:.2f}x | {ta_tot / tb_tot / (hi / lo):.2f} |")
+
+
+if __name__ == "__main__":
+    main()
