@@ -7,12 +7,16 @@ pc_archive.c:108-110; packJPG for images, wavpack for audio — dispatch at
 Spark table: media rides as an opaque ``binary`` column with typed
 metadata; decode/feature steps are Arrow-batched ``mapInPandas`` UDFs.
 
-One REAL decoder ships in-tree, mirroring the reference's dependency-free
-PNM filter (/root/reference/filters/packpnm/packpnm.c): a numpy P5/P6
-parser. Image payloads that parse as PNM get a real pixel-histogram
-feature; other kinds (audio/video — their codecs aren't in this container)
-fall back to a deterministic content-addressed stub behind
-``decode_stub=True``, or raise NotImplementedError when decode_stub=False.
+Two REAL decoders ship in-tree, mirroring the reference's dependency-free
+filters: a numpy P5/P6 PNM parser
+(/root/reference/filters/packpnm/packpnm.c) and a canonical RIFF/WAVE
+PCM-16 parser (the reference routes WAV members to its bundled wavpack
+filter, /root/reference/pcompress.c:205-401). Image payloads that parse as
+PNM get a real pixel-histogram feature; audio payloads that parse as
+canonical WAV get a real amplitude-histogram feature; other kinds (video —
+no codec in this container) fall back to a deterministic content-addressed
+stub behind ``decode_stub=True``, or raise NotImplementedError when
+decode_stub=False.
 All Spark-side plumbing — schema, batching, partitioning, UDF signatures —
 is real and identical for both paths.
 
@@ -100,6 +104,42 @@ def decode_pnm(payload: bytes | None) -> np.ndarray | None:
     return np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
 
 
+_WAV_HEADER_LEN = 44  # canonical PCM header: RIFF + fmt(16) + data chunks
+
+
+def decode_wav(payload: bytes | None) -> np.ndarray | None:
+    """Parse a canonical RIFF/WAVE payload (PCM format 1, mono, 16-bit,
+    the fixed 44-byte header layout) into an int16 sample array; None if
+    the payload is not canonical WAV. Scope mirrors decode_pnm: the strict
+    in-tree subset a dependency-free parser can own (the reference's WAV
+    handling likewise only packs plain PCM — wavpack filter dispatch at
+    /root/reference/pcompress.c:205-401)."""
+    if not payload or len(payload) < _WAV_HEADER_LEN:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    if payload[12:16] != b"fmt " or payload[16:20] != b"\x10\x00\x00\x00":
+        return None
+    fmt = int.from_bytes(payload[20:22], "little")
+    channels = int.from_bytes(payload[22:24], "little")
+    bits = int.from_bytes(payload[34:36], "little")
+    if fmt != 1 or channels != 1 or bits != 16 or payload[36:40] != b"data":
+        return None
+    data_len = int.from_bytes(payload[40:44], "little")
+    if data_len % 2 or len(payload) - _WAV_HEADER_LEN < data_len:
+        return None
+    return np.frombuffer(payload, dtype="<i2", count=data_len // 2,
+                         offset=_WAV_HEADER_LEN)
+
+
+def amplitude_histogram(samples: np.ndarray, bins: int = FEATURE_DIM) -> np.ndarray:
+    """Normalized histogram of the unsigned high byte of each 16-bit
+    sample — the audio analog of raster_histogram (same bin geometry, so
+    the SQL oracle shares the bin expression)."""
+    hi = ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8)
+    return raster_histogram(hi, bins)
+
+
 def raster_histogram(raster: np.ndarray, bins: int = FEATURE_DIM) -> np.ndarray:
     """Normalized ``bins``-bin histogram of raster bytes (float32) — the
     deterministic image feature. bins must divide 256."""
@@ -111,10 +151,8 @@ def raster_histogram(raster: np.ndarray, bins: int = FEATURE_DIM) -> np.ndarray:
 def _fake_feature(content_hash: np.uint64) -> np.ndarray:
     """Deterministic content-addressed pseudo-feature (the stub decode for
     kinds whose codecs aren't available): seeded by the FULL content hash."""
-    h = splitmix64(
-        np.arange(FEATURE_DIM, dtype=np.uint64)
-        + content_hash * np.uint64(2654435761)
-    )
+    seed = np.uint64((int(content_hash) * 2654435761) % (1 << 64))
+    h = splitmix64(np.arange(FEATURE_DIM, dtype=np.uint64) + seed)
     return (h.astype(np.float64) / 2**64).astype(np.float32)
 
 
@@ -122,11 +160,11 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """media table -> feature rows via mapInPandas (Arrow batches carry the
     binary payload; partitioning is preserved — map-only, no shuffle).
 
-    Routing (the D6 type dispatch): payloads that parse as PNM decode for
-    real (pixel-byte histogram, ``decoded=True``); anything else uses the
-    content-addressed stub when decode_stub=True or raises
-    NotImplementedError otherwise (real JPEG/audio codecs would plug in
-    here).
+    Routing (the D6 type dispatch): payloads that parse as PNM or canonical
+    WAV decode for real (pixel-byte / amplitude histogram,
+    ``decoded=True``); anything else uses the content-addressed stub when
+    decode_stub=True or raises NotImplementedError otherwise (real
+    JPEG/video codecs would plug in here).
 
     At scale: payloads should be size-bucketed (repartitionByRange on a
     payload-size column) so Arrow batches stay near-uniform in bytes, and
@@ -141,17 +179,22 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             feats, decoded = [], []
             for p, h in zip(payloads, hashes):
                 raster = decode_pnm(p)
+                samples = None if raster is not None else decode_wav(p)
                 if raster is not None:
                     feats.append(raster_histogram(raster))
+                    decoded.append(True)
+                elif samples is not None:
+                    feats.append(amplitude_histogram(samples))
                     decoded.append(True)
                 elif decode_stub:
                     feats.append(_fake_feature(h))
                     decoded.append(False)
                 else:
                     raise NotImplementedError(
-                        "no in-tree decoder for this payload (PNM is the only "
-                        "bundled codec; pillow/ffmpeg are not available in "
-                        "this container) — run with decode_stub=True"
+                        "no in-tree decoder for this payload (PNM and "
+                        "canonical WAV are the bundled codecs; pillow/ffmpeg "
+                        "are not available in this container) — run with "
+                        "decode_stub=True"
                     )
             yield pd.DataFrame(
                 {
@@ -172,10 +215,23 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 # deterministic fixtures (no external data; oracle reads the same parquet)
 # ---------------------------------------------------------------------------
 
+def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Serialize int16 mono samples as a canonical 44-byte-header WAV."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
 def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
     """Deterministic fake media table: image payloads are VALID binary PGM
-    (P5) files with the canonical header 'P5\\n{w} {h}\\n255\\n'; audio/video
-    payloads are opaque seeded bytes."""
+    (P5) files with the canonical header 'P5\\n{w} {h}\\n255\\n'; audio
+    payloads are VALID canonical WAV (PCM-16 mono); video payloads are
+    opaque seeded bytes (the declared stub kind)."""
     rng = np.random.Generator(np.random.PCG64(seed))
     kinds = ["image", "audio", "video"]
     rows = []
@@ -187,6 +243,12 @@ def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
             raster = rng.integers(0, 256, size=w * h, dtype=np.uint8)
             payload = f"P5\n{w} {h}\n255\n".encode("ascii") + raster.tobytes()
             rows.append((i, kind, "image/x-portable-graymap", payload, w, h, None))
+        elif kind == "audio":
+            ns = int(rng.integers(64, 1024))
+            samples = rng.integers(-32768, 32768, size=ns).astype("<i2")
+            payload = make_wav(samples)
+            rows.append((i, kind, "audio/wav", payload,
+                         None, None, int(ns * 1000 / 8000)))
         else:
             size = int(rng.integers(64, 2048))
             payload = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
@@ -205,7 +267,7 @@ def media_fixture_path(n: int = 64, seed: int = 42) -> str:
     query and the DuckDB oracle read."""
     from ..sources.tables import CACHE_DIR
 
-    out_dir = os.path.join(CACHE_DIR, f"media_n{n}_s{seed}")
+    out_dir = os.path.join(CACHE_DIR, f"media_v2_n{n}_s{seed}")
     path = os.path.join(out_dir, "media.parquet")
     if not os.path.exists(path):
         import pyarrow as pa

@@ -569,7 +569,7 @@ CREATE OR REPLACE TEMP TABLE mchash AS
         f"""
 WITH feat_ AS (
     SELECT media_id, kind, chash,
-           kind = 'image' AS decoded,
+           kind IN ('image', 'audio') AS decoded,
            CASE WHEN kind = 'image' THEN
                -- P5 header 'P5\\n{{w}} {{h}}\\n255\\n' -> 9 + digits(w) + digits(h)
                len(list_filter(
@@ -577,6 +577,15 @@ WITH feat_ AS (
                       9 + length(width::VARCHAR) + length(height::VARCHAR)
                       + width * height],
                    b -> b // 8 = 0))::DOUBLE / (width * height)
+           WHEN kind = 'audio' THEN
+               -- canonical 44-byte WAV header; PCM-16 LE mono samples:
+               -- high byte of sample i (1-based) at bs[44 + 2*i]; unsigned
+               -- amplitude = (hi + 128) % 256, same //8 bins as the raster
+               len(list_filter(
+                   list_transform(range(1, (nb - 44) // 2 + 1),
+                                  i -> bs[44 + 2 * i]),
+                   b -> ((b + 128) % 256) // 8 = 0))::DOUBLE
+               / ((nb - 44) // 2)
            ELSE NULL END AS hist0
     FROM mchash),
 sh_ AS ({osql.smix_chain(['media_id', 'kind', 'chash', 'decoded', 'hist0'],

@@ -22,10 +22,10 @@ def test_feature_extraction_shape_and_determinism(spark, media):
     assert f1["payload_sha_like"].tolist() == f2["payload_sha_like"].tolist()
     for a, b in zip(f1["feature"], f2["feature"]):
         assert list(a) == list(b)
-    # images decode for real, audio/video use the declared stub
+    # images + audio decode for real, video uses the declared stub
     by_kind = f1.groupby("kind")["decoded"].all()
-    assert by_kind["image"]
-    assert not f1[f1["kind"] != "image"]["decoded"].any()
+    assert by_kind["image"] and by_kind["audio"]
+    assert not f1[f1["kind"] == "video"]["decoded"].any()
 
 
 def test_pnm_decode_roundtrip():
@@ -44,6 +44,33 @@ def test_pnm_decode_roundtrip():
     assert mm.decode_pnm(b"JFIF....") is None
     assert mm.decode_pnm(b"P5\n4 3\n255\nshort") is None
     assert mm.decode_pnm(b"P5\n0 3\n255\n") is None
+
+
+def test_wav_decode_roundtrip():
+    samples = np.array([-32768, -1, 0, 1, 32767, 1234], dtype="<i2")
+    wav = mm.make_wav(samples)
+    got = mm.decode_wav(wav)
+    assert got is not None and got.tolist() == samples.tolist()
+    # invalid payloads: wrong magic, stereo, 8-bit, truncated data
+    assert mm.decode_wav(None) is None
+    assert mm.decode_wav(b"RIFF" + wav[4:8] + b"AIFF" + wav[12:]) is None
+    stereo = bytearray(wav); stereo[22] = 2
+    assert mm.decode_wav(bytes(stereo)) is None
+    eight = bytearray(wav); eight[34] = 8
+    assert mm.decode_wav(bytes(eight)) is None
+    assert mm.decode_wav(wav[:-2]) is None
+
+
+def test_audio_feature_is_amplitude_histogram(spark):
+    pdf = mm.generate_media_pdf(n=6, seed=9)
+    wav = pdf[pdf["kind"] == "audio"].iloc[0]
+    samples = mm.decode_wav(wav["payload"])
+    want = mm.amplitude_histogram(samples)
+    sdf = mm.synthetic_media(spark, n=6, seed=9)
+    feats = mm.extract_features(sdf).toPandas().set_index("media_id")
+    got = np.asarray(feats.loc[wav["media_id"], "feature"], dtype=np.float32)
+    assert np.array_equal(got, want)
+    assert abs(float(want.sum()) - 1.0) < 1e-6
 
 
 def test_image_feature_is_pixel_histogram(spark):
@@ -74,9 +101,9 @@ def test_payload_hash_is_content_hash():
 def test_real_decode_raises_only_for_undecodable(spark, media):
     from pyspark.sql import functions as F
 
-    imgs = media.where(F.col("kind") == "image")
-    out = mm.extract_features(imgs, decode_stub=False).toPandas()
+    decodable = media.where(F.col("kind").isin("image", "audio"))
+    out = mm.extract_features(decodable, decode_stub=False).toPandas()
     assert out["decoded"].all()
     with pytest.raises(Exception, match="NotImplementedError|decoder|decode_stub"):
-        mm.extract_features(media.where(F.col("kind") == "audio"),
+        mm.extract_features(media.where(F.col("kind") == "video"),
                             decode_stub=False).collect()
