@@ -303,6 +303,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_routed_lsh_pairs"] = doc_routed_lsh_pairs
+
+    def doc_neardup_clusters(spark, sf_dir):
+        """J5/P-family for the documents table: connected components over
+        MinHash-LSH near pairs + exact-dup star edges, min-doc_id labels."""
+        return doc_dedup.neardup_clusters(
+            load_table(spark, sf_dir, "documents"), threshold=0.3
+        )
+
+    q["doc_neardup_clusters"] = doc_neardup_clusters
     return q
 
 
@@ -551,6 +560,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
     o["doc_routed_lsh_pairs"] = oq.doc_minhash_lsh_sql(
         k=3, threshold=0.3, src=oq.ROUTED_DOC_SRC)
+    o["doc_neardup_clusters"] = oq.doc_neardup_clusters_sql(k=3, threshold=0.3)
     o["doc_simhash_pairs"] = oq.doc_simhash_sql(max_hamming=6, k=3)
     o["tr_near_pairs"] = oq.tr_near_pairs_sql(tr, CFG)
     o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)

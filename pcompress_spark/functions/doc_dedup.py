@@ -173,6 +173,42 @@ def minhash_lsh_pairs(
     return (pairs, stats) if with_stats else pairs
 
 
+def neardup_clusters(docs: DataFrame, cfg: DedupConfig | None = None,
+                     threshold: float = 0.3) -> DataFrame:
+    """Near-dup clusters over the documents table: connected components of
+    (MinHash-LSH verified near pairs UNION exact-dup star edges), labeled
+    with the min doc_id of the component (singletons map to self). Gives
+    the documents table the same reconstruction/clustering capability the
+    transcript pipeline has, on the same long-key agg+join CC
+    (operators/cluster.py — no collect_set, skew-safe at 10^12 rows)."""
+    from ..operators.cluster import connected_components
+
+    cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
+                             jaccard_threshold=threshold)
+    near = minhash_lsh_pairs(docs, cfg, threshold).select(
+        F.col("doc_id_a").alias("ih_a"), F.col("doc_id_b").alias("ih_b")
+    )
+    eh = exact_hash(docs)
+    reps = (
+        eh.groupBy("content_md5")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    star = (
+        eh.join(reps, "content_md5")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("ih_a"), F.col("doc_id").alias("ih_b"))
+    )
+    nodes = docs.select(
+        F.col("doc_id").alias("conv_id"), F.col("doc_id").alias("id_hash")
+    )
+    cc = connected_components(nodes, near.unionByName(star), cfg)
+    return cc.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
                   cfg: DedupConfig | None = None,
                   with_stats: bool = False):

@@ -140,6 +140,52 @@ FROM ver2_ WHERE round(jac, 6) >= {threshold}""",
     )
 
 
+def doc_neardup_clusters_sql(k: int = 3, threshold: float = 0.3,
+                             cfg: DedupConfig | None = None) -> str:
+    """CC twin for doc_dedup.neardup_clusters: LSH near edges + exact
+    md5-star edges -> recursive reachability -> min doc_id label."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    r = cfg.rows
+    return _script(
+        _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE bands AS
+SELECT sid AS mem, tobig(idh) AS salt, b.b AS band_idx,
+       mh[b.b * {r} + 1 : b.b * {r} + {r}] AS key
+FROM dsig CROSS JOIN (SELECT unnest(range(0, {cfg.bands}))::INT AS b) b
+WHERE len(sh) > 0;""",
+        _bucket_pair_stmt("bands", cfg.bucket_cap),
+        f"""
+CREATE OR REPLACE TEMP TABLE dedges AS
+WITH ver_ AS (SELECT c.ma, c.mb, len(a.sh) AS la, len(b.sh) AS lb,
+                     len(list_intersect(a.sh, b.sh)) AS inter
+              FROM cand c JOIN dsig a ON a.sid = c.ma
+              JOIN dsig b ON b.sid = c.mb),
+near_ AS (SELECT ma, mb FROM (
+              SELECT ma, mb, CASE WHEN la + lb - inter > 0
+                                  THEN inter::DOUBLE / (la + lb - inter)
+                                  ELSE 1.0 END AS jac
+              FROM ver_)
+          WHERE round(jac, 6) >= {threshold}),
+star_ AS (SELECT rep AS ma, doc_id AS mb FROM (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS rep,
+                     count(*) OVER (PARTITION BY md5(text)) AS n
+              FROM dsrc)
+          WHERE n > 1 AND doc_id != rep)
+SELECT ma, mb FROM near_ UNION SELECT ma, mb FROM star_;
+CREATE OR REPLACE TEMP TABLE dsym AS
+SELECT ma AS a, mb AS b FROM dedges UNION SELECT mb AS a, ma AS b FROM dedges;""",
+        """
+WITH RECURSIVE reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM dsrc
+    UNION
+    SELECT r.src, s.b FROM reach r JOIN dsym s ON r.dst = s.a)
+SELECT src::BIGINT AS doc_id, min(dst)::BIGINT AS cluster_id
+FROM reach GROUP BY src""",
+    )
+
+
 def doc_simhash_sql(max_hamming: int = 6, k: int = 3,
                     cfg: DedupConfig | None = None) -> str:
     cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)

@@ -81,3 +81,25 @@ def test_exact_dedup_is_lossless(spark, docs):
     kept = doc_dedup.dedup_keep_first(docs).toPandas()
     n_distinct = docs.select("text").distinct().count()
     assert len(kept) == n_distinct
+
+
+def test_neardup_clusters_partition_and_consistency(spark, docs):
+    """Clusters form a partition labeled by the component min; every
+    near/exact edge's endpoints share a cluster; singletons self-label."""
+    clusters = doc_dedup.neardup_clusters(docs, threshold=0.3).toPandas()
+    assert len(clusters) == docs.count()
+    lab = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    # label is the min member of its component
+    by_cluster = clusters.groupby("cluster_id")["doc_id"].min()
+    assert all(cid == mn for cid, mn in by_cluster.items())
+    # every verified pair co-clusters
+    pairs = doc_dedup.minhash_lsh_pairs(docs, threshold=0.3).toPandas()
+    for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
+        assert lab[a] == lab[b], (a, b)
+    # exact dups co-cluster
+    groups = doc_dedup.exact_dup_groups(docs).toPandas()
+    eh = doc_dedup.exact_hash(docs).toPandas()
+    md5_lab = dict(zip(eh["doc_id"], eh["content_md5"]))
+    for h in groups["content_md5"]:
+        members = [d for d, m in md5_lab.items() if m == h]
+        assert len({lab[d] for d in members}) == 1
