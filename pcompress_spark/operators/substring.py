@@ -12,7 +12,13 @@ carry content-defined window fingerprints (kernels.window_fingerprints: a
 window is selected iff its own hash % stride == 0, the rabin-boundary trick,
 so selection is position-independent). Detection is then exactly the LSH
 shape: explode (win_hash), group, pair within bucket — one shuffle on the
-window hash, same deterministic sorted-cap as the LSH buckets.
+window hash, routed through THE shared salted/capped/logged bucket
+implementation (candidates.bucket_members) with band_idx=0 and
+band_hash=win_hash: a viral boilerplate span shared by 10M conversations is
+salt-sampled map-side BEFORE the collect_list reducer ever materializes the
+membership (the same straggler/OOM guard the LSH path has; reference
+eviction analog /root/reference/rabin/global/index.c:539-547), and the
+dropped membership counts surface in bucket stats — no silent caps.
 
 Pairs already verified as exact/near duplicates are anti-joined away: this
 table reports *containment-style* overlap that clustering did NOT capture.
@@ -25,45 +31,51 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import DedupConfig
+from .candidates import bucket_members, bucket_pairs
 
 
-def substring_candidates(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """signatures -> (ih_a, ih_b, n_windows) pairs (long id_hash keys)
-    sharing at least substring_min_windows distinct window fingerprints.
-    Same deterministic sorted-cap as the LSH buckets; the window-hash
+def substring_candidates(
+    sig: DataFrame, cfg: DedupConfig, persist_sizes: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """signatures -> ((ih_a, ih_b, n_windows) pairs (long id_hash keys)
+    sharing at least substring_min_windows distinct window fingerprints,
+    bucket stats for the metrics table).
+
+    Routed through the shared ``bucket_members`` (band_idx=0,
+    band_hash=win_hash): hot window-hash buckets are salt-sampled map-side
+    before the reducer, deterministically capped, and drops are logged —
+    identical skew story to the LSH candidate stage. The window-hash
     shuffle carries only 8-byte ids."""
     exploded = (
         sig.where(F.size("win_hashes") > 0)
-        .select("id_hash", F.explode(F.array_distinct("win_hashes")).alias("win_hash"))
+        .select(
+            "id_hash",
+            F.lit(0).alias("band_idx"),
+            F.explode(F.array_distinct("win_hashes")).alias("band_hash"),
+        )
     )
-    buckets = (
-        exploded.groupBy("win_hash")
-        .agg(F.slice(F.sort_array(F.collect_list("id_hash")), 1, cfg.bucket_cap).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), y -> "
-                "struct(x as ih_a, y as ih_b))))"
-            )
-        ).alias("p")
-    ).select("p.ih_a", "p.ih_b")
-    return (
+    buckets, stats = bucket_members(exploded, cfg, persist_sizes=persist_sizes)
+    pairs = bucket_pairs(buckets, "ih_a", "ih_b")
+    cand = (
         pairs.groupBy("ih_a", "ih_b")
         .agg(F.count(F.lit(1)).cast("int").alias("n_windows"))
         .where(F.col("n_windows") >= cfg.substring_min_windows)
     )
+    return cand, stats
 
 
 def substring_pairs(
-    sig: DataFrame, verified_pairs: DataFrame, cfg: DedupConfig
-) -> DataFrame:
+    sig: DataFrame,
+    verified_pairs: DataFrame,
+    cfg: DedupConfig,
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Substring-overlap pairs not already explained by exact/near dedup:
     (conv_id_a, conv_id_b, n_windows) with a < b lexicographic. conv_ids
-    are resolved from the signatures table (long-key joins)."""
-    cand = substring_candidates(sig, cfg)
+    are resolved from the signatures table (long-key joins). With
+    return_stats, also returns the window-bucket stats frame for the
+    metrics table."""
+    cand, stats = substring_candidates(sig, cfg)
     a = sig.select(F.col("id_hash").alias("ih_a"), F.col("conv_id").alias("cid_a"))
     b = sig.select(F.col("id_hash").alias("ih_b"), F.col("conv_id").alias("cid_b"))
     named = (
@@ -75,7 +87,8 @@ def substring_pairs(
         )
     )
     known = verified_pairs.select("conv_id_a", "conv_id_b")
-    return named.join(known, ["conv_id_a", "conv_id_b"], "left_anti")
+    out = named.join(known, ["conv_id_a", "conv_id_b"], "left_anti")
+    return (out, stats) if return_stats else out
 
 
 _VERIFY_SCHEMA = T.StructType(

@@ -142,7 +142,13 @@ def substring_pairs(
             buckets.setdefault(h, []).append((cid, int(ih)))
     counts: dict[tuple[str, str], int] = {}
     for members in buckets.values():
-        # engine cap order: signed id_hash (operators/substring.py)
+        # same salted/capped rule as the LSH buckets (shared engine path:
+        # operators/substring.py -> candidates.bucket_members): hot buckets
+        # keep id_hash % ceil(m/cap) == 0, then signed-id_hash-sorted cap.
+        m = len(members)
+        if m > cfg.bucket_cap:
+            n_groups = -(-m // cfg.bucket_cap)
+            members = [(c, h) for c, h in members if h % n_groups == 0]
         kept = sorted(members, key=lambda ch: ch[1])[: cfg.bucket_cap]
         for (ca, _), (cb, _) in itertools.combinations(kept, 2):
             pair = (ca, cb) if ca < cb else (cb, ca)

@@ -382,9 +382,12 @@ CREATE OR REPLACE TEMP TABLE subpairs AS
 WITH wrows_ AS (SELECT t.ih AS mem, w.wh
                 FROM wwin w JOIN tsig t ON t.conv_id = w.sid),
 wsize_ AS (SELECT wh, count(*) AS m FROM wrows_ GROUP BY wh),
-wcap_ AS (SELECT w.wh, list_sort(list(w.mem))[1 : {cfg.bucket_cap}] AS ids
-          FROM wrows_ w JOIN wsize_ s ON s.wh = w.wh
-          GROUP BY w.wh HAVING count(*) >= 2),
+wkept_ AS (SELECT w.mem, w.wh
+           FROM wrows_ w JOIN wsize_ s ON s.wh = w.wh
+           WHERE s.m <= {cfg.bucket_cap}
+              OR pymod(w.mem, (s.m + {cfg.bucket_cap - 1}) // {cfg.bucket_cap}) = 0),
+wcap_ AS (SELECT wh, list_sort(list(mem))[1 : {cfg.bucket_cap}] AS ids
+          FROM wkept_ GROUP BY wh HAVING count(*) >= 2),
 wpair_ AS (SELECT pr['a'] AS ma, pr['b'] AS mb, count(*) AS n_windows FROM (
     SELECT unnest(flatten(list_transform(range(1, len(ids) + 1), i ->
         list_transform(range(i + 1, len(ids) + 1), j ->

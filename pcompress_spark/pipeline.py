@@ -209,10 +209,10 @@ class DedupPipeline:
             "pairs": pairs,
             "clusters": clusters,
         }
+        sub_stats = None
         if with_substring:
-            tables["substring_pairs"] = self._run_stage(
-                "substring_pairs", substring_pairs(sig, pairs, cfg)
-            )
+            sub_df, sub_stats = substring_pairs(sig, pairs, cfg, return_stats=True)
+            tables["substring_pairs"] = self._run_stage("substring_pairs", sub_df)
 
         # metrics + lineage tables (the reference's separate metadata stream)
         result = PipelineResult(tables, list(self._stages))
@@ -223,6 +223,9 @@ class DedupPipeline:
                 "stages": result.metrics_rows(),
                 "lsh_buckets": bucket_row[0] if bucket_row else {},
             }
+            if sub_stats is not None:
+                sub_row = [r.asDict() for r in sub_stats.collect()]
+                metrics["substring_buckets"] = sub_row[0] if sub_row else {}
             with open(os.path.join(self.work_dir, "metrics.json"), "w") as f:
                 json.dump(metrics, f, indent=2, default=str)
             lineage = self.lineage("signatures", sig, ["conv_id", "content_hash"]).unionByName(

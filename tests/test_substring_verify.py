@@ -51,6 +51,49 @@ def test_verify_substring_pairs_engine(spark, smoke_transcripts, smoke_data):
         assert K.longest_common_run(ta, tb) == lcs, (a, b)
 
 
+def test_hot_window_bucket_salted_and_logged(spark):
+    """A viral boilerplate span shared by many conversations creates a
+    window bucket far above bucket_cap. The shared salted bucket path must
+    (a) bound the reducer input (drops happen, logged in stats), and
+    (b) stay exactly equal to the pandas oracle, which implements the same
+    pmod(id_hash, ceil(m/cap)) == 0 salt + sorted cap."""
+    from pcompress_spark import oracle
+    from pcompress_spark.operators.substring import substring_candidates
+
+    cfg = DedupConfig(bucket_cap=8, hot_bucket_threshold=4)
+    rng = np.random.default_rng(11)
+    boiler = " ".join(f"tok{w}" for w in rng.integers(0, 50_000, size=600))
+    rows = []
+    for i in range(40):
+        tail = " ".join(f"uniq{i}w{j}" for j in range(30))
+        rows.append((f"hot{i:03d}", 0, "user", boiler, "", None))
+        rows.append((f"hot{i:03d}", 1, "assistant", tail, "", None))
+    tr = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df = spark.createDataFrame(tr[["conv_id", "turn_idx", "role", "text", "tool"]])
+
+    sig = compute_signatures(assemble(df, parallelism=4), cfg).cache()
+    cand, stats = substring_candidates(sig, cfg, persist_sizes=True)
+    st = stats.collect()[0].asDict()
+    # fixture really is hot, and drops are logged — no silent caps
+    assert st["max_bucket_size"] > cfg.bucket_cap, st
+    assert st["hot_member_rows"] > 0, st
+    # bounded reducer: pairs only among salt-kept, capped members — so the
+    # distinct ids appearing in ANY pair is <= bucket_cap here (one bucket
+    # family), far below the 40 raw members
+    cand_pd = cand.toPandas()
+    ids = set(cand_pd["ih_a"]) | set(cand_pd["ih_b"])
+    assert 2 <= len(ids) <= cfg.bucket_cap, len(ids)
+
+    # exact parity with the salted pandas oracle
+    no_verified = spark.createDataFrame([], "conv_id_a string, conv_id_b string")
+    eng = substring_pairs(sig, no_verified, cfg).toPandas()
+    orc = oracle.substring_pairs(oracle.signatures(oracle.assemble(tr), cfg), cfg)
+    eng_set = set(zip(eng["conv_id_a"], eng["conv_id_b"], eng["n_windows"]))
+    orc_set = set(zip(orc["conv_id_a"], orc["conv_id_b"], orc["n_windows"]))
+    assert eng_set == orc_set
+    sig.unpersist()
+
+
 def test_connected_components_long_chain(spark):
     """Chain of 120 nodes + two cliques -> star iteration must converge to
     single components (union-find ground truth)."""

@@ -18,6 +18,7 @@ from pcompress_spark.operators.signatures import compute_signatures
 from pcompress_spark.operators.candidates import candidate_pairs
 from pcompress_spark.operators.verify import verify_pairs
 from pcompress_spark.operators.cluster import _large_star
+from pcompress_spark.operators.substring import substring_candidates
 from pcompress_spark.functions import doc_dedup
 from pcompress_spark.queries import relational
 from pcompress_spark.sources.tables import load_table, load_transcripts
@@ -50,6 +51,8 @@ def main() -> None:
         "connected-components large-star half-round (agg+join, no collect_set)": _large_star(
             pairs.selectExpr("ih_a as u", "ih_b as v")
         ),
+        "substring candidates (shared salted bucket path: broadcast salt before the window reducer)":
+            substring_candidates(sig, cfg, persist_sizes=False)[0],
         "q1 pricing summary (pushdown + partial agg)": relational.q1_pricing_summary(spark, SF),
         "q3 top orders (broadcast dim join)": relational.q3_top_orders(spark, SF),
         "doc exact dedup (hash agg, first-occurrence-wins)": doc_dedup.dedup_keep_first(docs),
@@ -87,6 +90,12 @@ def main() -> None:
         "OK candidates: hot buckets joined via broadcast"
         if "BroadcastHashJoin" in cand_plan or "broadcast" in cand_plan.lower()
         else "FAIL candidates: hot-bucket join not broadcast"
+    )
+    sub_plan = plan_of(substring_candidates(sig, cfg, persist_sizes=False)[0])
+    checks.append(
+        "OK substring: hot-window salt joined via broadcast before the reducer"
+        if "BroadcastHashJoin" in sub_plan or "broadcast" in sub_plan.lower()
+        else "FAIL substring: hot-window salt join not broadcast"
     )
     def simple_plan(df) -> str:
         buf = io.StringIO()
