@@ -144,7 +144,13 @@ def minhash_lsh_pairs(
 
     cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
                              jaccard_threshold=threshold)
-    sig = doc_signatures(docs, cfg)
+    # The signature frame fans out three ways (banding + both verify
+    # sides); without a persist the expensive mapInPandas signature UDF
+    # would run ~3x per query. The transcript pipeline checkpoints
+    # signatures to parquet (pipeline.py); the ad-hoc doc path caches
+    # in-memory instead (MEMORY_AND_DISK, LRU-evicted — at corpus scale,
+    # point this at a stage table the same way the pipeline does).
+    sig = doc_signatures(docs, cfg).persist()
     r = cfg.rows
     banded = sig.where(F.size("shingles") > 0).select(
         "doc_id",
@@ -238,7 +244,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
             f"max_hamming <= {n_segs - 2}; got {max_hamming}"
         )
     cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False)
-    sig = doc_signatures(docs, cfg).select("doc_id", "id_hash", "simhash")
+    # persisted for the same three-way fan-out as minhash_lsh_pairs: the
+    # signature UDF must run once per query, not once per reference
+    sig = doc_signatures(docs, cfg).select(
+        "doc_id", "id_hash", "simhash"
+    ).persist()
     # seg(i) as JVM expr; arithmetic shiftright is safe under the & 255 mask
     seg_pairs = [(i, j) for i in range(n_segs) for j in range(i + 1, n_segs)]
     mask = (1 << seg_bits) - 1

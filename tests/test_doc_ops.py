@@ -35,6 +35,27 @@ def test_minhash_lsh_vs_bruteforce(spark, docs):
         assert rec >= 0.99, f"LSH recall {rec} on strong pairs"
 
 
+def test_doc_signature_udf_runs_once_per_query(spark, docs):
+    """The signature frame fans out to banding + both verify sides; the
+    persist must collapse that to ONE physical MapInPandas instance — every
+    reference reads the same cached relation (the formatted plan re-prints
+    the cached body under each InMemoryTableScan, but all MapInPandas
+    occurrences must carry the SAME node id)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    for df in (doc_dedup.minhash_lsh_pairs(docs, threshold=0.3),
+               doc_dedup.simhash_pairs(docs, max_hamming=6)):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        ids = set(re.findall(r"MapInPandas \((\d+)\)", plan))
+        assert len(ids) == 1, f"signature UDF appears as {ids} distinct nodes"
+        assert "InMemoryRelation" in plan, plan
+
+
 def test_simhash_pairs_symmetric_and_bounded(spark, docs):
     pairs = doc_dedup.simhash_pairs(docs, max_hamming=6).toPandas()
     assert (pairs.hamming <= 6).all()
