@@ -103,6 +103,25 @@ def splitmix64(x: np.ndarray | int) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def splitmix64_inplace(z: np.ndarray) -> np.ndarray:
+    """splitmix64 mutating ``z`` (owned uint64 array) with one scratch
+    buffer — identical values, ~1/4 the allocation traffic of the pure
+    version for the large flat shingle/window arrays (this VM is
+    memory-bandwidth-bound from ~8 cores, so every avoided temp counts)."""
+    tmp = np.empty_like(z)
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        np.right_shift(z, np.uint64(30), out=tmp)
+        np.bitwise_xor(z, tmp, out=z)
+        np.multiply(z, np.uint64(0xBF58476D1CE4E5B9), out=z)
+        np.right_shift(z, np.uint64(27), out=tmp)
+        np.bitwise_xor(z, tmp, out=z)
+        np.multiply(z, np.uint64(0x94D049BB133111EB), out=z)
+        np.right_shift(z, np.uint64(31), out=tmp)
+        np.bitwise_xor(z, tmp, out=z)
+    return z
+
+
 def perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """MinHash permutation parameters: num_perm (odd a, b) pairs derived
     purely from the seed. h_i(x) = a_i * x + b_i  (mod 2**64)."""
@@ -187,6 +206,183 @@ def hash_tokens(tokens: np.ndarray, max_token_chars: int = 64) -> np.ndarray:
     return splitmix64(h)  # final avalanche
 
 
+# Batch-fast-path table: folds case AND non-alnum in ONE translate pass
+# (A-Z -> a-z, [a-z0-9] kept, everything else -> space) — equivalent to
+# lower()+translate(_NORM_TBL) for ASCII, one fewer full-string copy.
+# NUL is preserved: the batch path joins docs with '\x00' separators (docs
+# containing a literal NUL fall back to the per-doc path, so a NUL in the
+# joined string is always a doc boundary).
+_NORM_TBL_BATCH = {
+    **{k: v for k, v in _NORM_TBL.items() if k != 0},
+    **{ord(c): c.lower() for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"},
+}
+
+
+def _fnv_tokens_gather(
+    a: np.ndarray, tok_starts: np.ndarray, w: np.ndarray
+) -> np.ndarray:
+    """FNV-1a of each token directly from the flat uint8 char array.
+
+    Tokens are processed longest-first so column j touches exactly the
+    tokens that still have a j-th char — a shrinking PREFIX of the sorted
+    order. That removes the padded matrix, the live masks, and every dead
+    lane: total inner-loop traffic is sum(len) lanes instead of
+    n_tokens * max_len. Each column is one fancy gather from ``a``
+    (cache-resident for Arrow-sized batches). Values are bit-identical to
+    hash_tokens (byte == UCS4 code point on the [a-z0-9] alphabet)."""
+    n_tok = len(tok_starts)
+    if n_tok == 0:
+        return np.empty(0, dtype=np.uint64)
+    # descending-length stable order; uint8 key makes the stable sort a
+    # single radix pass (w <= max_token_chars, virtually always <= 255)
+    if int(w.max()) <= 255:
+        order = np.argsort(255 - w.astype(np.uint8), kind="stable")
+    else:  # pragma: no cover - max_token_chars > 255 config
+        order = np.argsort(-w, kind="stable")
+    ts_s = tok_starts[order]
+    w_s = w[order]
+    width = int(w_s[0])
+    # n_live[j] = tokens with length > j (prefix size in sorted order)
+    hist = np.bincount(w_s.astype(np.int64), minlength=width + 1)
+    n_live = n_tok - np.cumsum(hist)[:-1]  # index j in [0, width)
+    h = np.full(n_tok, _FNV_OFFSET, dtype=np.uint64)
+    c64 = np.empty(n_tok, dtype=np.uint64)
+    idx = np.empty(n_tok, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            n = int(n_live[j])
+            if n == 0:
+                break
+            hp = h[:n]
+            np.add(ts_s[:n], j, out=idx[:n])
+            np.add(a[idx[:n]], 1, out=c64[:n], casting="unsafe",
+                   dtype=np.uint64)
+            np.bitwise_xor(hp, c64[:n], out=hp)
+            np.multiply(hp, _FNV_PRIME, out=hp)
+    out = np.empty(n_tok, dtype=np.uint64)
+    out[order] = splitmix64_inplace(h)
+    return out
+
+
+def _tokenize_hash_ascii(docs: list[str], max_token_chars: int):
+    """ASCII batch fast path: normalize + tokenize + token-hash a whole
+    batch with flat uint8 numpy arrays — no per-token Python strings, no
+    UCS4 padding (4 B/char -> 1 B/char of matrix traffic). Caller
+    guarantees every doc .isascii() and contains no NUL.
+
+    Returns (norm_bytes list[bytes], th_flat uint64, starts int64[n+1]).
+    norm_bytes[i] is doc i's normalized text (the sha256 content-hash
+    input); th_flat/starts are the concatenated per-doc token hashes.
+
+    Exactness: lower()+translate() on the joined string is byte-identical
+    to normalize_one's fast path (ASCII lower/translate are
+    length-preserving, so doc offsets stay valid), token runs are maximal
+    [a-z0-9]+ spans exactly like str.split() after the fold, and the FNV
+    column loop consumes the same code points hash_tokens would."""
+    n_docs = len(docs)
+    lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=n_docs)
+    big = "\x00".join(docs).translate(_NORM_TBL_BATCH)
+    a = np.frombuffer(big.encode("ascii"), dtype=np.uint8)
+    doc_starts_c = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=doc_starts_c[1:])  # +1 for each NUL separator
+
+    # token runs: token chars are [a-z0-9] (all > 32); space=32, NUL=0
+    ns = a > 32
+    if not ns.any():
+        return [b""] * n_docs, np.empty(0, dtype=np.uint64), np.zeros(
+            n_docs + 1, dtype=np.int64
+        )
+    starts_mask = ns.copy()
+    starts_mask[1:] &= ~ns[:-1]
+    tok_starts = np.flatnonzero(starts_mask)
+    ends_mask = ns.copy()
+    ends_mask[:-1] &= ~ns[1:]
+    tok_lens = np.flatnonzero(ends_mask) + 1 - tok_starts
+    n_tok = len(tok_starts)
+    # tokens per doc: search the SMALL side (n_docs+1 probes, not n_tok)
+    first_tok = np.searchsorted(tok_starts, doc_starts_c[:-1], side="left")
+    starts = np.empty(n_docs + 1, dtype=np.int64)
+    starts[:-1] = first_tok
+    starts[-1] = n_tok
+    nt_doc = np.diff(starts)
+
+    w = np.minimum(tok_lens, max_token_chars)
+    th_flat = _fnv_tokens_gather(a, tok_starts, w)
+
+    # normalized doc bytes: full-length tokens joined by single spaces
+    # (exactly " ".join(split())). One boolean mask does the run-collapse:
+    # keep every token char, plus the single space immediately BEFORE each
+    # non-first token of its doc (inside a doc, the char before a token
+    # start is always ' ' after the fold). Compacting a[keep] then yields
+    # all docs' normalized texts back-to-back with no inter-doc separator;
+    # per-doc lengths recover the slices.
+    first_mask = np.zeros(n_tok + 1, dtype=bool)
+    first_mask[first_tok] = True  # first_tok may contain n_tok (token-less tail docs)
+    keep = ns.copy()
+    keep[tok_starts[~first_mask[:n_tok]] - 1] = True
+    out = a[keep]
+    cl = np.zeros(n_tok + 1, dtype=np.int64)
+    np.cumsum(tok_lens, out=cl[1:])
+    norm_lens = cl[starts[1:]] - cl[starts[:-1]] + np.maximum(nt_doc - 1, 0)
+    out_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(norm_lens, out=out_starts[1:])
+    norm_bytes = [
+        out[out_starts[i] : out_starts[i + 1]].tobytes() for i in range(n_docs)
+    ]
+    return norm_bytes, th_flat, starts
+
+
+def tokenize_hash_batch(
+    texts: pd.Series, max_token_chars: int = 64
+) -> tuple[list[bytes], np.ndarray, np.ndarray]:
+    """Batch normalize + tokenize + token-hash: the signature front end.
+
+    Returns (norm_bytes per doc, flat token hashes, per-doc starts). ASCII
+    docs (the overwhelming majority after web-corpus normalization) ride
+    the flat-numpy fast path; non-ASCII / NUL-bearing docs fall back to the
+    per-doc normalize_one + hash_tokens path with identical outputs, and
+    the two streams are stitched back in input order."""
+    s = texts.fillna("").astype(str)
+    lst = s.tolist()
+    n_docs = len(lst)
+    slow_idx = [
+        i for i, t in enumerate(lst) if not t.isascii() or "\x00" in t
+    ]
+    if not slow_idx:
+        return _tokenize_hash_ascii(lst, max_token_chars)
+    slow_set = set(slow_idx)
+    fast_idx = [i for i in range(n_docs) if i not in slow_set]
+    f_norm, f_th, f_starts = _tokenize_hash_ascii(
+        [lst[i] for i in fast_idx], max_token_chars
+    )
+    s_norm: list[bytes] = []
+    s_tok_lists: list[np.ndarray] = []
+    for i in slow_idx:
+        norm = normalize_one(lst[i])
+        s_norm.append(norm.encode("utf-8"))
+        toks = norm.split()
+        s_tok_lists.append(
+            hash_tokens(np.asarray(toks, dtype=np.str_), max_token_chars)
+            if toks
+            else np.empty(0, dtype=np.uint64)
+        )
+    norm_bytes: list[bytes] = [b""] * n_docs
+    per_doc: list[np.ndarray] = [None] * n_docs  # type: ignore[list-item]
+    for pos, i in enumerate(fast_idx):
+        norm_bytes[i] = f_norm[pos]
+        per_doc[i] = f_th[f_starts[pos] : f_starts[pos + 1]]
+    for pos, i in enumerate(slow_idx):
+        norm_bytes[i] = s_norm[pos]
+        per_doc[i] = s_tok_lists[pos]
+    lens = np.fromiter((len(x) for x in per_doc), dtype=np.int64, count=n_docs)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    th_flat = (
+        np.concatenate(per_doc) if starts[-1] > 0 else np.empty(0, dtype=np.uint64)
+    )
+    return norm_bytes, th_flat, starts
+
+
 def hash_bytes_rows(payloads) -> np.ndarray:
     """FNV-1a-style 64-bit CONTENT hash of each byte payload, vectorized
     across the batch with the same masked-column scheme as hash_tokens
@@ -261,7 +457,7 @@ def shingle_hashes_flat(
         for j in range(1, k):
             np.multiply(out, _SHINGLE_MULT, out=out)
             np.add(out, th[j : m + j], out=out)
-    out = splitmix64(out)
+    out = splitmix64_inplace(out)
     doc_lens = np.diff(doc_starts)
     sh_lens = np.maximum(doc_lens - (k - 1), 0)
     sh_starts = np.zeros(n_docs + 1, dtype=np.int64)
@@ -277,7 +473,10 @@ def distinct_sorted_per_doc(
     flat: np.ndarray, starts: np.ndarray
 ) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
     """Per-doc distinct+sorted shingle sets. Returns (list of arrays, flat
-    concat, new starts)."""
+    concat, new starts). Per-segment np.unique beats a global
+    (doc, value) lexsort here ~5x: the segments are already contiguous, so
+    each unique sorts a cache-resident slice, while lexsort pays two full
+    stable argsorts + gathers over the whole batch."""
     n_docs = len(starts) - 1
     outs: list[np.ndarray] = []
     for i in range(n_docs):
@@ -422,26 +621,37 @@ def simhash_flat(
         bitmat = np.unpackbits(
             flat.astype("<u8", copy=False).view(np.uint8).reshape(len(flat), 8), axis=1
         )  # (S, 64) uint8, C-contiguous
-        # Two-level reduceat, both in the input's native dtype (no dtype=
-        # buffered slow path, no wide temp): (1) sum uint8 bit rows in
-        # sub-segments of <= 128 rows — sums <= 128 never overflow uint8 and
-        # the pass reads 64 B/shingle instead of a 512 B int64 copy (~2x
-        # faster, bandwidth-bound); (2) sum the few per-doc sub-segment rows
-        # as int64. Nonempty doc ranges tile [0, S) (empty docs contribute
-        # zero rows), so segment k legitimately ends where segment k+1
-        # starts and the last runs to the end — reduceat's native semantics.
+        # Segmented bit-count via SIMD block sums + prefix differences
+        # (integer addition is associative, so regrouping is exact).
+        # ufunc.reduceat is a scalar inner loop; reshape(-1,128,64).sum()
+        # vectorizes, so sum the bit rows in aligned 128-row blocks, prefix-
+        # cumsum the blocks, and read each doc's total as P(end) - P(start)
+        # with a tiny partial-block correction per boundary (<=128 rows
+        # each). Nonempty doc ranges tile [0, S) (empty docs contribute
+        # zero rows), so end_i == start_{i+1} and one boundary array serves
+        # both sides.
         ne_starts = starts[:-1][nonempty]
         ne_lens = lens[nonempty]
         n_ne = len(ne_starts)
-        max_seg = 128
-        n_seg = -(-ne_lens // max_seg)  # ceil: sub-segments per doc
-        first = np.zeros(n_ne + 1, dtype=np.int64)
-        np.cumsum(n_seg, out=first[1:])
-        doc_of = np.repeat(np.arange(n_ne), n_seg)
-        within = np.arange(first[-1]) - first[doc_of]
-        seg_starts = ne_starts[doc_of] + within * max_seg
-        part = np.add.reduceat(bitmat, seg_starts, axis=0).astype(np.int64)
-        sums = np.add.reduceat(part, first[:-1], axis=0)
+        S = len(bitmat)
+        b_full = S >> 7
+        if b_full:
+            blocks = bitmat[: b_full << 7].reshape(b_full, 128, 64).sum(
+                axis=1, dtype=np.int64
+            )
+        else:
+            blocks = np.empty((0, 64), dtype=np.int64)
+        if S & 127:
+            tail = bitmat[b_full << 7 :].sum(axis=0, dtype=np.int64)[None, :]
+            blocks = np.concatenate([blocks, tail], axis=0)
+        pref = np.zeros((blocks.shape[0] + 1, 64), dtype=np.int64)
+        np.cumsum(blocks, axis=0, out=pref[1:])
+        bounds = np.append(ne_starts, S)
+        pv = pref[bounds >> 7].copy()
+        for ii in np.flatnonzero(bounds & 127):
+            x = int(bounds[ii])
+            pv[ii] += bitmat[(x >> 7) << 7 : x].sum(axis=0, dtype=np.int64)
+        sums = pv[1:] - pv[:-1]
         maj = ((2 * sums) >= ne_lens[:, None]).astype(np.uint8)
         # packbits restores the exact byte layout unpackbits produced, so a
         # little-endian view round-trips: a single-shingle doc's simhash IS
@@ -477,7 +687,7 @@ def window_hashes_flat(
         for j in range(1, n_sub):
             np.multiply(out, _SHINGLE_MULT, out=out)
             np.add(out, shingle_flat[j * k : m + j * k], out=out)
-        out = splitmix64(out)
+        out = splitmix64_inplace(out)
     sh_lens = np.diff(shingle_starts)
     w_lens = np.maximum(sh_lens - span, 0)
     w_starts = np.zeros(n_docs + 1, dtype=np.int64)
@@ -597,22 +807,9 @@ def signatures_for_texts(texts: pd.Series, cfg) -> pd.DataFrame:
     uint64 values are reinterpreted as int64 (bit-preserving) for Spark
     LongType / Arrow compatibility.
     """
-    norm = normalize_texts(texts)
-    tok_lists = norm.str.split()
     n_docs = len(texts)
-    lens = np.fromiter(
-        ((len(t) if isinstance(t, list) else 0) for t in tok_lists),
-        dtype=np.int64,
-        count=n_docs,
-    )
-    starts = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(lens, out=starts[1:])
-    all_tokens = (
-        np.concatenate([np.asarray(t, dtype=np.str_) for t in tok_lists if t])
-        if starts[-1] > 0
-        else np.empty(0, dtype=np.str_)
-    )
-    th_flat = hash_tokens(all_tokens, cfg.max_token_chars)
+    norm_bytes, th_flat, starts = tokenize_hash_batch(texts, cfg.max_token_chars)
+    lens = np.diff(starts)
     sh_flat, sh_starts = shingle_hashes_flat(th_flat, starts, cfg.shingle_k)
     sh_sets, sh_cat, sh_cat_starts = distinct_sorted_per_doc(sh_flat, sh_starts)
     mh = minhash_flat(
@@ -627,7 +824,7 @@ def signatures_for_texts(texts: pd.Series, cfg) -> pd.DataFrame:
     out = pd.DataFrame(
         {
             "n_tokens": lens,
-            "content_hash": content_hash_hex(norm),
+            "content_hash": [hashlib.sha256(b).hexdigest() for b in norm_bytes],
             "shingles": [s.view(np.int64) for s in sh_sets],
             "minhash": list(mh.view(np.int64)),
             "simhash": simh.view(np.int64),
@@ -637,13 +834,14 @@ def signatures_for_texts(texts: pd.Series, cfg) -> pd.DataFrame:
         wh_flat, wh_starts = window_hashes_flat(
             sh_flat, sh_starts, cfg.shingle_k, cfg.substring_window
         )
-        sel = (wh_flat % np.uint64(cfg.substring_stride)) == 0
-        whs, wps = [], []
-        for i in range(n_docs):
-            seg = slice(wh_starts[i], wh_starts[i + 1])
-            keep = np.flatnonzero(sel[seg]).astype(np.int64)
-            whs.append(wh_flat[seg][keep].view(np.int64))
-            wps.append(keep)
+        # one global flatnonzero + gather instead of a per-doc loop; the
+        # per-doc outputs are views into the two compacted arrays
+        sel_idx = np.flatnonzero((wh_flat % np.uint64(cfg.substring_stride)) == 0)
+        bounds = np.searchsorted(sel_idx, wh_starts)
+        wh_sel = wh_flat[sel_idx].view(np.int64)
+        rel = sel_idx - np.repeat(wh_starts[:-1], np.diff(bounds))
+        whs = [wh_sel[bounds[i] : bounds[i + 1]] for i in range(n_docs)]
+        wps = [rel[bounds[i] : bounds[i + 1]] for i in range(n_docs)]
         out["win_hashes"] = whs
         out["win_positions"] = wps
     return out
