@@ -156,10 +156,11 @@ def stateful_assemble_signatures(
     )
 
 
-def _prior_batch_dirs(spark, root: str, batch_id: int) -> list[str]:
-    """batch=N subdirs under root, excluding this batch's own (replay
-    safety). Hadoop FileSystem API so work_dir may live on HDFS/S3 (the
-    spark-submit deployment target), not only the driver's local disk."""
+def _store_listing(spark, root: str):
+    """(fs, root Path, [(dir name, dir path str)]) of batch=* subdirs under
+    root, via the Hadoop FileSystem API so work_dir may live on HDFS/S3
+    (the spark-submit deployment target), not only the driver's local
+    disk."""
     jvm = spark._jvm
     root_path = jvm.org.apache.hadoop.fs.Path(root)
     fs = root_path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -167,9 +168,29 @@ def _prior_batch_dirs(spark, root: str, batch_id: int) -> list[str]:
     if fs.exists(root_path):
         for status in fs.listStatus(root_path):
             name = status.getPath().getName()
-            if name.startswith("batch=") and name != f"batch={batch_id}":
-                out.append(str(status.getPath()))
-    return out
+            if name.startswith("batch="):
+                out.append((name, str(status.getPath())))
+    return fs, root_path, out
+
+
+def _prior_batch_dirs(spark, root: str, batch_id: int) -> list[str]:
+    """batch=N subdirs under root, excluding this batch's own (replay
+    safety)."""
+    _, _, listing = _store_listing(spark, root)
+    return [p for name, p in listing if name != f"batch={batch_id}"]
+
+
+def _compacted_through(spark, root: str) -> int:
+    """Highest original batch id merged into a ``batch=c<N>`` compacted dir
+    (-1 if none). The watermark is the dir NAME, written atomically by the
+    compaction rename — no side marker file to drift."""
+    _, _, listing = _store_listing(spark, root)
+    tags = [
+        int(name.split("=", 1)[1][1:])
+        for name, _ in listing
+        if name.startswith("batch=c")
+    ]
+    return max(tags, default=-1)
 
 
 def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
@@ -198,7 +219,11 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
 
     Writes are keyed by batch_id and overwritten on replay; store reads
     EXCLUDE this batch's own subdirs, so a replayed batch joins against
-    exactly the state it saw first."""
+    exactly the state it saw first. If the store was compacted past this
+    batch (batch_id <= the c<N> watermark — possible only when
+    compact_near_dup_store ran against a stream stopped MID-batch), the
+    batch's own rows hide inside the merged dir, so they are anti-joined
+    back out by id_hash before probing."""
     import os
 
     from ..operators.candidates import band_explode, bucket_members, bucket_pairs
@@ -212,14 +237,22 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
             return
         prior_sig = _prior_batch_dirs(spark, store, batch_id)
         prior_band = _prior_batch_dirs(spark, band_store, batch_id)
+        replay_into_compacted = batch_id <= max(
+            _compacted_through(spark, store),
+            _compacted_through(spark, band_store),
+        )
+        own_ihs = batch_df.select("id_hash").distinct() if replay_into_compacted else None
 
         batch_bands = band_explode(batch_df, cfg)
         new_buckets = batch_bands.select("band_idx", "band_hash").distinct()
         if prior_band:
-            touched_store = (
-                spark.read.parquet(*prior_band)
-                .join(F.broadcast(new_buckets), ["band_idx", "band_hash"],
-                      "left_semi")
+            store_bands = spark.read.parquet(*prior_band)
+            if own_ihs is not None:
+                store_bands = store_bands.join(
+                    F.broadcast(own_ihs), "id_hash", "left_anti"
+                )
+            touched_store = store_bands.join(
+                F.broadcast(new_buckets), ["band_idx", "band_hash"], "left_semi"
             )
             all_bands = touched_store.unionByName(batch_bands)
         else:
@@ -242,10 +275,15 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
                 .distinct()
             )
 
-        all_sigs = (
-            batch_df.unionByName(spark.read.parquet(*prior_sig))
-            if prior_sig else batch_df
-        )
+        if prior_sig:
+            store_sigs = spark.read.parquet(*prior_sig)
+            if own_ihs is not None:
+                store_sigs = store_sigs.join(
+                    F.broadcast(own_ihs), "id_hash", "left_anti"
+                )
+            all_sigs = batch_df.unionByName(store_sigs)
+        else:
+            all_sigs = batch_df
         near = near_pairs(
             all_sigs, touching_new(cand, "ih_a", "ih_b", new_ihs, "id_hash"), cfg
         )
@@ -259,10 +297,15 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
         )
         incremental.write.mode("overwrite").parquet(
             os.path.join(pairs_out, f"batch={batch_id}"))
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(store, f"batch={batch_id}"))
-        batch_bands.write.mode("overwrite").parquet(
-            os.path.join(band_store, f"batch={batch_id}"))
+        if own_ihs is None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(store, f"batch={batch_id}"))
+            batch_bands.write.mode("overwrite").parquet(
+                os.path.join(band_store, f"batch={batch_id}"))
+        # else: this batch's rows already live inside the compacted
+        # batch=c<N> dir — rewriting batch=<id> would duplicate them for
+        # every future probe (compaction is documented quiesced-only, so
+        # the compacted copy is the complete one)
     finally:
         batch_df.unpersist()
 
@@ -273,6 +316,7 @@ def start_near_dup_stream(
     cfg: DedupConfig | None = None,
     watermark: str = "10 minutes",
     trigger_available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Incremental near-duplicate PAIR detection on a transcript stream.
 
@@ -311,8 +355,15 @@ def start_near_dup_stream(
     pipeline's checkpoints), ``ckpt/`` (streaming checkpoint). Returns the
     started StreamingQuery; read results with
     ``spark.read.parquet(work_dir + "/pairs")`` (the ``batch`` partition
-    column records provenance). Run compact_near_dup_store periodically
-    (stream quiesced) to bound the batch-dir count.
+    column records provenance).
+
+    Store compaction: pass ``compact_every=K`` to auto-compact the
+    signature/band stores every K micro-batches. The hook runs at the
+    START of batch B — a quiesced window: every batch < B is committed
+    (so will never replay) and B's own possibly-half-written dirs are
+    excluded via ``exclude_batch`` — so it is exactly as safe as running
+    compact_near_dup_store with the stream stopped. Without it, run
+    compact_near_dup_store periodically yourself (stream quiesced).
     """
     import functools
     import os
@@ -322,9 +373,18 @@ def start_near_dup_stream(
     pairs_out = os.path.join(work_dir, "pairs")
     sigs = stateful_assemble_signatures(stream, cfg, gap=watermark)
 
-    process = functools.partial(
+    base_process = functools.partial(
         _near_dup_process, store=store, pairs_out=pairs_out, cfg=cfg
     )
+    if compact_every:
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id > 0 and batch_id % compact_every == 0:
+                compact_near_dup_store(
+                    batch_df.sparkSession, work_dir, exclude_batch=batch_id
+                )
+            base_process(batch_df, batch_id)
+    else:
+        process = base_process
     writer = sigs.writeStream.foreachBatch(process).outputMode("append").option(
         "checkpointLocation", os.path.join(work_dir, "ckpt")
     )
@@ -333,33 +393,41 @@ def start_near_dup_stream(
     return writer.start()
 
 
-def compact_near_dup_store(spark, work_dir: str) -> None:
+def compact_near_dup_store(spark, work_dir: str,
+                           exclude_batch: int | None = None) -> None:
     """Maintenance: merge the per-batch signature/band store dirs into one
     ``batch=c<maxN>`` dir each and delete the originals — bounds the file
-    listing a long-lived stream accumulates. Run only while the stream is
-    stopped/quiesced past those batches (a replay of a compacted batch
-    would otherwise see its own rows in the store)."""
-    import os
-    import shutil
+    listing a long-lived stream accumulates. Entirely on the Hadoop
+    FileSystem API (listStatus/delete/rename), so it works wherever the
+    stream writes — HDFS, S3A, or local ``file:`` paths — not just the
+    driver's local disk.
 
-    for root in (os.path.join(work_dir, "sig_store"),
-                 os.path.join(work_dir, "sig_store_bands")):
-        if not os.path.isdir(root):
-            continue
-        dirs = sorted(
-            os.path.join(root, d) for d in os.listdir(root)
-            if d.startswith("batch=")
-        )
+    Safe to run while the stream is stopped/quiesced past those batches,
+    or from inside the stream itself via start_near_dup_stream's
+    ``compact_every`` hook, which passes ``exclude_batch`` = the in-flight
+    batch so an uncommitted attempt's own dirs are never merged. The
+    ``c<N>`` tag in the surviving dir name doubles as the compaction
+    watermark: _near_dup_process anti-joins a replayed batch's own rows
+    out of the store when batch_id <= N (the manually-compacted-mid-batch
+    case), so replay idempotence survives compaction."""
+    for sub in ("sig_store", "sig_store_bands"):
+        root = work_dir.rstrip("/") + "/" + sub
+        fs, root_path, listing = _store_listing(spark, root)
+        dirs = [
+            (name, p) for name, p in listing
+            if exclude_batch is None or name != f"batch={exclude_batch}"
+        ]
         if len(dirs) <= 1:
             continue
-        tag = max(
-            int(d.rsplit("=", 1)[1].lstrip("c")) for d in dirs
-        )
-        tmp = os.path.join(root, f"_compact_tmp_{tag}")
-        spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
-        for d in dirs:
-            shutil.rmtree(d)
-        os.replace(tmp, os.path.join(root, f"batch=c{tag}"))
+        tag = max(int(name.split("=", 1)[1].lstrip("c")) for name, _ in dirs)
+        hpath = spark._jvm.org.apache.hadoop.fs.Path
+        tmp = root + f"/_compact_tmp_{tag}"
+        spark.read.parquet(*[p for _, p in dirs]).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        for _, p in dirs:
+            fs.delete(hpath(p), True)
+        fs.rename(hpath(tmp), hpath(root + f"/batch=c{tag}"))
 
 
 def streaming_exact_dedup(stream: DataFrame, cfg: DedupConfig | None = None,

@@ -244,3 +244,39 @@ def test_compact_near_dup_store(spark, timed_transcripts, tmp_path):
     extra = half_b.limit(5).withColumn("conv_id", F.concat(F.lit("re_"), "conv_id"))
     _near_dup_process(extra, 2, store=store, pairs_out=pairs, cfg=CFG)
     assert spark.read.parquet(store).count() == len(after_sig) + 5
+
+
+def test_compact_file_uri_and_replay_watermark(spark, timed_transcripts, tmp_path):
+    """Compaction must run through the Hadoop FileSystem API (here via an
+    explicit file: URI — the same code path as HDFS/S3A), and a batch
+    replayed AFTER its rows were compacted (stream stopped mid-checkpoint,
+    operator compacted anyway) must neither see its own rows in the store
+    nor duplicate them: pairs and store contents stay identical."""
+    from pcompress_spark.streaming.dedup_stream import (
+        _compacted_through, _near_dup_process, compact_near_dup_store)
+
+    batch_df = spark.createDataFrame(timed_transcripts)
+    sig = compute_signatures(assemble(batch_df), CFG)
+    half_a = sig.where(F.hash("conv_id") % 2 == 0).cache()
+    half_b = sig.subtract(half_a).cache()
+    wd = "file://" + str(tmp_path / "wd_uri")
+    store, pairs = wd + "/sig_store", wd + "/pairs"
+    _near_dup_process(half_a, 0, store=store, pairs_out=pairs, cfg=CFG)
+    _near_dup_process(half_b, 1, store=store, pairs_out=pairs, cfg=CFG)
+    p1 = spark.read.parquet(pairs).toPandas()
+    n_store = spark.read.parquet(store).count()
+    n_bands = spark.read.parquet(store + "_bands").count()
+
+    compact_near_dup_store(spark, wd)
+    assert _compacted_through(spark, store) == 1
+    assert _compacted_through(spark, store + "_bands") == 1
+    assert spark.read.parquet(store).count() == n_store
+    assert spark.read.parquet(store + "_bands").count() == n_bands
+
+    # replay batch 1 into the compacted store
+    _near_dup_process(half_b, 1, store=store, pairs_out=pairs, cfg=CFG)
+    assert spark.read.parquet(store).count() == n_store, "rows duplicated"
+    assert spark.read.parquet(store + "_bands").count() == n_bands
+    p2 = spark.read.parquet(pairs).toPandas()
+    key = lambda df: set(zip(df["conv_id_a"], df["conv_id_b"], df["match_kind"]))
+    assert key(p1) == key(p2)
