@@ -75,59 +75,61 @@ def ivf_topk(
     into cells; queries probe only their ``n_probe`` nearest cells.
 
     Scale shape: cell anchors are a tiny deterministic sample collected to
-    the driver (n_cells x dim floats — the only driver-side data), cell
-    assignment is a map-only JVM pass against the broadcast-literal anchor
-    array, and the probe is a hash join on cell_id. The corpus is scanned
-    once to build the index; each query touches ~n_probe/n_cells of the
+    the driver (n_cells x dim floats — the only driver-side data) and
+    re-distributed as a BROADCAST-JOINED DataFrame, never as plan-literal
+    arrays (a literal anchor array inlines n_cells x dim constants into
+    every scoring expression and blows up plan/codegen size from a few
+    thousand cells). Cell assignment is corpus x broadcast(anchors) ->
+    score -> max_by partial aggregate: the n_cells-way expansion lives only
+    inside one whole-stage-codegen pipeline, and the shuffle after the
+    map-side combine carries exactly one row per corpus vector. The probe
+    is a hash join on cell_id; each query touches ~n_probe/n_cells of the
     corpus. Recall/cost tunes with n_probe.
     """
     withn = _with_norm(emb)
     # deterministic anchors: the n_cells corpus vectors with smallest
-    # splitmix64(vec_id) — content-independent, seed-stable sample
-    anchors = (
+    # xxhash64(vec_id) — content-independent, seed-stable sample
+    anchor_rows = (
         withn.withColumn(
             "rk", F.xxhash64(F.col("vec_id"))
-        ).orderBy("rk").limit(n_cells).select("vec_id", "v", "norm").collect()
+        ).orderBy("rk").limit(n_cells).select("v", "norm").collect()
     )
-    anchor_arr = F.array(*[
-        F.struct(
-            F.lit(i).alias("cell"),
-            F.array(*[F.lit(float(x)) for x in row["v"]]).alias("av"),
-            F.lit(float(row["norm"])).alias("an"),
-        )
-        for i, row in enumerate(anchors)
-    ])
-
-    def cell_scores(vcol, ncol):
-        # cosine against every anchor, as an array of (cell, score) structs
-        return F.transform(
-            anchor_arr,
-            lambda a: F.struct(
-                a["cell"].alias("cell"),
-                F.when(
-                    (a["an"] > 0) & (ncol > 0),
-                    F.aggregate(F.zip_with(vcol, a["av"], lambda x, y: x * y),
-                                F.lit(0.0), lambda acc, x: acc + x) / (a["an"] * ncol),
-                ).otherwise(F.lit(-2.0)).alias("score"),
-            ),
-        )
-
-    def top_cells(vcol, ncol, n):
-        ranked = F.reverse(F.array_sort(
-            F.transform(cell_scores(vcol, ncol),
-                        lambda s: F.struct(s["score"].alias("score"), s["cell"].alias("cell")))
-        ))
-        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
-
-    corpus = withn.withColumn("cell", top_cells(F.col("v"), F.col("norm"), 1)[0]).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vc"),
-        F.col("norm").alias("nc"), "cell",
+    anchors = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in r["v"]], float(r["norm"]))
+         for i, r in enumerate(anchor_rows)],
+        "cell int, av array<double>, an double",
     )
-    probes = withn.join(queries.select("vec_id"), "vec_id").withColumn(
-        "cells", top_cells(F.col("v"), F.col("norm"), n_probe)
-    ).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
-        F.col("norm").alias("nq"), F.explode("cells").alias("cell"),
+    # cosine vs anchor; tie order (score DESC, cell DESC) matches the
+    # previous literal-array implementation (reverse of an ascending
+    # (score, cell) struct sort) and the SQL oracle
+    anchor_score = F.when(
+        (F.col("an") > 0) & (F.col("norm") > 0),
+        F.aggregate(F.zip_with("v", "av", lambda x, y: x * y), F.lit(0.0),
+                    lambda acc, x: acc + x) / (F.col("an") * F.col("norm")),
+    ).otherwise(F.lit(-2.0))
+
+    corpus = (
+        withn.crossJoin(F.broadcast(anchors))
+        .withColumn("score", anchor_score)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cell", F.struct("score", "cell")).alias("cell"),
+            F.first("v").alias("vc"),
+            F.first("norm").alias("nc"),
+        )
+        .select(F.col("vec_id").alias("neighbor_id"), "vc", "nc", "cell")
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.desc("cell"))
+    probes = (
+        withn.join(queries.select("vec_id"), "vec_id")
+        .crossJoin(F.broadcast(anchors))
+        .withColumn("score", anchor_score)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
+            F.col("norm").alias("nq"), "cell",
+        )
     )
     cand = (
         corpus.join(F.broadcast(probes), "cell")

@@ -63,6 +63,25 @@ def test_simhash_pairs_symmetric_and_bounded(spark, docs):
     assert not pairs.duplicated(["doc_id_a", "doc_id_b"]).any()
 
 
+def test_ivf_anchor_broadcast_plan_size(spark, emb):
+    """Anchors must ride a broadcast join, not plan-literal arrays: at
+    n_cells=256 a literal encoding inlines 256 x dim doubles into every
+    scoring expression and the plan text explodes; the broadcast version
+    stays flat."""
+    import io
+    from contextlib import redirect_stdout
+
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    df = similarity.ivf_topk(emb, q, k=5, n_cells=256, n_probe=8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert len(plan) < 120_000, f"plan text {len(plan)} chars — literals leaked?"
+    assert df.count() > 0
+
+
 def test_ann_lsh_subset_of_bruteforce_scores(spark, emb):
     """Every LSH result must carry the exact cosine the brute-force computes,
     and per-query recall should clear a floor."""
