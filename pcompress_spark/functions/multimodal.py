@@ -54,6 +54,12 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("payload_sha_like", T.LongType(), False),
         T.StructField("decoded", T.BooleanType(), False),
+        # header_decoded: the payload's container header parsed in-tree
+        # (PNM/WAV fully decode; JPEG parses SOI/SOF markers only — the
+        # raster stays stubbed, real codecs aren't in this container)
+        T.StructField("header_decoded", T.BooleanType(), False),
+        T.StructField("hdr_width", T.IntegerType(), True),
+        T.StructField("hdr_height", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), False),
     ]
 )
@@ -66,9 +72,16 @@ FEATURE_DIM = 32
 # ---------------------------------------------------------------------------
 
 def decode_pnm(payload: bytes | None) -> np.ndarray | None:
-    """Parse a binary PNM payload (P5 gray / P6 RGB, maxval <= 255) into a
-    uint8 array of raster bytes; None if the payload is not valid PNM.
-    Mirrors the reference's in-tree PNM parser
+    """Raster bytes of a binary PNM payload (see parse_pnm); None if not
+    valid PNM."""
+    parsed = parse_pnm(payload)
+    return None if parsed is None else parsed[0]
+
+
+def parse_pnm(payload: bytes | None) -> tuple[np.ndarray, int, int] | None:
+    """Parse a binary PNM payload (P5 gray / P6 RGB, maxval <= 255) into
+    (uint8 raster bytes, width, height); None if the payload is not valid
+    PNM. Mirrors the reference's in-tree PNM parser
     (/root/reference/filters/packpnm/packpnm.c) in scope: header tokens may
     be separated by whitespace and '#' comments; raster follows the single
     whitespace byte after maxval."""
@@ -101,7 +114,52 @@ def decode_pnm(payload: bytes | None) -> np.ndarray | None:
     need = w * h * channels
     if n - pos < need:
         return None
-    return np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos), w, h
+
+
+def decode_jpeg_header(payload: bytes | None) -> tuple[int, int, int] | None:
+    """Parse a JPEG payload's header markers into (width, height,
+    n_components); None if the payload is not JPEG or carries no SOF
+    before scan data.
+
+    Real marker walk, dependency-free: verify SOI (FFD8), then skip
+    length-prefixed segments until a start-of-frame marker (SOF0 baseline /
+    SOF1 extended / SOF2 progressive — FFC0/C1/C2) and read its
+    precision/height/width/components fields; stop at SOS (FFDA) or EOF.
+    This is the header tier of the reference's JPEG routing (members
+    detected as JPEG are handed to the packJPG filter,
+    /root/reference/pcompress.c:205-401,
+    /root/reference/archive/pjpg_helper.cpp) — the raster itself stays
+    behind the declared decode stub (no entropy decoder in-tree)."""
+    if not payload or len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        return None
+    pos, n = 2, len(payload)
+    while pos + 3 < n:
+        if payload[pos] != 0xFF:
+            return None  # marker desync — not a well-formed JPEG stream
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no SOF seen
+            return None
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            return None
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            if seg_len < 8:
+                return None
+            h = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+            ncomp = payload[pos + 9]
+            if w <= 0 or h <= 0 or ncomp not in (1, 3, 4):
+                return None
+            return w, h, ncomp
+        pos += 2 + seg_len
+    return None
 
 
 _WAV_HEADER_LEN = 44  # canonical PCM header: RIFF + fmt(16) + data chunks
@@ -156,45 +214,78 @@ def _fake_feature(content_hash: np.uint64) -> np.ndarray:
     return (h.astype(np.float64) / 2**64).astype(np.float32)
 
 
-def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    decode_stub: bool = True,
+    size_bucket_partitions: int | None = None,
+) -> DataFrame:
     """media table -> feature rows via mapInPandas (Arrow batches carry the
     binary payload; partitioning is preserved — map-only, no shuffle).
 
     Routing (the D6 type dispatch): payloads that parse as PNM or canonical
-    WAV decode for real (pixel-byte / amplitude histogram,
-    ``decoded=True``); anything else uses the content-addressed stub when
-    decode_stub=True or raises NotImplementedError otherwise (real
-    JPEG/video codecs would plug in here).
+    WAV decode for real (pixel-byte / amplitude histogram, ``decoded=True``,
+    header dims populated); JPEG payloads get a REAL header parse
+    (SOI/SOF marker walk -> dimensions/components, ``header_decoded=True``)
+    with the raster behind the stub; anything else uses the
+    content-addressed stub when decode_stub=True or raises
+    NotImplementedError otherwise (a real entropy decoder would plug in
+    where decode_jpeg_header returns).
 
-    At scale: payloads should be size-bucketed (repartitionByRange on a
-    payload-size column) so Arrow batches stay near-uniform in bytes, and
-    spark.sql.execution.arrow.maxRecordsPerBatch set low enough that
-    batch_rows x max_payload fits executor memory.
+    ``size_bucket_partitions``: when set, repartitionByRange on payload
+    size first, so Arrow batches stay near-uniform in bytes
+    (hash_bytes_rows pads each batch to its longest payload — one huge
+    payload in a mixed batch pads every lane to its width). Off by default:
+    it turns the map-only stage into range-shuffle + map, which only pays
+    off when payload sizes are heavy-tailed.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = list(pdf["payload"])
             hashes = hash_bytes_rows(payloads)
-            feats, decoded = [], []
+            feats, decoded, hdr_dec = [], [], []
+            hdr_w, hdr_h = [], []
             for p, h in zip(payloads, hashes):
-                raster = decode_pnm(p)
-                samples = None if raster is not None else decode_wav(p)
-                if raster is not None:
+                pnm = parse_pnm(p)
+                samples = None if pnm is not None else decode_wav(p)
+                jpg = (
+                    None if (pnm is not None or samples is not None)
+                    else decode_jpeg_header(p)
+                )
+                if pnm is not None:
+                    raster, w, hh = pnm
                     feats.append(raster_histogram(raster))
                     decoded.append(True)
+                    hdr_dec.append(True)
+                    hdr_w.append(w)
+                    hdr_h.append(hh)
                 elif samples is not None:
                     feats.append(amplitude_histogram(samples))
                     decoded.append(True)
+                    hdr_dec.append(True)
+                    hdr_w.append(None)
+                    hdr_h.append(None)
+                elif jpg is not None and decode_stub:
+                    # header tier: real dims, raster behind the stub — so
+                    # this row still honors the decode_stub gate
+                    w, hh, _ncomp = jpg
+                    feats.append(_fake_feature(h))
+                    decoded.append(False)
+                    hdr_dec.append(True)
+                    hdr_w.append(w)
+                    hdr_h.append(hh)
                 elif decode_stub:
                     feats.append(_fake_feature(h))
                     decoded.append(False)
+                    hdr_dec.append(False)
+                    hdr_w.append(None)
+                    hdr_h.append(None)
                 else:
                     raise NotImplementedError(
-                        "no in-tree decoder for this payload (PNM and "
-                        "canonical WAV are the bundled codecs; pillow/ffmpeg "
-                        "are not available in this container) — run with "
-                        "decode_stub=True"
+                        "no in-tree decoder for this payload (PNM, canonical "
+                        "WAV, and JPEG headers are the bundled parsers; "
+                        "pillow/ffmpeg are not available in this container) "
+                        "— run with decode_stub=True"
                     )
             yield pd.DataFrame(
                 {
@@ -202,13 +293,21 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     "kind": pdf["kind"].values,
                     "payload_sha_like": hashes.view(np.int64),
                     "decoded": np.asarray(decoded, dtype=bool),
+                    "header_decoded": np.asarray(hdr_dec, dtype=bool),
+                    "hdr_width": pd.array(hdr_w, dtype="Int32"),
+                    "hdr_height": pd.array(hdr_h, dtype="Int32"),
                     "feature": feats,
                 }
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
-        trim_after(_extract), schema=FEATURE_SCHEMA
-    )
+    src = media.select("media_id", "kind", "payload")
+    if size_bucket_partitions:
+        from pyspark.sql import functions as F
+
+        src = src.repartitionByRange(
+            size_bucket_partitions, F.length("payload")
+        )
+    return src.mapInPandas(trim_after(_extract), schema=FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -227,16 +326,37 @@ def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return hdr + data
 
 
+def make_jpeg_header(w: int, h: int, entropy: bytes,
+                     progressive: bool = False) -> bytes:
+    """Serialize a structurally-valid JPEG prefix: SOI + APP0/JFIF (the
+    canonical 18-byte segment) + SOF0 (or SOF2) with the given dimensions,
+    followed by SOS and fake entropy bytes + EOI. The header markers are
+    real and parse with any JPEG header reader; the entropy data is not a
+    decodable scan (this fixture exercises the header tier only)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        [1, 1, 0, 0, 1, 0, 1, 0, 0]
+    )
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    # len=11: 8 fixed + 3 per component (1 component, precision 8)
+    sof = sof_marker + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0, 0, 63, 0])
+    return b"\xff\xd8" + app0 + sof + sos + entropy + b"\xff\xd9"
+
+
 def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
     """Deterministic fake media table: image payloads are VALID binary PGM
     (P5) files with the canonical header 'P5\\n{w} {h}\\n255\\n'; audio
-    payloads are VALID canonical WAV (PCM-16 mono); video payloads are
-    opaque seeded bytes (the declared stub kind)."""
+    payloads are VALID canonical WAV (PCM-16 mono); jpeg payloads carry
+    REAL SOI/APP0/SOF0 markers (header-parseable dimensions) over fake
+    entropy data; video payloads are opaque seeded bytes (the declared
+    stub kind)."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    kinds = ["image", "audio", "video"]
+    kinds = ["image", "audio", "video", "jpeg"]
     rows = []
     for i in range(n):
-        kind = kinds[i % 3]
+        kind = kinds[i % 4]
         if kind == "image":
             w = int(rng.integers(16, 64))
             h = int(rng.integers(16, 64))
@@ -249,6 +369,13 @@ def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
             payload = make_wav(samples)
             rows.append((i, kind, "audio/wav", payload,
                          None, None, int(ns * 1000 / 8000)))
+        elif kind == "jpeg":
+            w = int(rng.integers(32, 4096))
+            h = int(rng.integers(32, 4096))
+            ent = bytes(rng.integers(1, 255, size=int(rng.integers(64, 1024)),
+                                     dtype=np.uint8))
+            payload = make_jpeg_header(w, h, ent)
+            rows.append((i, kind, "image/jpeg", payload, w, h, None))
         else:
             size = int(rng.integers(64, 2048))
             payload = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
@@ -267,7 +394,7 @@ def media_fixture_path(n: int = 64, seed: int = 42) -> str:
     query and the DuckDB oracle read."""
     from ..sources.tables import CACHE_DIR
 
-    out_dir = os.path.join(CACHE_DIR, f"media_v2_n{n}_s{seed}")
+    out_dir = os.path.join(CACHE_DIR, f"media_v3_n{n}_s{seed}")
     path = os.path.join(out_dir, "media.parquet")
     if not os.path.exists(path):
         import pyarrow as pa

@@ -26,6 +26,37 @@ def test_feature_extraction_shape_and_determinism(spark, media):
     by_kind = f1.groupby("kind")["decoded"].all()
     assert by_kind["image"] and by_kind["audio"]
     assert not f1[f1["kind"] == "video"]["decoded"].any()
+    # header tier: PNM/WAV/JPEG headers parse; video stays fully stubbed
+    by_hdr = f1.groupby("kind")["header_decoded"].all()
+    assert by_hdr["image"] and by_hdr["audio"] and by_hdr["jpeg"]
+    assert not f1[f1["kind"] == "video"]["header_decoded"].any()
+    assert not f1[f1["kind"] == "jpeg"]["decoded"].any()  # raster still stub
+    # jpeg parsed dims equal the generator's metadata columns
+    meta = mm.generate_media_pdf(n=48).set_index("media_id")
+    for r in f1[f1["kind"] == "jpeg"].itertuples():
+        assert int(r.hdr_width) == int(meta.at[r.media_id, "width"])
+        assert int(r.hdr_height) == int(meta.at[r.media_id, "height"])
+
+
+def test_jpeg_header_decode():
+    ent = bytes(range(1, 200))
+    p = mm.make_jpeg_header(640, 480, ent)
+    assert mm.decode_jpeg_header(p) == (640, 480, 1)
+    # marker walk must skip unknown segments (insert a COM before SOF)
+    com = b"\xff\xfe\x00\x07hello"
+    walked = p[:20] + com + p[20:]
+    assert mm.decode_jpeg_header(walked) == (640, 480, 1)
+    # progressive SOF2 parses too
+    assert mm.decode_jpeg_header(
+        mm.make_jpeg_header(33, 9, ent, progressive=True)) == (33, 9, 1)
+    # invalid: not jpeg / truncated segment / SOS before any SOF
+    assert mm.decode_jpeg_header(None) is None
+    assert mm.decode_jpeg_header(b"P5\n1 1\n255\n\x00") is None
+    assert mm.decode_jpeg_header(p[:24]) is None
+    # SOI + APP0 (20 bytes), then straight to SOS (SOF segment is 13 bytes)
+    no_sof = p[:20] + p[33:]
+    assert p[33:35] == b"\xff\xda"
+    assert mm.decode_jpeg_header(no_sof) is None
 
 
 def test_pnm_decode_roundtrip():
