@@ -163,11 +163,16 @@ def bucket_pairs(buckets: DataFrame, a_col: str, b_col: str) -> DataFrame:
 
 
 def candidate_pairs(
-    sig: DataFrame, cfg: DedupConfig, persist_sizes: bool = True
+    sig: DataFrame,
+    cfg: DedupConfig,
+    persist_sizes: bool = True,
+    band_range: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """signatures -> ((ih_a, ih_b, n_bands) with ih_a < ih_b signed, stats).
-    Long keys only — conv_ids are resolved at verify time."""
-    banded = band_explode(sig, cfg)
+    Long keys only — conv_ids are resolved at verify time. band_range
+    restricts to one banding pass (see band_explode; the planner splits
+    passes when rows x bands would exceed the in-flight budget)."""
+    banded = band_explode(sig, cfg, band_range=band_range)
     buckets, stats = bucket_members(banded, cfg, persist_sizes=persist_sizes)
     pairs = bucket_pairs(buckets, "ih_a", "ih_b")
     agg = pairs.groupBy("ih_a", "ih_b").agg(

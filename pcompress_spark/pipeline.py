@@ -79,10 +79,19 @@ class DedupPipeline:
         spark: SparkSession,
         cfg: DedupConfig | None = None,
         work_dir: str | None = None,
+        auto_plan: bool = False,
     ) -> None:
+        """auto_plan: derive shuffle_partitions / arrow_batch_rows /
+        bucket_cap / banding pass count from input stats at run() time
+        (planner.derive_exec_plan — the reference's memory-budgeted index
+        auto-configuration, /root/reference/rabin/global/index.c:119-215)
+        and log the decision to metrics.json. Off by default: an explicit
+        cfg always means exactly what it says."""
         self.spark = spark
         self.cfg = cfg or DedupConfig()
         self.work_dir = work_dir
+        self.auto_plan = auto_plan
+        self.exec_plan = None
         self._stages: list[StageResult] = []
         self._input_fp: str | None = None
 
@@ -168,8 +177,12 @@ class DedupPipeline:
     @staticmethod
     def _input_fingerprint(df: DataFrame) -> str:
         """Cheap input-identity key for resume safety: hash of the input
-        file listing when the DataFrame reads files (no Spark job), else a
-        row count (one job, first run only). Re-running the same work_dir
+        file listing when the DataFrame reads files (no Spark job). The
+        fallback for non-file-backed input is a row count, and that count
+        runs on EVERY run() invocation — identity can't be cached across
+        runs precisely because an in-memory input has no stable identity
+        to key the cache on; point work_dir-resumed pipelines at file- or
+        table-backed input to avoid the scan. Re-running the same work_dir
         against DIFFERENT input must not silently reuse stale stage outputs
         — a resumed run is only 'bit-identical to an uninterrupted one' if
         (input, config) both match."""
@@ -189,11 +202,54 @@ class DedupPipeline:
         self._input_fp = self._input_fingerprint(transcripts) if self.work_dir else None
         with_substring = cfg.substring_enabled if with_substring is None else with_substring
 
+        band_passes = 1
+        if self.auto_plan:
+            import dataclasses
+
+            from .planner import derive_exec_plan
+
+            plan = derive_exec_plan(self.spark, transcripts, cfg.bands)
+            self.exec_plan = plan
+            cfg = dataclasses.replace(
+                cfg,
+                bucket_cap=plan.bucket_cap,
+                shuffle_partitions=plan.shuffle_partitions,
+                arrow_batch_rows=plan.arrow_batch_rows,
+            )
+            self.cfg = cfg  # manifests/resume key on the DERIVED config
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(plan.shuffle_partitions))
+            self.spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(plan.arrow_batch_rows))
+            band_passes = plan.band_passes
+
         par = self.spark.sparkContext.defaultParallelism * 2
         asm = assemble(transcripts, parallelism=par)
         sig = self._run_stage("signatures", compute_signatures(asm, cfg))
 
-        cand_df, bucket_stats = candidate_pairs(sig, cfg)
+        if band_passes > 1:
+            from .planner import band_ranges
+
+            parts = [candidate_pairs(sig, cfg, band_range=r)
+                     for r in band_ranges(cfg.bands, band_passes)]
+            cand_df = parts[0][0]
+            for p, _ in parts[1:]:
+                cand_df = cand_df.unionByName(p)
+            cand_df = cand_df.groupBy("ih_a", "ih_b").agg(
+                F.sum("n_bands").cast("int").alias("n_bands")
+            )
+            all_stats = parts[0][1]
+            for _, s in parts[1:]:
+                all_stats = all_stats.unionByName(s)
+            bucket_stats = all_stats.select(
+                F.sum("n_buckets").alias("n_buckets"),
+                F.sum("n_hot_buckets").alias("n_hot_buckets"),
+                F.sum("hot_member_rows").alias("hot_member_rows"),
+                F.max("max_bucket_size").alias("max_bucket_size"),
+            )
+        else:
+            cand_df, bucket_stats = candidate_pairs(sig, cfg)
         cand = self._run_stage("candidates", cand_df)
 
         pairs = self._run_stage("pairs", verify_pairs(sig, cand, cfg))
@@ -226,6 +282,8 @@ class DedupPipeline:
             if sub_stats is not None:
                 sub_row = [r.asDict() for r in sub_stats.collect()]
                 metrics["substring_buckets"] = sub_row[0] if sub_row else {}
+            if self.exec_plan is not None:
+                metrics["exec_plan"] = self.exec_plan.as_dict()
             with open(os.path.join(self.work_dir, "metrics.json"), "w") as f:
                 json.dump(metrics, f, indent=2, default=str)
             lineage = self.lineage("signatures", sig, ["conv_id", "content_hash"]).unionByName(
@@ -240,5 +298,6 @@ def run_dedup(
     transcripts: DataFrame,
     cfg: DedupConfig | None = None,
     work_dir: str | None = None,
+    auto_plan: bool = False,
 ) -> PipelineResult:
-    return DedupPipeline(spark, cfg, work_dir).run(transcripts)
+    return DedupPipeline(spark, cfg, work_dir, auto_plan=auto_plan).run(transcripts)
