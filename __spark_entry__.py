@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), threshold=0.3)
     q["doc_simhash_pairs"] = lambda s, d: doc_dedup.simhash_pairs(
         load_table(s, d, "documents"), max_hamming=6)
+    q["doc_adaptive_k_pairs"] = lambda s, d: doc_dedup.adaptive_k_lsh_pairs(
+        load_table(s, d, "documents"), k_airy=3, k_dense=5, threshold=0.3)
     q["doc_embedding_neardup"] = lambda s, d: doc_dedup.embedding_cosine_pairs(
         load_table(s, d, "embeddings"), threshold=0.4)
     q["doc_fingerprints"] = lambda s, d: text_fns.doc_fingerprints(
@@ -170,13 +172,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk_ivf"] = ann_topk_ivf
 
     # ---- multimodal plumbing (binary payload -> content hash + feature;
-    # real in-tree PNM decode for images, declared stub for audio/video;
-    # deterministic parquet-backed media fixture, independent of sf_dir) ----
+    # real in-tree PNM + WAV decoders, real JPEG header parse (SOI/SOF
+    # marker walk -> dims), declared stub for video raster; deterministic
+    # parquet-backed media fixture, independent of sf_dir) ----
     def multimodal_features(spark, sf_dir):
         from pcompress_spark.functions.multimodal import extract_features, load_media
         feats = extract_features(load_media(spark, n=64, seed=42), decode_stub=True)
         return feats.select(
             "media_id", "kind", "payload_sha_like", "decoded",
+            "header_decoded",
+            # doubles so engine NaN and oracle NULL canonicalize identically
+            F.col("hdr_width").cast("double").alias("hdr_width"),
+            F.col("hdr_height").cast("double").alias("hdr_height"),
             F.round(F.element_at("feature", 1), 6).alias("feat_0"),
             F.size("feature").cast("long").alias("feat_dim"),
         )
@@ -558,6 +565,8 @@ def oracle_sql() -> dict[str, str]:
     # that reproduce splitmix64/FNV/Horner/OPH/SimHash bit-for-bit) ----
     o["doc_fingerprints"] = oq.doc_fingerprints_sql(k=5, keep=16)
     o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
+    o["doc_adaptive_k_pairs"] = oq.doc_adaptive_k_sql(k_airy=3, k_dense=5,
+                                                      threshold=0.3)
     o["doc_routed_lsh_pairs"] = oq.doc_minhash_lsh_sql(
         k=3, threshold=0.3, src=oq.ROUTED_DOC_SRC)
     o["doc_neardup_clusters"] = oq.doc_neardup_clusters_sql(k=3, threshold=0.3)

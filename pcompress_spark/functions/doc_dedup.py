@@ -298,13 +298,14 @@ CLASS_ROUTES = {
 def route_docs(docs: DataFrame) -> DataFrame:
     """Adds (content_class, route) columns from the shared census
     classifier. Pure JVM; the routing decision itself is driver-checkable
-    (see the doc_routed_dedup query)."""
+    (see the doc_routed_dedup query). The route CASE references the
+    just-computed content_class column — the classifier's regexp ratio
+    expressions are evaluated once per row, not once per branch."""
     from .text import content_class_col
 
-    route = F.lit(None).cast("string")
     expr = None
     for klass, r in CLASS_ROUTES.items():
-        cond = content_class_col() == klass
+        cond = F.col("content_class") == klass
         expr = F.when(cond, r) if expr is None else expr.when(cond, r)
     return docs.withColumn("content_class", content_class_col()).withColumn(
         "route", expr
@@ -330,6 +331,39 @@ def routed_lsh_pairs(
         return pairs
     stats = routed.groupBy("route").agg(F.count(F.lit(1)).alias("n_docs"))
     return pairs, stats
+
+
+def adaptive_k_lsh_pairs(
+    docs: DataFrame,
+    k_airy: int = 3,
+    k_dense: int = 5,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """D6 depth — per-class adaptive shingle width (the reference picks a
+    different filter/compressor per detected content type,
+    /root/reference/adaptive_compress.c:255-335): airy text (high space
+    ratio — prose-like, shorter effective tokens) shingles at ``k_airy``;
+    dense text at ``k_dense``. Same shared LSH machinery per class, pairs
+    unioned with a ``k`` column recording which width produced them.
+
+    The emitted jaccard values are functions of the class's shingle set,
+    so the oracle's value-hash check verifies the two classes REALLY ran
+    with different k — not just that a column says so. Pairs are
+    within-class by construction (cross-class near-dups belong to the
+    single-k path)."""
+    routed = route_docs(docs)
+    out = None
+    for klass, k in (("airy", k_airy), ("dense", k_dense)):
+        sub = routed.where(F.col("content_class") == klass).drop(
+            "content_class", "route"
+        )
+        cfg = DedupConfig(shingle_k=k, substring_enabled=False,
+                          jaccard_threshold=threshold)
+        pairs = minhash_lsh_pairs(sub, cfg, threshold).withColumn(
+            "k", F.lit(k).cast("int")
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
 
 
 def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:

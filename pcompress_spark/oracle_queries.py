@@ -57,35 +57,41 @@ SELECT DISTINCT pr['a'] AS ma, pr['b'] AS mb FROM (
 # ---------------------------------------------------------------------------
 
 def _doc_sig_stmts(k: int, with_minhash: bool, with_simhash: bool,
-                   cfg: DedupConfig, src: str = "documents") -> str:
-    """TEMP TABLE ``dsig`` over ALL rows of ``src`` (a table name or a
+                   cfg: DedupConfig, src: str = "documents",
+                   pfx: str = "") -> str:
+    """TEMP TABLE ``{pfx}dsig`` over ALL rows of ``src`` (a table name or a
     parenthesized subquery with (doc_id, text)). Engine parity: docs below
     the shingle floor keep sh = [] and the sentinel simhash — the SimHash
-    path bands them, the MinHash path filters len(sh) > 0."""
+    path bands them, the MinHash path filters len(sh) > 0. ``pfx``
+    namespaces every temp table so two signature pipelines (e.g. per-class
+    adaptive-k) can coexist in one script."""
     parts = [
-        f"CREATE OR REPLACE TEMP TABLE dsrc AS SELECT doc_id, text FROM {src};",
-        osql.token_stmts("t", "dsrc", "doc_id", "text",
+        f"CREATE OR REPLACE TEMP TABLE {pfx}dsrc AS "
+        f"SELECT doc_id, text FROM {src};",
+        osql.token_stmts(f"{pfx}t", f"{pfx}dsrc", "doc_id", "text",
                          cfg.max_token_chars),
-        osql.shingle_stmts("t", "ttok", k),
+        osql.shingle_stmts(f"{pfx}t", f"{pfx}ttok", k),
     ]
     cols = ["d.doc_id AS sid", "coalesce(s.sh, []) AS sh"]
-    joins = (" LEFT JOIN (SELECT sid, list(sh ORDER BY sh) AS sh FROM tshd "
-             "GROUP BY sid) s ON s.sid = d.doc_id")
+    joins = (f" LEFT JOIN (SELECT sid, list(sh ORDER BY sh) AS sh "
+             f"FROM {pfx}tshd GROUP BY sid) s ON s.sid = d.doc_id")
     if with_minhash:
-        parts.append(osql.minhash_stmts("m", "tshd", cfg.num_perm, cfg.seed))
+        parts.append(osql.minhash_stmts(f"{pfx}m", f"{pfx}tshd",
+                                        cfg.num_perm, cfg.seed))
         cols.append("m.mh")
-        joins += " LEFT JOIN mmh m ON m.sid = d.doc_id"
+        joins += f" LEFT JOIN {pfx}mmh m ON m.sid = d.doc_id"
     if with_simhash:
-        parts.append(osql.simhash_stmts("x", "tshd", cfg.simhash_sample))
+        parts.append(osql.simhash_stmts(f"{pfx}x", f"{pfx}tshd",
+                                        cfg.simhash_sample))
         cols.append(f"coalesce(x.simh, {osql.EMPTY_SENTINEL}{_H}) AS simh")
-        joins += " LEFT JOIN xsimh x ON x.sid = d.doc_id"
+        joins += f" LEFT JOIN {pfx}xsimh x ON x.sid = d.doc_id"
     parts.append(f"""
-CREATE OR REPLACE TEMP TABLE dih AS
+CREATE OR REPLACE TEMP TABLE {pfx}dih AS
 {osql.smix_chain(['sid'], 'unsig(sid)', 'idh',
-                 '(SELECT doc_id AS sid FROM dsrc)')};
-CREATE OR REPLACE TEMP TABLE dsig AS
+                 f'(SELECT doc_id AS sid FROM {pfx}dsrc)')};
+CREATE OR REPLACE TEMP TABLE {pfx}dsig AS
 SELECT {', '.join(cols)}, i.idh
-FROM dsrc d{joins} JOIN dih i ON i.sid = d.doc_id;
+FROM {pfx}dsrc d{joins} JOIN {pfx}dih i ON i.sid = d.doc_id;
 """)
     return "\n".join(parts)
 
@@ -109,6 +115,57 @@ ROUTED_DOC_SRC = """(SELECT doc_id, text FROM documents
  WHERE length(lower(text)) > 0
    AND length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
        / length(lower(text)) <= 0.10)"""
+
+
+def _class_doc_src(klass: str) -> str:
+    """Single content-class subset of documents (text.content_class_col
+    twin): airy = space ratio > 0.25 of the shingle-routed set, dense =
+    the rest of it."""
+    cmp = ">" if klass == "airy" else "<="
+    return f"""(SELECT doc_id, text FROM documents
+ WHERE length(lower(text)) > 0
+   AND length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
+       / length(lower(text)) <= 0.10
+   AND length(regexp_replace(lower(text), '[^ ]', '', 'g'))::DOUBLE
+       / length(lower(text)) {cmp} 0.25)"""
+
+
+def doc_adaptive_k_sql(k_airy: int = 3, k_dense: int = 5,
+                       threshold: float = 0.3) -> str:
+    """Per-class adaptive shingle-k twin (doc_dedup.adaptive_k_lsh_pairs):
+    two namespaced signature pipelines (prefixes ak/dk) at different k,
+    LSH pairs per class, unioned with the class's k column. The jaccard
+    values depend on the class's shingle width, so the value-hash check
+    pins that each class really used its own k."""
+    parts = []
+    finals = []
+    for pfx, klass, k in (("ak", "airy", k_airy), ("dk", "dense", k_dense)):
+        cfg = DedupConfig(shingle_k=k, substring_enabled=False,
+                          jaccard_threshold=threshold)
+        r = cfg.rows
+        parts.append(_doc_sig_stmts(k, with_minhash=True, with_simhash=False,
+                                    cfg=cfg, src=_class_doc_src(klass),
+                                    pfx=pfx))
+        parts.append(f"""
+CREATE OR REPLACE TEMP TABLE {pfx}bands AS
+SELECT sid AS mem, tobig(idh) AS salt, b.b AS band_idx,
+       mh[b.b * {r} + 1 : b.b * {r} + {r}] AS key
+FROM {pfx}dsig CROSS JOIN (SELECT unnest(range(0, {cfg.bands}))::INT AS b) b
+WHERE len(sh) > 0;""")
+        parts.append(_bucket_pair_stmt(f"{pfx}bands", cfg.bucket_cap,
+                                       out=f"{pfx}cand"))
+        finals.append(f"""
+SELECT ma::BIGINT AS doc_id_a, mb::BIGINT AS doc_id_b,
+       round(jac, 6) AS jaccard, {k}::INT AS k
+FROM (SELECT ma, mb, CASE WHEN la + lb - inter > 0
+                          THEN inter::DOUBLE / (la + lb - inter)
+                          ELSE 1.0 END AS jac
+      FROM (SELECT c.ma, c.mb, len(a.sh) AS la, len(b.sh) AS lb,
+                   len(list_intersect(a.sh, b.sh)) AS inter
+            FROM {pfx}cand c JOIN {pfx}dsig a ON a.sid = c.ma
+            JOIN {pfx}dsig b ON b.sid = c.mb))
+WHERE round(jac, 6) >= {threshold}""")
+    return _script(*parts, "\nUNION ALL\n".join(finals))
 
 
 def doc_minhash_lsh_sql(k: int = 3, threshold: float = 0.3,
@@ -619,6 +676,19 @@ CREATE OR REPLACE TEMP TABLE mchash AS
 WITH feat_ AS (
     SELECT media_id, kind, chash,
            kind IN ('image', 'audio') AS decoded,
+           -- header tier: PNM/WAV fully decode; JPEG parses SOI/SOF only.
+           -- jpeg dims read from the actual payload bytes at the fixture's
+           -- canonical offsets (SOI 2B + APP0 18B + SOF0: height bytes
+           -- 26-27 BE, width 28-29) — independent check of the engine's
+           -- marker walk; PNM dims come from the parquet metadata columns
+           -- the generator derived the header text from
+           kind IN ('image', 'audio', 'jpeg') AS header_decoded,
+           CASE WHEN kind = 'image' THEN width::DOUBLE
+                WHEN kind = 'jpeg' THEN (bs[28] * 256 + bs[29])::DOUBLE
+                ELSE NULL END AS hdr_width,
+           CASE WHEN kind = 'image' THEN height::DOUBLE
+                WHEN kind = 'jpeg' THEN (bs[26] * 256 + bs[27])::DOUBLE
+                ELSE NULL END AS hdr_height,
            CASE WHEN kind = 'image' THEN
                -- P5 header 'P5\\n{{w}} {{h}}\\n255\\n' -> 9 + digits(w) + digits(h)
                len(list_filter(
@@ -637,9 +707,12 @@ WITH feat_ AS (
                / ((nb - 44) // 2)
            ELSE NULL END AS hist0
     FROM mchash),
-sh_ AS ({osql.smix_chain(['media_id', 'kind', 'chash', 'decoded', 'hist0'],
+sh_ AS ({osql.smix_chain(['media_id', 'kind', 'chash', 'decoded',
+                          'header_decoded', 'hdr_width', 'hdr_height',
+                          'hist0'],
                          f'mulmod(chash, 2654435761{_H})', 'sh0', 'feat_')})
 SELECT media_id, kind, tobig(chash) AS payload_sha_like, decoded,
+       header_decoded, hdr_width, hdr_height,
        round((CASE WHEN decoded THEN hist0
                    ELSE sh0::DOUBLE / 18446744073709551616.0
               END)::FLOAT::DOUBLE, 6) AS feat_0,
