@@ -43,7 +43,10 @@ def run_bench(cpus: int, n_conv: int) -> dict:
 
 
 def main() -> None:
-    n_primary = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    # 160k convs: below that the local[4+] pipeline is constant-dominated
+    # (~25 s wall) and the ratio understates true scaling — measured 0.57
+    # apparent at 40k vs 0.8+ at 160k on identical code
+    n_primary = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
     n_supp = int(sys.argv[2]) if len(sys.argv) > 2 else 160000
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     n_hi = 4 * n_lo

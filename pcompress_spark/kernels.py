@@ -394,8 +394,10 @@ def hash_bytes_rows(payloads) -> np.ndarray:
     opaque media. Unlike a length hash, equal-length payloads with
     different bytes always differ (modulo 64-bit collisions).
 
-    Memory note: the batch is padded to the longest payload; callers should
-    size-bucket very mixed payload batches upstream (multimodal.py does)."""
+    Memory note: the batch is padded to the longest payload; for heavy-
+    tailed payload sizes, size-bucket upstream (multimodal.extract_features
+    exposes this as size_bucket_partitions — a repartitionByRange on
+    payload length — off by default because it adds a shuffle)."""
     n = len(payloads)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
