@@ -91,4 +91,21 @@ def compute_signatures(
 
     # trim_after: workers release arena RSS once their partition is done, so
     # idle (reused) Python workers don't starve the following shuffle stage
-    return assembled.mapInPandas(trim_after(_sign), schema=SIGNATURE_SCHEMA)
+    out = assembled.mapInPandas(trim_after(_sign), schema=SIGNATURE_SCHEMA)
+    # Precompute the LSH band keys as a compact column (bands x 8B vs the
+    # num_perm x 8B minhash array): the candidates stage scans the
+    # signature table TWICE (bucket sizes + salted membership), and reading
+    # 256 B/row of ready keys instead of decoding + slicing + hashing the
+    # 1 KB minhash array measurably lifts that stage's core-scaling (JVM
+    # array decode is allocation/GC-heavy). Same xxhash64-over-slice
+    # expression band_explode would compute — values identical.
+    from pyspark.sql import functions as F
+
+    r = cfg.rows
+    return out.withColumn(
+        "band_hashes",
+        F.expr(
+            f"transform(sequence(0, {cfg.bands - 1}), "
+            f"b -> xxhash64(b, slice(minhash, b * {r} + 1, {r})))"
+        ),
+    )

@@ -48,8 +48,9 @@ from .operators.verify import verify_pairs
 
 # Bumped whenever a stage's output schema/semantics change: a resume only
 # reuses checkpoints written by the same format (e.g. format 2 switched the
-# candidates/pairs tables to 64-bit id_hash keys).
-PIPELINE_FORMAT = 2
+# candidates/pairs tables to 64-bit id_hash keys; format 3 added the
+# precomputed band_hashes column to the signatures table).
+PIPELINE_FORMAT = 3
 
 
 @dataclass
