@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--config-json", default=None,
                     help="JSON dict of DedupConfig field overrides")
+    ap.add_argument("--auto-plan", action="store_true",
+                    help="derive shuffle/batch/skew knobs from input stats "
+                         "(planner.derive_exec_plan; decision logged to "
+                         "metrics.json). Explicit --config-json/--shuffle-"
+                         "partitions values are overridden by the plan when "
+                         "this is set")
     args = ap.parse_args(argv)
 
     from pcompress_spark.config import DedupConfig
@@ -66,7 +72,9 @@ def main(argv: list[str] | None = None) -> int:
     else:
         transcripts = spark.read.table(args.input)
 
-    result = DedupPipeline(spark, cfg, work_dir=args.work_dir).run(transcripts)
+    result = DedupPipeline(
+        spark, cfg, work_dir=args.work_dir, auto_plan=args.auto_plan
+    ).run(transcripts)
 
     if args.output:
         for name in ("clusters", "pairs", "signatures"):
