@@ -26,6 +26,7 @@ from pcompress_spark.config import DedupConfig
 from pcompress_spark.pipeline import DedupPipeline
 from pcompress_spark.operators.assemble import assemble, assembled_turns
 from pcompress_spark.operators.substring import verify_substring_pairs
+from pcompress_spark.operators.tiers import tier_attribution
 from pcompress_spark.functions import doc_dedup, similarity, text as text_fns
 from pcompress_spark.queries import relational
 from pcompress_spark.sources.tables import (
@@ -234,6 +235,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return verify_substring_pairs(tabs["substring_pairs"], asm, CFG)
 
     q["tr_substring_verified"] = tr_substring_verified
+
+    # ---- tier cascade attribution (the "tier dedup" headline) ----
+    def tr_tier_attribution(spark, sf_dir):
+        """Which dedup tier removed each conversation — exact, near,
+        substring — and who removed it; 'kept' for survivors. Mirrors the
+        reference's chunk cascade: exact global-index hit, then
+        similarity-probe delta nomination, else stored whole
+        (/root/reference/rabin/rabin_dedup.c:1236-1344, 1469-1489)."""
+        tabs = _pipeline_tables(spark, sf_dir)
+        asm = assemble(load_transcripts(spark, sf_dir))
+        verified = verify_substring_pairs(tabs["substring_pairs"], asm, CFG)
+        return tier_attribution(tabs["signatures"], tabs["clusters"], verified, CFG)
+
+    q["tr_tier_attribution"] = tr_tier_attribution
 
     # ---- S3 analog: multi-source union scan with provenance ----
     def tr_provenance_dedup(spark, sf_dir):
@@ -576,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
     o["tr_dedup_view"] = oq.tr_dedup_view_sql(tr, CFG)
     o["tr_substring_pairs"] = oq.tr_substring_pairs_sql(tr, CFG)
     o["tr_substring_verified"] = oq.tr_substring_verified_sql(tr, CFG)
+    o["tr_tier_attribution"] = oq.tr_tier_attribution_sql(tr, CFG)
     o["ann_topk_lsh"] = oq.ann_lsh_sql(k=5)
     o["ann_topk_ivf"] = oq.ann_ivf_sql(k=5)
     o["multimodal_features"] = oq.multimodal_sql(media_fixture_path(n=64, seed=42))

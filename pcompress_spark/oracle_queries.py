@@ -365,13 +365,7 @@ FROM allpairs""",
     )
 
 
-def _tr_clusters_stmts(tr_path: str, cfg: DedupConfig) -> str:
-    """Adds TEMP TABLE ``clusters`` (conv_id, cluster_id = min conv_id of
-    the transitive closure over allpairs) via recursive reachability over
-    the (tiny, materialized) symmetric edge table."""
-    return "\n".join([
-        _tr_pairs_stmts(tr_path, cfg),
-        """
+_CLUSTERS_ONLY_STMTS = """
 CREATE OR REPLACE TEMP TABLE sym AS
 SELECT conv_id_a AS a, conv_id_b AS b FROM allpairs
 UNION
@@ -381,7 +375,16 @@ WITH RECURSIVE reach(src, dst) AS (
     SELECT conv_id, conv_id FROM tsig
     UNION
     SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
-SELECT src AS conv_id, min(dst) AS cluster_id FROM reach GROUP BY src;""",
+SELECT src AS conv_id, min(dst) AS cluster_id FROM reach GROUP BY src;"""
+
+
+def _tr_clusters_stmts(tr_path: str, cfg: DedupConfig) -> str:
+    """Adds TEMP TABLE ``clusters`` (conv_id, cluster_id = min conv_id of
+    the transitive closure over allpairs) via recursive reachability over
+    the (tiny, materialized) symmetric edge table."""
+    return "\n".join([
+        _tr_pairs_stmts(tr_path, cfg),
+        _CLUSTERS_ONLY_STMTS,
     ])
 
 
@@ -510,12 +513,12 @@ UNION ALL
 SELECT conv_id_a, conv_id_b, lo, hi FROM bs{t - 1} WHERE lo >= hi;"""
 
 
-def tr_substring_verified_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
-    """subpairs + exact longest-common-token-run via rolling-hash binary
-    search (kernels.longest_common_run twin), unrolled into {_BS_ITERS}
-    temp-table iterations halving (lo, hi] per pair."""
-    cfg = cfg or DedupConfig()
-    return _script(
+def _tr_subver_stmts(tr_path: str, cfg: DedupConfig) -> str:
+    """Adds TEMP TABLE ``subver`` (conv_id_a, conv_id_b, n_windows,
+    lcs_tokens): subpairs + exact longest-common-token-run via rolling-hash
+    binary search (kernels.longest_common_run twin), unrolled into
+    _BS_ITERS temp-table iterations halving (lo, hi] per pair."""
+    return "\n".join([
         _tr_substring_stmts(tr_path, cfg),
         osql.prefix_stmts("p", "ttok"),
         """
@@ -530,11 +533,74 @@ SELECT conv_id_a, conv_id_b, 0::BIGINT AS lo, least(na, nb)::BIGINT AS hi
 FROM pairpre;""",
         *[_bs_iter_stmt(t) for t in range(1, _BS_ITERS + 1)],
         f"""
+CREATE OR REPLACE TEMP TABLE subver AS
 SELECT p.conv_id_a, p.conv_id_b, p.n_windows,
        coalesce(f.lo, 0)::BIGINT AS lcs_tokens
 FROM pairpre p
 LEFT JOIN bs{_BS_ITERS} f
-  ON f.conv_id_a = p.conv_id_a AND f.conv_id_b = p.conv_id_b""",
+  ON f.conv_id_a = p.conv_id_a AND f.conv_id_b = p.conv_id_b;""",
+    ])
+
+
+def tr_substring_verified_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
+    """subpairs + exact longest-common-token-run (see _tr_subver_stmts)."""
+    cfg = cfg or DedupConfig()
+    return _script(
+        _tr_subver_stmts(tr_path, cfg),
+        "SELECT conv_id_a, conv_id_b, n_windows, lcs_tokens FROM subver",
+    )
+
+
+def tr_tier_attribution_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
+    """operators/tiers.tier_attribution twin: per conversation, which tier
+    removed it (exact > near > substring > kept) and who removed it.
+
+    Tier rules mirror the engine exactly: 'exact' = conv_id != min over its
+    content-hash group; 'near' = cluster non-representative (exact takes
+    priority); 'substring' = a representative that loses a verified pair
+    with lcs_tokens >= substring_window against another representative
+    (loser = fewer tokens, tie -> lexicographically greater conv_id;
+    removed_by = min winner); else 'kept'."""
+    cfg = cfg or DedupConfig()
+    return _script(
+        _tr_subver_stmts(tr_path, cfg),
+        _CLUSTERS_ONLY_STMTS,
+        f"""
+CREATE OR REPLACE TEMP TABLE exrep AS
+SELECT t.conv_id, r.exact_rep, c.cluster_id
+FROM tsig t
+JOIN (SELECT chash, min(conv_id) AS exact_rep FROM tsig GROUP BY chash) r
+  ON r.chash = t.chash
+JOIN clusters c ON c.conv_id = t.conv_id;
+CREATE OR REPLACE TEMP TABLE subrm AS
+WITH reps_ AS (SELECT conv_id FROM clusters WHERE cluster_id = conv_id),
+qual_ AS (
+    SELECT v.conv_id_a, v.conv_id_b, pa.n AS na, pb.n AS nb
+    FROM subver v
+    JOIN reps_ ra ON ra.conv_id = v.conv_id_a
+    JOIN reps_ rb ON rb.conv_id = v.conv_id_b
+    JOIN ppref pa ON pa.sid = v.conv_id_a
+    JOIN ppref pb ON pb.sid = v.conv_id_b
+    WHERE v.lcs_tokens >= {cfg.substring_window}),
+lw_ AS (
+    SELECT CASE WHEN na < nb OR (na = nb AND conv_id_a > conv_id_b)
+                THEN conv_id_a ELSE conv_id_b END AS loser,
+           CASE WHEN na < nb OR (na = nb AND conv_id_a > conv_id_b)
+                THEN conv_id_b ELSE conv_id_a END AS winner
+    FROM qual_)
+SELECT loser, min(winner) AS sub_winner FROM lw_ GROUP BY loser;""",
+        """
+SELECT e.conv_id,
+       CASE WHEN e.conv_id != e.exact_rep THEN 'exact'
+            WHEN e.conv_id != e.cluster_id THEN 'near'
+            WHEN s.sub_winner IS NOT NULL THEN 'substring'
+            ELSE 'kept' END AS tier,
+       CASE WHEN e.conv_id != e.exact_rep THEN e.exact_rep
+            WHEN e.conv_id != e.cluster_id THEN e.cluster_id
+            WHEN s.sub_winner IS NOT NULL THEN s.sub_winner
+            ELSE e.conv_id END AS removed_by
+FROM exrep e
+LEFT JOIN subrm s ON s.loser = e.conv_id""",
     )
 
 
