@@ -162,6 +162,34 @@ def decode_jpeg_header(payload: bytes | None) -> tuple[int, int, int] | None:
     return None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_header(payload: bytes | None) -> tuple[int, int, int] | None:
+    """Parse a PNG payload's IHDR into (width, height, n_channels); None if
+    the payload is not PNG or malformed.
+
+    Real container parse, dependency-free: verify the 8-byte signature,
+    require the first chunk to be the mandatory 13-byte IHDR (PNG spec
+    orders it first), and read width/height (big-endian u32), bit depth,
+    and color type. Like decode_jpeg_header this is the header tier of the
+    reference's type-routed dispatch (/root/reference/pcompress.c:205-401);
+    the raster stays behind the declared stub (no zlib-inflate + unfilter
+    pipeline in-tree)."""
+    if not payload or len(payload) < 33 or payload[:8] != _PNG_SIG:
+        return None
+    if payload[8:12] != b"\x00\x00\x00\x0d" or payload[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(payload[16:20], "big")
+    h = int.from_bytes(payload[20:24], "big")
+    bit_depth = payload[24]
+    color_type = payload[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if w <= 0 or h <= 0 or channels is None or bit_depth not in (1, 2, 4, 8, 16):
+        return None
+    return w, h, channels
+
+
 _WAV_HEADER_LEN = 44  # canonical PCM header: RIFF + fmt(16) + data chunks
 
 
@@ -248,10 +276,11 @@ def extract_features(
             for p, h in zip(payloads, hashes):
                 pnm = parse_pnm(p)
                 samples = None if pnm is not None else decode_wav(p)
-                jpg = (
-                    None if (pnm is not None or samples is not None)
-                    else decode_jpeg_header(p)
-                )
+                hdr = None
+                if pnm is None and samples is None:
+                    hdr = decode_jpeg_header(p)
+                    if hdr is None:
+                        hdr = decode_png_header(p)
                 if pnm is not None:
                     raster, w, hh = pnm
                     feats.append(raster_histogram(raster))
@@ -265,10 +294,10 @@ def extract_features(
                     hdr_dec.append(True)
                     hdr_w.append(None)
                     hdr_h.append(None)
-                elif jpg is not None and decode_stub:
-                    # header tier: real dims, raster behind the stub — so
-                    # this row still honors the decode_stub gate
-                    w, hh, _ncomp = jpg
+                elif hdr is not None and decode_stub:
+                    # header tier (JPEG SOF / PNG IHDR): real dims, raster
+                    # behind the stub — still honors the decode_stub gate
+                    w, hh, _ncomp = hdr
                     feats.append(_fake_feature(h))
                     decoded.append(False)
                     hdr_dec.append(True)
@@ -283,7 +312,7 @@ def extract_features(
                 else:
                     raise NotImplementedError(
                         "no in-tree decoder for this payload (PNM, canonical "
-                        "WAV, and JPEG headers are the bundled parsers; "
+                        "WAV, and JPEG/PNG headers are the bundled parsers; "
                         "pillow/ffmpeg are not available in this container) "
                         "— run with decode_stub=True"
                     )
@@ -345,18 +374,34 @@ def make_jpeg_header(w: int, h: int, entropy: bytes,
     return b"\xff\xd8" + app0 + sof + sos + entropy + b"\xff\xd9"
 
 
+def make_png(w: int, h: int, idat: bytes) -> bytes:
+    """Serialize a PNG container with the real 8-byte signature and a
+    CRC-valid IHDR (8-bit grayscale) around fake (non-zlib) IDAT bytes —
+    exercises the header tier only; any PNG header reader parses it."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
     """Deterministic fake media table: image payloads are VALID binary PGM
     (P5) files with the canonical header 'P5\\n{w} {h}\\n255\\n'; audio
     payloads are VALID canonical WAV (PCM-16 mono); jpeg payloads carry
     REAL SOI/APP0/SOF0 markers (header-parseable dimensions) over fake
-    entropy data; video payloads are opaque seeded bytes (the declared
-    stub kind)."""
+    entropy data; png payloads carry the real signature + CRC-valid IHDR
+    over fake IDAT bytes; video payloads are opaque seeded bytes (the
+    declared stub kind)."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    kinds = ["image", "audio", "video", "jpeg"]
+    kinds = ["image", "audio", "video", "jpeg", "png"]
     rows = []
     for i in range(n):
-        kind = kinds[i % 4]
+        kind = kinds[i % 5]
         if kind == "image":
             w = int(rng.integers(16, 64))
             h = int(rng.integers(16, 64))
@@ -376,6 +421,13 @@ def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
                                      dtype=np.uint8))
             payload = make_jpeg_header(w, h, ent)
             rows.append((i, kind, "image/jpeg", payload, w, h, None))
+        elif kind == "png":
+            w = int(rng.integers(32, 8192))
+            h = int(rng.integers(32, 8192))
+            idat = bytes(rng.integers(0, 256, size=int(rng.integers(64, 1024)),
+                                      dtype=np.uint8))
+            payload = make_png(w, h, idat)
+            rows.append((i, kind, "image/png", payload, w, h, None))
         else:
             size = int(rng.integers(64, 2048))
             payload = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
@@ -394,7 +446,7 @@ def media_fixture_path(n: int = 64, seed: int = 42) -> str:
     query and the DuckDB oracle read."""
     from ..sources.tables import CACHE_DIR
 
-    out_dir = os.path.join(CACHE_DIR, f"media_v3_n{n}_s{seed}")
+    out_dir = os.path.join(CACHE_DIR, f"media_v4_n{n}_s{seed}")
     path = os.path.join(out_dir, "media.parquet")
     if not os.path.exists(path):
         import pyarrow as pa

@@ -742,18 +742,24 @@ CREATE OR REPLACE TEMP TABLE mchash AS
 WITH feat_ AS (
     SELECT media_id, kind, chash,
            kind IN ('image', 'audio') AS decoded,
-           -- header tier: PNM/WAV fully decode; JPEG parses SOI/SOF only.
-           -- jpeg dims read from the actual payload bytes at the fixture's
-           -- canonical offsets (SOI 2B + APP0 18B + SOF0: height bytes
-           -- 26-27 BE, width 28-29) — independent check of the engine's
-           -- marker walk; PNM dims come from the parquet metadata columns
-           -- the generator derived the header text from
-           kind IN ('image', 'audio', 'jpeg') AS header_decoded,
+           -- header tier: PNM/WAV fully decode; JPEG parses SOI/SOF only,
+           -- PNG parses signature+IHDR only. jpeg/png dims read from the
+           -- actual payload bytes at the containers' canonical offsets
+           -- (JPEG: SOI 2B + APP0 18B + SOF0, height BE at bytes 26-27,
+           -- width 28-29; PNG: 8B signature + 4B len + 'IHDR', width BE
+           -- u32 at bytes 17-20, height 21-24) — independent checks of the
+           -- engine's parsers; PNM dims come from the parquet metadata
+           -- columns the generator derived the header text from
+           kind IN ('image', 'audio', 'jpeg', 'png') AS header_decoded,
            CASE WHEN kind = 'image' THEN width::DOUBLE
                 WHEN kind = 'jpeg' THEN (bs[28] * 256 + bs[29])::DOUBLE
+                WHEN kind = 'png' THEN (bs[17] * 16777216 + bs[18] * 65536
+                                        + bs[19] * 256 + bs[20])::DOUBLE
                 ELSE NULL END AS hdr_width,
            CASE WHEN kind = 'image' THEN height::DOUBLE
                 WHEN kind = 'jpeg' THEN (bs[26] * 256 + bs[27])::DOUBLE
+                WHEN kind = 'png' THEN (bs[21] * 16777216 + bs[22] * 65536
+                                        + bs[23] * 256 + bs[24])::DOUBLE
                 ELSE NULL END AS hdr_height,
            CASE WHEN kind = 'image' THEN
                -- P5 header 'P5\\n{{w}} {{h}}\\n255\\n' -> 9 + digits(w) + digits(h)

@@ -26,14 +26,16 @@ def test_feature_extraction_shape_and_determinism(spark, media):
     by_kind = f1.groupby("kind")["decoded"].all()
     assert by_kind["image"] and by_kind["audio"]
     assert not f1[f1["kind"] == "video"]["decoded"].any()
-    # header tier: PNM/WAV/JPEG headers parse; video stays fully stubbed
+    # header tier: PNM/WAV/JPEG/PNG headers parse; video stays fully stubbed
     by_hdr = f1.groupby("kind")["header_decoded"].all()
-    assert by_hdr["image"] and by_hdr["audio"] and by_hdr["jpeg"]
+    assert by_hdr["image"] and by_hdr["audio"] and by_hdr["jpeg"] and by_hdr["png"]
     assert not f1[f1["kind"] == "video"]["header_decoded"].any()
-    assert not f1[f1["kind"] == "jpeg"]["decoded"].any()  # raster still stub
-    # jpeg parsed dims equal the generator's metadata columns
+    # raster stays behind the stub for both header-tier kinds
+    assert not f1[f1["kind"] == "jpeg"]["decoded"].any()
+    assert not f1[f1["kind"] == "png"]["decoded"].any()
+    # jpeg/png parsed dims equal the generator's metadata columns
     meta = mm.generate_media_pdf(n=48).set_index("media_id")
-    for r in f1[f1["kind"] == "jpeg"].itertuples():
+    for r in f1[f1["kind"].isin(["jpeg", "png"])].itertuples():
         assert int(r.hdr_width) == int(meta.at[r.media_id, "width"])
         assert int(r.hdr_height) == int(meta.at[r.media_id, "height"])
 
@@ -57,6 +59,21 @@ def test_jpeg_header_decode():
     no_sof = p[:20] + p[33:]
     assert p[33:35] == b"\xff\xda"
     assert mm.decode_jpeg_header(no_sof) is None
+
+
+def test_png_header_decode():
+    idat = bytes(range(1, 100))
+    p = mm.make_png(800, 600, idat)
+    assert mm.decode_png_header(p) == (800, 600, 1)
+    # 4-byte dims parse fully (above 16-bit)
+    assert mm.decode_png_header(mm.make_png(70000, 3, idat)) == (70000, 3, 1)
+    # invalid: not png / truncated / signature without IHDR first
+    assert mm.decode_png_header(None) is None
+    assert mm.decode_png_header(p[:20]) is None
+    assert mm.decode_png_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30) is None
+    assert mm.decode_png_header(mm.make_jpeg_header(8, 8, idat)) is None
+    # jpeg parser rejects png and vice versa (router picks exactly one)
+    assert mm.decode_jpeg_header(p) is None
 
 
 def test_pnm_decode_roundtrip():
