@@ -101,7 +101,8 @@ EXECUTORS from N to 4N: each real executor brings its own memory channels,
 whereas extra threads on one box share them. All engine-level scalability
 properties (hash-partitioned LSH, agg+join connected components,
 salted+capped hot buckets, one full-data shuffle, no driver-side loops or
-collects) are exercised identically at both points.
+collects) are exercised identically at both points. Per-stage
+decomposition of this pair: BENCH/STAGE_SCALING.md (stage_probe.py).
 
 Full bench JSON:
 

@@ -56,21 +56,47 @@ def probe(cores: int, n_conv: int) -> dict[str, float]:
 
 
 def main() -> None:
+    import datetime
+
     n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     a, b = probe(lo, n_conv), probe(hi, n_conv)
-    print(f"| stage | local[{lo}] (s) | local[{hi}] (s) | speedup | efficiency |")
-    print("|---|---|---|---|---|")
+    lines = [
+        f"| stage | local[{lo}] (s) | local[{hi}] (s) | speedup | efficiency |",
+        "|---|---|---|---|---|",
+    ]
     for stage, ta in a.items():
         tb = b.get(stage)
         if tb is None or tb <= 0:
             continue
         sp = ta / tb
-        print(f"| {stage} | {ta:.1f} | {tb:.1f} | {sp:.2f}x | {sp / (hi / lo):.2f} |")
+        lines.append(
+            f"| {stage} | {ta:.1f} | {tb:.1f} | {sp:.2f}x | {sp / (hi / lo):.2f} |"
+        )
     ta_tot, tb_tot = sum(a.values()), sum(b.values())
-    print(f"| TOTAL (stage sum) | {ta_tot:.1f} | {tb_tot:.1f} | "
-          f"{ta_tot / tb_tot:.2f}x | {ta_tot / tb_tot / (hi / lo):.2f} |")
+    lines.append(
+        f"| TOTAL (stage sum) | {ta_tot:.1f} | {tb_tot:.1f} | "
+        f"{ta_tot / tb_tot:.2f}x | {ta_tot / tb_tot / (hi / lo):.2f} |"
+    )
+    table = "\n".join(lines)
+    print(table)
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
+    with open(os.path.join(REPO, "BENCH", "STAGE_SCALING.md"), "w") as f:
+        f.write(
+            f"""# Per-stage {lo} -> {hi} core scaling decomposition
+
+One stage_probe.py invocation ({n_conv} conversations, sf0.1 slice); stage
+seconds come from the pipeline's own metrics.json checkpointer, Python
+workers warmed before timing. The stage sum excludes inter-stage driver /
+checkpoint-write overhead, which is why it can exceed the full-pipeline
+wall-clock ratio in BASELINE.md.
+
+{table}
+
+Generated {stamp} by BENCH/stage_probe.py.
+"""
+        )
 
 
 if __name__ == "__main__":
