@@ -44,6 +44,12 @@ def main() -> None:
     pairs = verify_pairs(sig, cand, cfg)
     docs = load_table(spark, SF, "documents")
 
+    # tier attribution over the real (checkpoint-resumed) pipeline tables —
+    # the same construction the driver query uses
+    import __spark_entry__ as entry
+
+    tier_df = entry.queries()["tr_tier_attribution"](spark, SF)
+
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
         "LSH candidates (band shuffle, broadcast hot-bucket salt, JVM pair explosion)": cand,
@@ -60,6 +66,8 @@ def main() -> None:
             doc_dedup.simhash_pairs(docs),
         "routed LSH pairs (exact_only classes pruned before the signature UDF)":
             doc_dedup.routed_lsh_pairs(docs),
+        "tier attribution (exact/near/substring cascade over pipeline tables)":
+            tier_df,
     }
 
     checks: list[str] = []
@@ -115,7 +123,8 @@ def main() -> None:
         )
 
     for name, df in (("simhash_pairs", doc_dedup.simhash_pairs(docs)),
-                     ("routed_lsh_pairs", doc_dedup.routed_lsh_pairs(docs))):
+                     ("routed_lsh_pairs", doc_dedup.routed_lsh_pairs(docs)),
+                     ("tier_attribution", tier_df)):
         p = plan_of(df)
         checks.append(
             f"OK {name}: no cartesian/nested-loop stage"
