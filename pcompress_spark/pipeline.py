@@ -197,7 +197,17 @@ class DedupPipeline:
             return "files:" + hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
         return f"rows:{df.count()}"
 
-    def run(self, transcripts: DataFrame, with_substring: bool | None = None) -> PipelineResult:
+    def run(
+        self,
+        transcripts: DataFrame,
+        with_substring: bool | None = None,
+        with_tiers: bool = False,
+    ) -> PipelineResult:
+        """with_tiers: also materialize the ``tiers`` table (per
+        conversation: exact / near / substring / kept + removed_by —
+        operators/tiers.tier_attribution) and log per-tier counts to
+        metrics.json. Off by default: it pays the substring LCS verify over
+        the flagged pairs, which callers that only need clusters skip."""
         cfg = self.cfg
         self._stages = []
         self._input_fp = self._input_fingerprint(transcripts) if self.work_dir else None
@@ -271,6 +281,22 @@ class DedupPipeline:
             sub_df, sub_stats = substring_pairs(sig, pairs, cfg, return_stats=True)
             tables["substring_pairs"] = self._run_stage("substring_pairs", sub_df)
 
+        if with_tiers:
+            from .operators.substring import verify_substring_pairs
+            from .operators.tiers import tier_attribution
+
+            if "substring_pairs" in tables:
+                ver = verify_substring_pairs(tables["substring_pairs"], asm, cfg)
+            else:
+                # substring tier disabled: cascade degrades to exact/near/kept
+                ver = self.spark.createDataFrame(
+                    [], "conv_id_a string, conv_id_b string, "
+                        "n_windows long, lcs_tokens long"
+                )
+            tables["tiers"] = self._run_stage(
+                "tiers", tier_attribution(sig, clusters, ver, cfg)
+            )
+
         # metrics + lineage tables (the reference's separate metadata stream)
         result = PipelineResult(tables, list(self._stages))
         if self.work_dir:
@@ -283,6 +309,14 @@ class DedupPipeline:
             if sub_stats is not None:
                 sub_row = [r.asDict() for r in sub_stats.collect()]
                 metrics["substring_buckets"] = sub_row[0] if sub_row else {}
+            if "tiers" in tables:
+                metrics["tiers"] = {
+                    r["tier"]: r["n"]
+                    for r in tables["tiers"]
+                    .groupBy("tier")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
             if self.exec_plan is not None:
                 metrics["exec_plan"] = self.exec_plan.as_dict()
             with open(os.path.join(self.work_dir, "metrics.json"), "w") as f:

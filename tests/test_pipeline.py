@@ -42,6 +42,41 @@ def test_pipeline_end_to_end(spark, smoke_transcripts, tmp_path):
     assert _clusters_dict(res) == _clusters_dict(res2)
 
 
+def test_pipeline_tiers_stage(spark, smoke_transcripts, tmp_path):
+    """with_tiers=True materializes the per-conversation tier table; one
+    row per conversation, per-tier counts logged to metrics.json, and the
+    attribution is consistent with the clusters table (every cluster
+    non-representative is exact- or near-attributed; every substring row
+    is a representative)."""
+    wd = str(tmp_path / "run_tiers")
+    os.makedirs(wd)
+    res = DedupPipeline(spark, CFG, work_dir=wd).run(
+        smoke_transcripts, with_tiers=True
+    )
+    assert "tiers" in res.tables
+    tiers = res.tables["tiers"].toPandas()
+    clusters = res.tables["clusters"].toPandas()
+    assert len(tiers) == len(clusters)  # one row per conversation
+    with open(os.path.join(wd, "metrics.json")) as f:
+        metrics = json.load(f)
+    assert sum(metrics["tiers"].values()) == len(tiers)
+    assert set(metrics["tiers"]) <= {"exact", "near", "substring", "kept"}
+    lab = dict(zip(clusters["conv_id"], clusters["cluster_id"]))
+    by_tier = dict(zip(tiers["conv_id"], tiers["tier"]))
+    for conv, cid in lab.items():
+        if conv != cid:
+            assert by_tier[conv] in ("exact", "near"), conv
+        else:
+            assert by_tier[conv] in ("substring", "kept"), conv
+    # kept/substring reps reference themselves / another representative
+    rb = dict(zip(tiers["conv_id"], tiers["removed_by"]))
+    for conv, t in by_tier.items():
+        if t == "kept":
+            assert rb[conv] == conv
+        elif t == "substring":
+            assert lab[rb[conv]] == rb[conv]  # winner is itself a rep
+
+
 def test_pipeline_partial_resume(spark, smoke_transcripts, tmp_path):
     """Kill-between-stages: later stage outputs missing -> recomputed; earlier
     kept; final output identical to an uninterrupted run."""

@@ -48,7 +48,7 @@ def test_pyfiles_zip_reproducible(tmp_path):
 
 def test_run_pipeline_script_end_to_end(tmp_path, smoke_data):
     """tools/run_pipeline.py (the spark-submit entry) runs the full pipeline
-    from the CLI and reports cluster rows."""
+    from the CLI — including the --tiers table — and reports cluster rows."""
     inp = str(tmp_path / "transcripts.parquet")
     smoke_data.transcripts.to_parquet(inp, index=False)
     env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_DRIVER_MEM="4g")
@@ -56,13 +56,17 @@ def test_run_pipeline_script_end_to_end(tmp_path, smoke_data):
         [sys.executable, os.path.join(REPO, "tools", "run_pipeline.py"),
          "--input", inp, "--work-dir", str(tmp_path / "wd"),
          "--output", str(tmp_path / "out"), "--master", "local[4]",
-         "--shuffle-partitions", "4"],
+         "--shuffle-partitions", "4", "--tiers"],
         capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
     )
     assert out.returncode == 0, out.stderr[-3000:]
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["clusters_rows"] > 0
     assert os.path.exists(tmp_path / "out" / "clusters")
+    assert os.path.exists(tmp_path / "out" / "tiers")
+    with open(tmp_path / "wd" / "metrics.json") as f:
+        tiers = json.load(f)["tiers"]
+    assert sum(tiers.values()) == res["clusters_rows"]
 
 
 def test_run_pipeline_auto_plan_flag(tmp_path, smoke_data):

@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
                          "metrics.json). Explicit --config-json/--shuffle-"
                          "partitions values are overridden by the plan when "
                          "this is set")
+    ap.add_argument("--tiers", action="store_true",
+                    help="also materialize the per-conversation tier table "
+                         "(exact/near/substring/kept + removed_by) and log "
+                         "per-tier counts to metrics.json")
     args = ap.parse_args(argv)
 
     from pcompress_spark.config import DedupConfig
@@ -74,10 +78,13 @@ def main(argv: list[str] | None = None) -> int:
 
     result = DedupPipeline(
         spark, cfg, work_dir=args.work_dir, auto_plan=args.auto_plan
-    ).run(transcripts)
+    ).run(transcripts, with_tiers=args.tiers)
 
     if args.output:
-        for name in ("clusters", "pairs", "signatures"):
+        names = ["clusters", "pairs", "signatures"]
+        if "tiers" in result.tables:
+            names.append("tiers")
+        for name in names:
             result.tables[name].write.mode("overwrite").parquet(
                 os.path.join(args.output, name))
 
