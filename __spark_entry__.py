@@ -26,7 +26,6 @@ from pcompress_spark.config import DedupConfig
 from pcompress_spark.pipeline import DedupPipeline
 from pcompress_spark.operators.assemble import assemble, assembled_turns
 from pcompress_spark.operators.substring import verify_substring_pairs
-from pcompress_spark.operators.tiers import tier_attribution
 from pcompress_spark.functions import doc_dedup, similarity, text as text_fns
 from pcompress_spark.queries import relational
 from pcompress_spark.sources.tables import (
@@ -54,7 +53,10 @@ def _pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     wd = os.path.join(CACHE_DIR, f"pipeline_{tag}_{CFG.config_hash()}")
     os.makedirs(wd, exist_ok=True)
     tdf = spark.read.parquet(_tr_parquet(sf_dir))
-    return DedupPipeline(spark, CFG, work_dir=wd).run(tdf).tables
+    # with_tiers: checkpoint the tier-attribution stage too, so the tier
+    # query (and any repeated driver invocation) reads parquet instead of
+    # re-running the substring LCS verify
+    return DedupPipeline(spark, CFG, work_dir=wd).run(tdf, with_tiers=True).tables
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -242,11 +244,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         substring — and who removed it; 'kept' for survivors. Mirrors the
         reference's chunk cascade: exact global-index hit, then
         similarity-probe delta nomination, else stored whole
-        (/root/reference/rabin/rabin_dedup.c:1236-1344, 1469-1489)."""
-        tabs = _pipeline_tables(spark, sf_dir)
-        asm = assemble(load_transcripts(spark, sf_dir))
-        verified = verify_substring_pairs(tabs["substring_pairs"], asm, CFG)
-        return tier_attribution(tabs["signatures"], tabs["clusters"], verified, CFG)
+        (/root/reference/rabin/rabin_dedup.c:1236-1344, 1469-1489).
+        Served from the pipeline's checkpointed tiers stage
+        (operators/tiers.tier_attribution)."""
+        return _pipeline_tables(spark, sf_dir)["tiers"]
 
     q["tr_tier_attribution"] = tr_tier_attribution
 
