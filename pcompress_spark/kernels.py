@@ -594,11 +594,18 @@ def simhash_flat(
     majority vote per bit. Returns (n_docs,) uint64. Empty docs -> simhash of
     the sentinel shingle.
 
-    Vectorization: one ``np.unpackbits`` call turns the whole batch's shingle
-    hashes into an (S, 64) bit matrix (little-endian byte order, big-endian
-    bits within each byte — the fixed kernel bit order shared with the
-    oracle), then one segmented ``add.reduceat``. No per-bit shift loop, no
-    int32 blow-up.
+    Vectorization: nibble-lane vertical counting. The hashes are scattered
+    into doc-aligned chunks of 15 rows (zero-padded — a zero row adds
+    nothing to any bit count, so padding is exact), then each chunk's 64
+    per-bit counts come from four shifted masked sums: lane l of
+    ``sum((x >> s) & 0x1111...1)`` holds the count of bit ``4*l + s``
+    across the chunk's <= 15 rows (4-bit lanes can hold counts up to 15
+    without carry). Per-doc totals are one ``add.reduceat`` over chunk
+    counts. DRAM traffic is ~6x lower than the previous per-bit expansion
+    to an (S, 64) byte matrix — this kernel is the saturated-regime
+    bandwidth hog, so traffic IS the cost (integer addition is
+    associative; regrouping is exact, and the parity tests pin
+    bit-identical outputs).
 
     Docs larger than ``sample_cap`` shingles vote with their ``sample_cap``
     SMALLEST shingles only (input is sorted-distinct, so the prefix IS the
@@ -620,46 +627,37 @@ def simhash_flat(
     if (~nonempty).any():
         out[~nonempty] = _EMPTY_SENTINEL  # majority of the single sentinel = itself
     if nonempty.any() and len(flat):
-        bitmat = np.unpackbits(
-            flat.astype("<u8", copy=False).view(np.uint8).reshape(len(flat), 8), axis=1
-        )  # (S, 64) uint8, C-contiguous
-        # Segmented bit-count via SIMD block sums + prefix differences
-        # (integer addition is associative, so regrouping is exact).
-        # ufunc.reduceat is a scalar inner loop; reshape(-1,128,64).sum()
-        # vectorizes, so sum the bit rows in aligned 128-row blocks, prefix-
-        # cumsum the blocks, and read each doc's total as P(end) - P(start)
-        # with a tiny partial-block correction per boundary (<=128 rows
-        # each). Nonempty doc ranges tile [0, S) (empty docs contribute
-        # zero rows), so end_i == start_{i+1} and one boundary array serves
-        # both sides.
+        # Nonempty doc ranges tile [0, S) (empty docs contribute zero rows).
         ne_starts = starts[:-1][nonempty]
         ne_lens = lens[nonempty]
         n_ne = len(ne_starts)
-        S = len(bitmat)
-        b_full = S >> 7
-        if b_full:
-            blocks = bitmat[: b_full << 7].reshape(b_full, 128, 64).sum(
-                axis=1, dtype=np.int64
-            )
-        else:
-            blocks = np.empty((0, 64), dtype=np.int64)
-        if S & 127:
-            tail = bitmat[b_full << 7 :].sum(axis=0, dtype=np.int64)[None, :]
-            blocks = np.concatenate([blocks, tail], axis=0)
-        pref = np.zeros((blocks.shape[0] + 1, 64), dtype=np.int64)
-        np.cumsum(blocks, axis=0, out=pref[1:])
-        bounds = np.append(ne_starts, S)
-        pv = pref[bounds >> 7].copy()
-        for ii in np.flatnonzero(bounds & 127):
-            x = int(bounds[ii])
-            pv[ii] += bitmat[(x >> 7) << 7 : x].sum(axis=0, dtype=np.int64)
-        sums = pv[1:] - pv[:-1]
-        maj = ((2 * sums) >= ne_lens[:, None]).astype(np.uint8)
-        # packbits restores the exact byte layout unpackbits produced, so a
-        # little-endian view round-trips: a single-shingle doc's simhash IS
-        # that shingle value (consistent with the empty-doc sentinel fill).
-        packed = np.packbits(maj, axis=1).view("<u8").ravel().astype(np.uint64)
-        out[nonempty] = packed
+        S = len(flat)
+        CH = 15  # rows per chunk: 4-bit lanes hold counts <= 15
+        nch = (ne_lens + (CH - 1)) // CH
+        chunk_base = np.zeros(n_ne + 1, dtype=np.int64)
+        np.cumsum(nch, out=chunk_base[1:])
+        total_ch = int(chunk_base[-1])
+        row_doc = np.repeat(np.arange(n_ne), ne_lens)
+        row_off = np.arange(S, dtype=np.int64) - np.repeat(ne_starts, ne_lens)
+        padded = np.zeros(total_ch * CH, dtype=np.uint64)
+        padded[chunk_base[row_doc] * CH + row_off] = flat
+        x = padded.reshape(total_ch, CH)
+        lane_mask = np.uint64(0x1111111111111111)
+        counts = np.empty((total_ch, 64), dtype=np.int64)
+        lane_shifts = (4 * np.arange(16, dtype=np.uint64))[None, :]
+        for s in range(4):
+            a = ((x >> np.uint64(s)) & lane_mask).sum(axis=1)
+            # lane l of a holds the count of bit 4*l + s
+            counts[:, s::4] = (a[:, None] >> lane_shifts) & np.uint64(0xF)
+        sums = np.add.reduceat(counts, chunk_base[:-1], axis=0)
+        # counts column b is VALUE bit b, so the majority bits compose the
+        # simhash directly (a single-shingle doc's simhash IS that shingle
+        # value, consistent with the empty-doc sentinel fill).
+        maj = (2 * sums) >= ne_lens[:, None]
+        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+        out[nonempty] = (maj.astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64
+        )
     return out
 
 
