@@ -94,6 +94,11 @@ wall-clock ratio in BASELINE.md.
 
 {table}
 
+Stage efficiencies swing ~0.08 across invocations (host noise) — compare
+rows within one table only; round-over-round movement is in this file's
+git history (e.g. the band_hashes precompute lifted candidates
+0.67 -> 0.9+).
+
 Generated {stamp} by BENCH/stage_probe.py.
 """
         )
