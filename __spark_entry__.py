@@ -26,7 +26,12 @@ from pcompress_spark.config import DedupConfig
 from pcompress_spark.pipeline import DedupPipeline
 from pcompress_spark.operators.assemble import assemble, assembled_turns
 from pcompress_spark.operators.substring import verify_substring_pairs
-from pcompress_spark.functions import doc_dedup, similarity, text as text_fns
+from pcompress_spark.functions import (
+    doc_dedup,
+    incremental,
+    similarity,
+    text as text_fns,
+)
 from pcompress_spark.queries import relational
 from pcompress_spark.sources.tables import (
     CACHE_DIR,
@@ -135,6 +140,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), k_airy=3, k_dense=5, threshold=0.3)
     q["doc_embedding_neardup"] = lambda s, d: doc_dedup.embedding_cosine_pairs(
         load_table(s, d, "embeddings"), threshold=0.4)
+
+    # incremental delta-vs-corpus admission (functions/incremental.py):
+    # deterministic split doc_id % 4 == 0 -> delta, rest -> corpus (the
+    # oracle's DELTA_PRED); the engine probes only delta-touched buckets
+    def _corpus_delta(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        is_delta = (F.col("doc_id") % 4) == 0
+        return docs.where(~is_delta), docs.where(is_delta)
+
+    def doc_incremental_pairs(spark, sf_dir):
+        corpus, delta = _corpus_delta(spark, sf_dir)
+        return incremental.incremental_lsh_pairs(corpus, delta, threshold=0.3)
+
+    def doc_incremental_dedup(spark, sf_dir):
+        corpus, delta = _corpus_delta(spark, sf_dir)
+        return incremental.incremental_admission(corpus, delta, threshold=0.3)
+
+    q["doc_incremental_pairs"] = doc_incremental_pairs
+    q["doc_incremental_dedup"] = doc_incremental_dedup
     q["doc_fingerprints"] = lambda s, d: text_fns.doc_fingerprints(
         load_table(s, d, "documents"))
 
@@ -581,6 +605,8 @@ def oracle_sql() -> dict[str, str]:
     # that reproduce splitmix64/FNV/Horner/OPH/SimHash bit-for-bit) ----
     o["doc_fingerprints"] = oq.doc_fingerprints_sql(k=5, keep=16)
     o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
+    o["doc_incremental_pairs"] = oq.doc_incremental_pairs_sql(k=3, threshold=0.3)
+    o["doc_incremental_dedup"] = oq.doc_incremental_dedup_sql(k=3, threshold=0.3)
     o["doc_adaptive_k_pairs"] = oq.doc_adaptive_k_sql(k_airy=3, k_dense=5,
                                                       threshold=0.3)
     o["doc_routed_lsh_pairs"] = oq.doc_minhash_lsh_sql(

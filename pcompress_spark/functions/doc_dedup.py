@@ -126,6 +126,28 @@ def doc_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(trim_after(_sign), schema=_DOCSIG_SCHEMA)
 
 
+def doc_band_explode(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """doc signatures -> (doc_id, id_hash, band_idx, band_hash) exploded
+    band rows (docs below the shingle floor contribute nothing — they are
+    covered by the exact-hash path). Shared by the ad-hoc LSH query and the
+    incremental delta-vs-corpus path, so both band identically."""
+    r = cfg.rows
+    return (
+        sig.where(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            "id_hash",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {cfg.bands - 1}), b -> "
+                    f"struct(b as band_idx, xxhash64(b, slice(minhash, b * {r} + 1, {r})) as band_hash))"
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "id_hash", "band.band_idx", "band.band_hash")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     cfg: DedupConfig | None = None,
@@ -151,17 +173,7 @@ def minhash_lsh_pairs(
     # in-memory instead (MEMORY_AND_DISK, LRU-evicted — at corpus scale,
     # point this at a stage table the same way the pipeline does).
     sig = doc_signatures(docs, cfg).persist()
-    r = cfg.rows
-    banded = sig.where(F.size("shingles") > 0).select(
-        "doc_id",
-        "id_hash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {cfg.bands - 1}), b -> "
-                f"struct(b as band_idx, xxhash64(b, slice(minhash, b * {r} + 1, {r})) as band_hash))"
-            )
-        ).alias("band"),
-    ).select("doc_id", "id_hash", "band.band_idx", "band.band_hash")
+    banded = doc_band_explode(sig, cfg)
     buckets, stats = bucket_members(
         banded, cfg, id_col="doc_id", salt_col="id_hash", persist_sizes=with_stats
     )

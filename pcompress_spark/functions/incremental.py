@@ -1,0 +1,196 @@
+"""Incremental (delta-vs-corpus) batch deduplication — the daily-ingest
+admission pass a web-scale training-data pipeline actually runs.
+
+Reference analog: pcompress's pipe/global mode probes a PERSISTENT
+segmented similarity index instead of rebuilding it per invocation
+(/root/reference/rabin/global/index.c:140-151); the streaming twin of this
+module (streaming/dedup_stream._near_dup_process) does the same per
+micro-batch. This is the BATCH form: a new delta of documents is admitted
+against an existing corpus without re-banding or re-pairing the corpus.
+
+Scale shape (the whole point at 100 TB):
+  - signatures are computed for the DELTA only when corpus signatures are
+    supplied (at scale they are persisted stage tables from the corpus's
+    own dedup run — pass them via ``corpus_sig``/``corpus_bands``);
+  - the corpus band table is probed with a broadcast semi-join on the
+    delta's distinct bucket keys, so only corpus rows in TOUCHED buckets
+    survive a map-side filter over a 4-column scan: per-run shuffle work
+    is O(delta + touched members), never O(corpus);
+  - hot-bucket salting/capping (the shared ``bucket_members`` path) runs
+    on the union membership of each touched bucket, which is bit-identical
+    to what a full-corpus re-run would compute for that bucket — so the
+    emitted pairs are EXACTLY the full run's pairs restricted to >= 1
+    delta endpoint. The DuckDB oracle exploits that equivalence: it
+    computes the full pair set in SQL and filters on the endpoint
+    predicate, pinning the incremental plan to full-batch semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from ..operators.candidates import bucket_members, bucket_pairs
+from .doc_dedup import doc_band_explode, doc_signatures
+
+
+def _delta_endpoint_pairs(cand: DataFrame, delta_ids: DataFrame) -> DataFrame:
+    """Candidate pairs with >= 1 endpoint in ``delta_ids`` (doc_id col).
+    Touched buckets can still emit corpus-corpus pairs (a hot bucket may
+    salt-drop its delta members); those are already known from the
+    corpus's own run and are filtered here. The delta id set is the small
+    side by construction (a daily batch), so both semi-joins broadcast."""
+    return (
+        cand.join(
+            F.broadcast(delta_ids.withColumnRenamed("doc_id", "doc_id_a")),
+            "doc_id_a",
+            "left_semi",
+        )
+        .unionByName(
+            cand.join(
+                F.broadcast(delta_ids.withColumnRenamed("doc_id", "doc_id_b")),
+                "doc_id_b",
+                "left_semi",
+            )
+        )
+        .distinct()
+    )
+
+
+def incremental_lsh_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    cfg: DedupConfig | None = None,
+    threshold: float = 0.3,
+    corpus_sig: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs (doc_id_a, doc_id_b, jaccard) between the
+    delta and (corpus ∪ delta), WITHOUT re-pairing the corpus: every pair
+    has >= 1 delta endpoint; corpus-corpus pairs are the corpus run's job.
+
+    ``corpus_sig``/``corpus_bands``: persisted stage tables from the
+    corpus's own dedup run. When omitted (ad-hoc/test use) they are
+    computed here from ``corpus`` — correct but O(corpus); production
+    callers at scale MUST pass them (module docstring)."""
+    cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
+                             jaccard_threshold=threshold)
+    csig = (corpus_sig if corpus_sig is not None
+            else doc_signatures(corpus, cfg)).persist()
+    dsig = doc_signatures(delta, cfg).persist()
+    cbands = (corpus_bands if corpus_bands is not None
+              else doc_band_explode(csig, cfg))
+    dbands = doc_band_explode(dsig, cfg)
+    touched_keys = dbands.select("band_idx", "band_hash").distinct()
+    touched = cbands.join(
+        F.broadcast(touched_keys), ["band_idx", "band_hash"], "left_semi"
+    )
+    all_bands = touched.unionByName(dbands)
+    buckets, _stats = bucket_members(
+        all_bands, cfg, id_col="doc_id", salt_col="id_hash", persist_sizes=False
+    )
+    cand = bucket_pairs(buckets, "doc_id_a", "doc_id_b").distinct()
+    cand = _delta_endpoint_pairs(cand, dsig.select("doc_id"))
+    all_sig = csig.select("doc_id", "shingles").unionByName(
+        dsig.select("doc_id", "shingles")
+    )
+    a = all_sig.select(F.col("doc_id").alias("doc_id_a"),
+                       F.col("shingles").alias("sh_a"))
+    b = all_sig.select(F.col("doc_id").alias("doc_id_b"),
+                       F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+    return (
+        cand.join(a, "doc_id_a").join(b, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_admission(
+    corpus: DataFrame,
+    delta: DataFrame,
+    cfg: DedupConfig | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Per-delta-doc admission decision against the corpus:
+    (doc_id, keep, dup_kind, dup_of) — keep=1 admits the doc; dup_kind in
+    ('exact', 'near', 'none'); dup_of is the duplicate partner (-1 when
+    kept). Null-free output so the driver's value hash is unambiguous.
+
+    Rule (single-pass, deterministic — first-occurrence-wins inside the
+    delta, reference first-writer-wins at the index
+    /root/reference/rabin/global/index.c:485-558):
+      - exact: a corpus doc with the same md5 exists (partner = min corpus
+        doc_id for that hash), or an EARLIER delta doc (smaller doc_id)
+        has the same md5 — whichever partner id is smaller;
+      - near: an LSH-verified pair (jaccard >= threshold) links the doc to
+        a corpus doc (corpus keeps priority regardless of id order) or to
+        a smaller-id delta doc; partner = min such neighbor;
+      - exact outranks near when both exist. Admission is by partner
+        EXISTENCE, not transitive kept-ness: a delta doc dropped as a dup
+        of another DROPPED delta doc stays dropped (its content is covered
+        by that partner's own dup chain), matching the reference's
+        index-hit semantics rather than a clustering pass."""
+    cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
+                             jaccard_threshold=threshold)
+    d_ids = delta.select("doc_id")
+    dmd5 = delta.select("doc_id", F.md5("text").alias("content_md5"))
+    crep = (
+        corpus.select(F.md5("text").alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("c_rep"))
+    )
+    dmin = dmd5.groupBy("content_md5").agg(F.min("doc_id").alias("d_min"))
+    exact = (
+        dmd5.join(crep, "content_md5", "left")
+        .join(dmin, "content_md5")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN c_rep IS NOT NULL AND (d_min >= doc_id OR c_rep < d_min)"
+                " THEN c_rep WHEN d_min < doc_id THEN d_min END"
+            ).alias("exact_of"),
+        )
+    )
+    pairs = incremental_lsh_pairs(corpus, delta, cfg, threshold)
+    # partner rows: (delta doc, neighbor) — corpus neighbors always count,
+    # delta neighbors only when they have the smaller id
+    da = d_ids.withColumnRenamed("doc_id", "doc_id_a").withColumn("a_delta", F.lit(1))
+    db = d_ids.withColumnRenamed("doc_id", "doc_id_b").withColumn("b_delta", F.lit(1))
+    tagged = (
+        pairs.join(F.broadcast(da), "doc_id_a", "left")
+        .join(F.broadcast(db), "doc_id_b", "left")
+        .select(
+            "doc_id_a", "doc_id_b",
+            F.coalesce("a_delta", F.lit(0)).alias("a_delta"),
+            F.coalesce("b_delta", F.lit(0)).alias("b_delta"),
+        )
+    )
+    partners = (
+        # pair (a < b), b in delta: partner(b) = a (earlier delta doc or corpus)
+        tagged.where(F.col("b_delta") == 1)
+        .select(F.col("doc_id_b").alias("doc_id"), F.col("doc_id_a").alias("partner"))
+        .unionByName(
+            # a in delta, b in corpus: corpus priority ignores id order
+            tagged.where((F.col("a_delta") == 1) & (F.col("b_delta") == 0))
+            .select(F.col("doc_id_a").alias("doc_id"),
+                    F.col("doc_id_b").alias("partner"))
+        )
+    )
+    near = partners.groupBy("doc_id").agg(F.min("partner").alias("near_of"))
+    return (
+        d_ids.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_of").isNotNull() | F.col("near_of").isNotNull(),
+                   F.lit(0)).otherwise(F.lit(1)).cast("int").alias("keep"),
+            F.when(F.col("exact_of").isNotNull(), F.lit("exact"))
+            .when(F.col("near_of").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("none")).alias("dup_kind"),
+            F.coalesce("exact_of", "near_of", F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )

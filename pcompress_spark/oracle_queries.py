@@ -197,6 +197,98 @@ FROM ver2_ WHERE round(jac, 6) >= {threshold}""",
     )
 
 
+DELTA_PRED = "{x} % 4 = 0"  # the deterministic corpus/delta split used by
+# the doc_incremental_* queries (engine twin in __spark_entry__.py)
+
+
+def _doc_incr_pair_stmts(k: int, threshold: float, cfg: DedupConfig,
+                         delta: str = DELTA_PRED) -> str:
+    """TEMP TABLE ``ipairs``: FULL-batch verified MinHash-LSH pairs filtered
+    to >= 1 delta endpoint. Incremental equivalence (proof sketch in
+    functions/incremental.py): the engine probes only buckets the delta
+    touches, but membership within a touched bucket — including the
+    hot-bucket salting and the sorted cap, both functions of the bucket's
+    full membership — matches a full-corpus run bit-for-bit, so the
+    engine's incremental pair set equals this filtered full set exactly.
+    ``delta`` is a predicate template with {x} for the doc-id expression."""
+    r = cfg.rows
+    return "\n".join([
+        _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE bands AS
+SELECT sid AS mem, tobig(idh) AS salt, b.b AS band_idx,
+       mh[b.b * {r} + 1 : b.b * {r} + {r}] AS key
+FROM dsig CROSS JOIN (SELECT unnest(range(0, {cfg.bands}))::INT AS b) b
+WHERE len(sh) > 0;""",
+        _bucket_pair_stmt("bands", cfg.bucket_cap),
+        f"""
+CREATE OR REPLACE TEMP TABLE ipairs AS
+WITH ver_ AS (SELECT c.ma, c.mb, len(a.sh) AS la, len(b.sh) AS lb,
+                     len(list_intersect(a.sh, b.sh)) AS inter
+              FROM cand c JOIN dsig a ON a.sid = c.ma
+              JOIN dsig b ON b.sid = c.mb),
+ver2_ AS (SELECT ma, mb,
+                 CASE WHEN la + lb - inter > 0
+                      THEN inter::DOUBLE / (la + lb - inter) ELSE 1.0 END AS jac
+          FROM ver_)
+SELECT ma::BIGINT AS doc_id_a, mb::BIGINT AS doc_id_b, round(jac, 6) AS jaccard
+FROM ver2_
+WHERE round(jac, 6) >= {threshold}
+  AND ({delta.format(x='ma')} OR {delta.format(x='mb')});""",
+    ])
+
+
+def doc_incremental_pairs_sql(k: int = 3, threshold: float = 0.3,
+                              cfg: DedupConfig | None = None) -> str:
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    return _script(
+        _doc_incr_pair_stmts(k, threshold, cfg),
+        "SELECT doc_id_a, doc_id_b, jaccard FROM ipairs",
+    )
+
+
+def doc_incremental_dedup_sql(k: int = 3, threshold: float = 0.3,
+                              cfg: DedupConfig | None = None) -> str:
+    """Admission twin for incremental.incremental_admission: exact (md5 vs
+    corpus rep or earlier delta doc, smaller partner wins, exact outranks
+    near) then near (corpus neighbor at any id order — corpus priority —
+    or smaller-id delta neighbor)."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    d = DELTA_PRED
+    is_delta = d.format(x="doc_id")
+    return _script(
+        _doc_incr_pair_stmts(k, threshold, cfg),
+        f"""
+WITH cmd5_ AS (SELECT md5(text) AS h, min(doc_id) AS c_rep FROM dsrc
+               WHERE NOT ({is_delta}) GROUP BY 1),
+dmd5_ AS (SELECT doc_id, md5(text) AS h FROM dsrc WHERE {is_delta}),
+dmin_ AS (SELECT h, min(doc_id) AS d_min FROM dmd5_ GROUP BY 1),
+exact_ AS (SELECT dm.doc_id,
+                  CASE WHEN c.c_rep IS NOT NULL
+                            AND (m.d_min >= dm.doc_id OR c.c_rep < m.d_min)
+                       THEN c.c_rep
+                       WHEN m.d_min < dm.doc_id THEN m.d_min END AS exact_of
+           FROM dmd5_ dm LEFT JOIN cmd5_ c ON c.h = dm.h
+           JOIN dmin_ m ON m.h = dm.h),
+partners_ AS (
+    SELECT doc_id_b AS doc_id, doc_id_a AS partner FROM ipairs
+    WHERE {d.format(x='doc_id_b')}
+    UNION ALL
+    SELECT doc_id_a AS doc_id, doc_id_b AS partner FROM ipairs
+    WHERE {d.format(x='doc_id_a')} AND NOT ({d.format(x='doc_id_b')})),
+near_ AS (SELECT doc_id, min(partner) AS near_of FROM partners_ GROUP BY 1)
+SELECT dd.doc_id,
+       (CASE WHEN e.exact_of IS NOT NULL OR n.near_of IS NOT NULL
+             THEN 0 ELSE 1 END)::INT AS keep,
+       CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+            WHEN n.near_of IS NOT NULL THEN 'near' ELSE 'none' END AS dup_kind,
+       coalesce(e.exact_of, n.near_of, -1)::BIGINT AS dup_of
+FROM (SELECT doc_id FROM dsrc WHERE {is_delta}) dd
+LEFT JOIN exact_ e ON e.doc_id = dd.doc_id
+LEFT JOIN near_ n ON n.doc_id = dd.doc_id""",
+    )
+
+
 def doc_neardup_clusters_sql(k: int = 3, threshold: float = 0.3,
                              cfg: DedupConfig | None = None) -> str:
     """CC twin for doc_dedup.neardup_clusters: LSH near edges + exact

@@ -1,0 +1,146 @@
+"""Incremental delta-vs-corpus dedup (functions/incremental.py).
+
+The load-bearing claim: the incremental path — which bands only the delta
+and probes the corpus band store through a broadcast semi-join on touched
+bucket keys — emits EXACTLY the pairs a full-corpus re-run would emit,
+restricted to >= 1 delta endpoint. These tests pin that equivalence, the
+precomputed-stage-table input path, and the admission rule.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pcompress_spark.config import DedupConfig
+from pcompress_spark.functions import doc_dedup, incremental
+from pcompress_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+CFG = DedupConfig(shingle_k=3, substring_enabled=False, jaccard_threshold=0.3)
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    docs = load_table(spark, SF, "documents").cache()
+    is_delta = (F.col("doc_id") % 4) == 0
+    return docs.where(~is_delta).cache(), docs.where(is_delta).cache()
+
+
+def _pairs_set(df):
+    return {(r.doc_id_a, r.doc_id_b, r.jaccard) for r in df.collect()}
+
+
+def test_incremental_equals_filtered_full_batch(spark, split):
+    corpus, delta = split
+    incr = incremental.incremental_lsh_pairs(corpus, delta, CFG, threshold=0.3)
+    full = doc_dedup.minhash_lsh_pairs(
+        corpus.unionByName(delta), CFG, threshold=0.3
+    ).where((F.col("doc_id_a") % 4 == 0) | (F.col("doc_id_b") % 4 == 0))
+    assert _pairs_set(incr) == _pairs_set(full)
+
+
+def test_precomputed_corpus_stage_tables(spark, split, tmp_path):
+    """Production shape: corpus signatures/bands come from persisted stage
+    tables of the corpus's own run — results must be identical to the
+    compute-inline path."""
+    corpus, delta = split
+    sig_path = str(tmp_path / "corpus_sig")
+    band_path = str(tmp_path / "corpus_bands")
+    csig = doc_dedup.doc_signatures(corpus, CFG)
+    csig.write.parquet(sig_path)
+    doc_dedup.doc_band_explode(spark.read.parquet(sig_path), CFG).write.parquet(
+        band_path
+    )
+    incr = incremental.incremental_lsh_pairs(
+        corpus, delta, CFG, threshold=0.3,
+        corpus_sig=spark.read.parquet(sig_path),
+        corpus_bands=spark.read.parquet(band_path),
+    )
+    inline = incremental.incremental_lsh_pairs(corpus, delta, CFG, threshold=0.3)
+    assert _pairs_set(incr) == _pairs_set(inline)
+
+
+def test_touched_bucket_probe_is_a_broadcast_semi_join(spark, split):
+    """The corpus band scan must be filtered by a BROADCAST semi-join on
+    the delta's bucket keys — never shuffled wholesale (per-run work is
+    O(delta + touched), the scale contract)."""
+    corpus, delta = split
+    plan_df = incremental.incremental_lsh_pairs(corpus, delta, CFG, threshold=0.3)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin LeftSemi BuildRight" in plan
+
+
+def test_admission_rule(spark, split):
+    corpus, delta = split
+    adm = incremental.incremental_admission(corpus, delta, CFG, threshold=0.3)
+    rows = {r.doc_id: r for r in adm.collect()}
+    d_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    assert set(rows) == d_ids  # one decision per delta doc, no extras
+
+    # exact dups of corpus docs must be dropped with the corpus rep id
+    cmd5 = {r.content_md5: r.c_rep for r in corpus.select(
+        F.md5("text").alias("content_md5"), "doc_id").groupBy("content_md5")
+        .agg(F.min("doc_id").alias("c_rep")).collect()}
+    dmd5 = {r.doc_id: r.content_md5 for r in delta.select(
+        "doc_id", F.md5("text").alias("content_md5")).collect()}
+    for did, h in dmd5.items():
+        if h in cmd5:
+            r = rows[did]
+            assert r.keep == 0 and r.dup_kind == "exact"
+            assert r.dup_of <= cmd5[h]  # corpus rep, or an even-smaller delta dup
+
+    # every kept doc has no partner sentinel; every dropped doc names one
+    for r in rows.values():
+        if r.keep == 1:
+            assert r.dup_kind == "none" and r.dup_of == -1
+        else:
+            assert r.dup_kind in ("exact", "near") and r.dup_of >= 0
+            assert r.dup_of != r.doc_id
+
+    # near partners: corpus priority at any id order, else smaller-id delta
+    pairs = incremental.incremental_lsh_pairs(corpus, delta, CFG, threshold=0.3)
+    near_partner = {}
+    for p in pairs.collect():
+        a, b = p.doc_id_a, p.doc_id_b
+        if b in d_ids:
+            near_partner.setdefault(b, set()).add(a)
+        if a in d_ids and b not in d_ids:
+            near_partner.setdefault(a, set()).add(b)
+    for r in rows.values():
+        if r.dup_kind == "near":
+            assert r.dup_of == min(near_partner[r.doc_id])
+
+
+def test_admission_exact_branch_synthetic(spark):
+    """Handcrafted corpus/delta exercising every admission branch: corpus
+    exact dup, earlier-delta exact dup, corpus-priority near dup, and a
+    clean keep. (The sf0.001 %4 split happens to contain no cross-split
+    exact dup, so this pins the exact branch deterministically.)"""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders far away into the deep green forest tonight")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated corpus text about spark "
+                        "shuffle partitions and adaptive execution plans")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (4, base),                       # exact dup of corpus doc 1
+            (8, "something else entirely unique about minhash bands"),
+            (12, "something else entirely unique about minhash bands"),
+            # near (not exact) dup of corpus doc 1: one word changed
+            (16, base.replace("tonight", "tomorrow")),
+        ],
+        "doc_id long, text string",
+    )
+    adm = incremental.incremental_admission(corpus, delta, CFG, threshold=0.3)
+    rows = {r.doc_id: r for r in adm.collect()}
+    assert rows[4].keep == 0 and rows[4].dup_kind == "exact" and rows[4].dup_of == 1
+    assert rows[8].keep == 1 and rows[8].dup_kind == "none" and rows[8].dup_of == -1
+    assert rows[12].keep == 0 and rows[12].dup_kind == "exact" and rows[12].dup_of == 8
+    assert rows[16].keep == 0 and rows[16].dup_kind == "near" and rows[16].dup_of == 1
