@@ -7,15 +7,16 @@ pc_archive.c:108-110; packJPG for images, wavpack for audio — dispatch at
 Spark table: media rides as an opaque ``binary`` column with typed
 metadata; decode/feature steps are Arrow-batched ``mapInPandas`` UDFs.
 
-Two REAL decoders ship in-tree, mirroring the reference's dependency-free
+Three REAL decoders ship in-tree, mirroring the reference's dependency-free
 filters: a numpy P5/P6 PNM parser
-(/root/reference/filters/packpnm/packpnm.c) and a canonical RIFF/WAVE
-PCM-16 parser (the reference routes WAV members to its bundled wavpack
-filter, /root/reference/pcompress.c:205-401). Image payloads that parse as
-PNM get a real pixel-histogram feature; audio payloads that parse as
-canonical WAV get a real amplitude-histogram feature; other kinds (video —
-no codec in this container) fall back to a deterministic content-addressed
-stub behind ``decode_stub=True``, or raise NotImplementedError when
+(/root/reference/filters/packpnm/packpnm.c), a canonical RIFF/WAVE PCM-16
+parser (the reference routes WAV members to its bundled wavpack filter,
+/root/reference/pcompress.c:205-401), and a full PNG raster decoder
+(stdlib-zlib inflate + scanline unfiltering, CRC-checked chunk walk).
+Payloads that decode get a real pixel/amplitude-histogram feature; JPEG
+gets a real header parse (dims/components); other kinds (video — no codec
+in this container) fall back to a deterministic content-addressed stub
+behind ``decode_stub=True``, or raise NotImplementedError when
 decode_stub=False.
 All Spark-side plumbing — schema, batching, partitioning, UDF signatures —
 is real and identical for both paths.
@@ -55,8 +56,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("payload_sha_like", T.LongType(), False),
         T.StructField("decoded", T.BooleanType(), False),
         # header_decoded: the payload's container header parsed in-tree
-        # (PNM/WAV fully decode; JPEG parses SOI/SOF markers only — the
-        # raster stays stubbed, real codecs aren't in this container)
+        # (PNM/WAV/PNG fully decode; JPEG parses SOI/SOF markers only —
+        # its raster stays stubbed, no entropy decoder in this container)
         T.StructField("header_decoded", T.BooleanType(), False),
         T.StructField("hdr_width", T.IntegerType(), True),
         T.StructField("hdr_height", T.IntegerType(), True),
@@ -190,6 +191,103 @@ def decode_png_header(payload: bytes | None) -> tuple[int, int, int] | None:
     return w, h, channels
 
 
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized over channel lanes (int arrays):
+    pick left/up/up-left, whichever is closest to a + b - c."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes | None) -> tuple[np.ndarray, int, int] | None:
+    """REAL full PNG raster decode, dependency-free (stdlib zlib): chunk
+    walk with CRC verification, IDAT concat + inflate, and scanline
+    UNFILTERING (all five filter types: none/sub/up/average/paeth) ->
+    (uint8 raster bytes, width, height); None when the payload is not PNG
+    or is outside the supported subset (8-bit depth, color types
+    0/2/4/6, non-interlaced — palette and Adam7 stay at the header tier).
+
+    This is the image analog of decode_wav/parse_pnm: the strict subset a
+    dependency-free in-tree parser can own (reference type-routed filter
+    dispatch, /root/reference/pcompress.c:205-401). Per-payload work runs
+    inside the Arrow-batched mapInPandas — parallelism comes from Spark
+    partitioning across payloads, and the sub/avg/paeth inner loops are
+    O(height x width) numpy lane operations."""
+    import zlib
+
+    hdr = decode_png_header(payload)
+    if hdr is None:
+        return None
+    w, h, channels = hdr
+    bit_depth, color_type = payload[24], payload[25]
+    comp, filt, interlace = payload[26], payload[27], payload[28]
+    if (bit_depth != 8 or color_type == 3 or comp != 0 or filt != 0
+            or interlace != 0):
+        return None
+    pos, n = 8, len(payload)
+    idat: list[bytes] = []
+    while pos + 8 <= n:
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > n:
+            return None
+        data = payload[pos + 8 : end]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != int.from_bytes(
+            payload[end : end + 4], "big"
+        ):
+            return None
+        if typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos = end + 4
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = rows[y, 0]
+        line = rows[y, 1:].astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # sub: per-lane prefix sum mod 256
+            cur = (np.cumsum(line.reshape(w, bpp), axis=0) & 0xFF).reshape(stride)
+        elif ft == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif ft == 3:  # average — sequential in x, vectorized over lanes
+            lanes, pv = line.reshape(w, bpp), prev.reshape(w, bpp)
+            acc = np.empty_like(lanes)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                acc[x] = (lanes[x] + ((left + pv[x]) >> 1)) & 0xFF
+                left = acc[x]
+            cur = acc.reshape(stride)
+        elif ft == 4:  # paeth — sequential in x, vectorized over lanes
+            lanes, pv = line.reshape(w, bpp), prev.reshape(w, bpp)
+            acc = np.empty_like(lanes)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                acc[x] = (lanes[x] + _paeth(left, pv[x], upleft)) & 0xFF
+                left, upleft = acc[x], pv[x].astype(np.int64)
+            cur = acc.reshape(stride)
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(-1), w, h
+
+
 _WAV_HEADER_LEN = 44  # canonical PCM header: RIFF + fmt(16) + data chunks
 
 
@@ -250,14 +348,14 @@ def extract_features(
     """media table -> feature rows via mapInPandas (Arrow batches carry the
     binary payload; partitioning is preserved — map-only, no shuffle).
 
-    Routing (the D6 type dispatch): payloads that parse as PNM or canonical
-    WAV decode for real (pixel-byte / amplitude histogram, ``decoded=True``,
-    header dims populated); JPEG payloads get a REAL header parse
-    (SOI/SOF marker walk -> dimensions/components, ``header_decoded=True``)
-    with the raster behind the stub; anything else uses the
-    content-addressed stub when decode_stub=True or raises
-    NotImplementedError otherwise (a real entropy decoder would plug in
-    where decode_jpeg_header returns).
+    Routing (the D6 type dispatch): payloads that parse as PNM, canonical
+    WAV, or supported PNG (8-bit non-interlaced, zlib inflate + unfilter)
+    decode for real (pixel-byte / amplitude histogram, ``decoded=True``,
+    header dims populated); JPEG payloads — and PNGs outside the supported
+    subset — get a REAL header parse (``header_decoded=True``) with the
+    raster behind the stub; anything else uses the content-addressed stub
+    when decode_stub=True or raises NotImplementedError otherwise (a real
+    entropy decoder would plug in where decode_jpeg_header returns).
 
     ``size_bucket_partitions``: when set, repartitionByRange on payload
     size first, so Arrow batches stay near-uniform in bytes
@@ -276,13 +374,16 @@ def extract_features(
             for p, h in zip(payloads, hashes):
                 pnm = parse_pnm(p)
                 samples = None if pnm is not None else decode_wav(p)
+                png = None
                 hdr = None
                 if pnm is None and samples is None:
-                    hdr = decode_jpeg_header(p)
-                    if hdr is None:
-                        hdr = decode_png_header(p)
-                if pnm is not None:
-                    raster, w, hh = pnm
+                    png = decode_png(p)
+                    if png is None:
+                        hdr = decode_jpeg_header(p)
+                        if hdr is None:
+                            hdr = decode_png_header(p)
+                if pnm is not None or png is not None:
+                    raster, w, hh = pnm if pnm is not None else png
                     feats.append(raster_histogram(raster))
                     decoded.append(True)
                     hdr_dec.append(True)
@@ -374,19 +475,57 @@ def make_jpeg_header(w: int, h: int, entropy: bytes,
     return b"\xff\xd8" + app0 + sof + sos + entropy + b"\xff\xd9"
 
 
-def make_png(w: int, h: int, idat: bytes) -> bytes:
-    """Serialize a PNG container with the real 8-byte signature and a
-    CRC-valid IHDR (8-bit grayscale) around fake (non-zlib) IDAT bytes —
-    exercises the header tier only; any PNG header reader parses it."""
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
     import struct
     import zlib
 
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + typ + data
-                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def make_png(w: int, h: int, idat: bytes) -> bytes:
+    """Serialize a PNG container with the real 8-byte signature and a
+    CRC-valid IHDR (8-bit grayscale) around fake (non-zlib) IDAT bytes —
+    exercises the header tier only; any PNG header reader parses it, and
+    decode_png correctly refuses the undecodable IDAT."""
+    import struct
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
+
+
+def make_png_raster(w: int, h: int, raster: np.ndarray) -> bytes:
+    """Serialize a REAL decodable 8-bit grayscale PNG: scanlines are
+    filtered (type cycling 0..4 by row, exercising every unfilter path in
+    decode_png), deflate-compressed into IDAT, all chunks CRC-valid."""
+    import struct
+    import zlib
+
+    arr = np.asarray(raster, dtype=np.uint8).reshape(h, w)
+    lines: list[bytes] = []
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        cur = arr[y].astype(np.int64)
+        left = np.concatenate(([0], cur[:-1]))
+        ft = y % 5
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = (cur - left) & 0xFF
+        elif ft == 2:
+            enc = (cur - prev) & 0xFF
+        elif ft == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:
+            upleft = np.concatenate(([0], prev[:-1]))
+            enc = (cur - _paeth(left, prev, upleft)) & 0xFF
+        lines.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
 
 
 def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
@@ -394,9 +533,10 @@ def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
     (P5) files with the canonical header 'P5\\n{w} {h}\\n255\\n'; audio
     payloads are VALID canonical WAV (PCM-16 mono); jpeg payloads carry
     REAL SOI/APP0/SOF0 markers (header-parseable dimensions) over fake
-    entropy data; png payloads carry the real signature + CRC-valid IHDR
-    over fake IDAT bytes; video payloads are opaque seeded bytes (the
-    declared stub kind)."""
+    entropy data; png payloads are FULLY decodable PNGs (real deflate +
+    cycling scanline filters) whose raster follows the splitmix rule
+    documented at the generation site; video payloads are opaque seeded
+    bytes (the declared stub kind)."""
     rng = np.random.Generator(np.random.PCG64(seed))
     kinds = ["image", "audio", "video", "jpeg", "png"]
     rows = []
@@ -422,11 +562,20 @@ def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
             payload = make_jpeg_header(w, h, ent)
             rows.append((i, kind, "image/jpeg", payload, w, h, None))
         elif kind == "png":
-            w = int(rng.integers(32, 8192))
-            h = int(rng.integers(32, 8192))
-            idat = bytes(rng.integers(0, 256, size=int(rng.integers(64, 1024)),
-                                      dtype=np.uint8))
-            payload = make_png(w, h, idat)
+            # REAL decodable PNG: the raster is derived from media_id by
+            # the documented splitmix rule raster[j] = splitmix64(
+            # media_id * 2^24 + j) & 0xFF, so the DuckDB oracle can
+            # recompute the expected histogram from (media_id, w, h) alone
+            # while the engine must invert real deflate + scanline
+            # filtering to reproduce it
+            w = int(rng.integers(8, 32))
+            h = int(rng.integers(8, 32))
+            base = np.uint64(i) * np.uint64(1 << 24)
+            raster = (
+                splitmix64(np.arange(w * h, dtype=np.uint64) + base)
+                & np.uint64(0xFF)
+            ).astype(np.uint8)
+            payload = make_png_raster(w, h, raster)
             rows.append((i, kind, "image/png", payload, w, h, None))
         else:
             size = int(rng.integers(64, 2048))
@@ -446,7 +595,7 @@ def media_fixture_path(n: int = 64, seed: int = 42) -> str:
     query and the DuckDB oracle read."""
     from ..sources.tables import CACHE_DIR
 
-    out_dir = os.path.join(CACHE_DIR, f"media_v4_n{n}_s{seed}")
+    out_dir = os.path.join(CACHE_DIR, f"media_v5_n{n}_s{seed}")
     path = os.path.join(out_dir, "media.parquet")
     if not os.path.exists(path):
         import pyarrow as pa

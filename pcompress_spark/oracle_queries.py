@@ -831,11 +831,23 @@ CREATE OR REPLACE TEMP TABLE mchash AS
                  'fr', 'chash',
                  f'(SELECT *, {fnv_bytes} AS fr FROM byts)')};""",
         f"""
+CREATE OR REPLACE TEMP TABLE pngh AS
+-- png rows now FULLY decode (deflate + unfilter). The fixture's raster
+-- follows the documented generation rule raster[j] = splitmix64(
+-- media_id * 2^24 + j) & 255, so the expected bin-0 histogram ratio is
+-- recomputable here from (media_id, width, height) WITHOUT decoding —
+-- the engine must invert real zlib + scanline filtering to match it
+SELECT media_id,
+       len(list_filter(range(0, width::BIGINT * height),
+                       j -> smix(media_id{_H} * 16777216 + j) % 256 < 8)
+           )::DOUBLE / (width * height) AS png_hist0
+FROM read_parquet('{media_path}') WHERE kind = 'png';""",
+        f"""
 WITH feat_ AS (
     SELECT media_id, kind, chash,
-           kind IN ('image', 'audio') AS decoded,
-           -- header tier: PNM/WAV fully decode; JPEG parses SOI/SOF only,
-           -- PNG parses signature+IHDR only. jpeg/png dims read from the
+           kind IN ('image', 'audio', 'png') AS decoded,
+           -- header tier: PNM/WAV/PNG fully decode; JPEG parses SOI/SOF
+           -- only. jpeg/png dims read from the
            -- actual payload bytes at the containers' canonical offsets
            -- (JPEG: SOI 2B + APP0 18B + SOF0, height BE at bytes 26-27,
            -- width 28-29; PNG: 8B signature + 4B len + 'IHDR', width BE
@@ -869,8 +881,9 @@ WITH feat_ AS (
                                   i -> bs[44 + 2 * i]),
                    b -> ((b + 128) % 256) // 8 = 0))::DOUBLE
                / ((nb - 44) // 2)
+           WHEN kind = 'png' THEN png_hist0
            ELSE NULL END AS hist0
-    FROM mchash),
+    FROM mchash LEFT JOIN pngh USING (media_id)),
 sh_ AS ({osql.smix_chain(['media_id', 'kind', 'chash', 'decoded',
                           'header_decoded', 'hdr_width', 'hdr_height',
                           'hist0'],

@@ -22,17 +22,16 @@ def test_feature_extraction_shape_and_determinism(spark, media):
     assert f1["payload_sha_like"].tolist() == f2["payload_sha_like"].tolist()
     for a, b in zip(f1["feature"], f2["feature"]):
         assert list(a) == list(b)
-    # images + audio decode for real, video uses the declared stub
+    # images, audio, AND png decode for real; video uses the declared stub
     by_kind = f1.groupby("kind")["decoded"].all()
-    assert by_kind["image"] and by_kind["audio"]
+    assert by_kind["image"] and by_kind["audio"] and by_kind["png"]
     assert not f1[f1["kind"] == "video"]["decoded"].any()
     # header tier: PNM/WAV/JPEG/PNG headers parse; video stays fully stubbed
     by_hdr = f1.groupby("kind")["header_decoded"].all()
     assert by_hdr["image"] and by_hdr["audio"] and by_hdr["jpeg"] and by_hdr["png"]
     assert not f1[f1["kind"] == "video"]["header_decoded"].any()
-    # raster stays behind the stub for both header-tier kinds
+    # jpeg raster stays behind the stub (no entropy decoder in-tree)
     assert not f1[f1["kind"] == "jpeg"]["decoded"].any()
-    assert not f1[f1["kind"] == "png"]["decoded"].any()
     # jpeg/png parsed dims equal the generator's metadata columns
     meta = mm.generate_media_pdf(n=48).set_index("media_id")
     for r in f1[f1["kind"].isin(["jpeg", "png"])].itertuples():
@@ -74,6 +73,29 @@ def test_png_header_decode():
     assert mm.decode_png_header(mm.make_jpeg_header(8, 8, idat)) is None
     # jpeg parser rejects png and vice versa (router picks exactly one)
     assert mm.decode_jpeg_header(p) is None
+
+
+def test_png_raster_roundtrip():
+    """decode_png must invert make_png_raster exactly — every filter type
+    (the encoder cycles 0..4 by row, so h >= 5 exercises them all)."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    for w, h in [(1, 1), (3, 7), (16, 16), (31, 9)]:
+        raster = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+        p = mm.make_png_raster(w, h, raster)
+        got = mm.decode_png(p)
+        assert got is not None, (w, h)
+        out, gw, gh = got
+        assert (gw, gh) == (w, h)
+        assert out.tolist() == raster.tolist(), (w, h)
+    # fake-IDAT container is refused (undecodable), header still parses
+    fake = mm.make_png(8, 8, bytes(range(1, 100)))
+    assert mm.decode_png(fake) is None
+    assert mm.decode_png_header(fake) == (8, 8, 1)
+    # corrupted CRC is refused
+    good = mm.make_png_raster(8, 8, np.zeros(64, dtype=np.uint8))
+    bad = good[:-1] + bytes([good[-1] ^ 0xFF])
+    assert mm.decode_png(bad) is None
+    assert mm.decode_png(None) is None
 
 
 def test_pnm_decode_roundtrip():
