@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_incremental_pairs"] = doc_incremental_pairs
     q["doc_incremental_dedup"] = doc_incremental_dedup
+    # containment channel (long verbatim runs Jaccard misses)
+    q["doc_substring_pairs"] = lambda s, d: doc_dedup.doc_substring_pairs(
+        load_table(s, d, "documents"))
     q["doc_fingerprints"] = lambda s, d: text_fns.doc_fingerprints(
         load_table(s, d, "documents"))
 
@@ -607,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
     o["doc_incremental_pairs"] = oq.doc_incremental_pairs_sql(k=3, threshold=0.3)
     o["doc_incremental_dedup"] = oq.doc_incremental_dedup_sql(k=3, threshold=0.3)
+    o["doc_substring_pairs"] = oq.doc_substring_sql(k=3)
     o["doc_adaptive_k_pairs"] = oq.doc_adaptive_k_sql(k_airy=3, k_dense=5,
                                                       threshold=0.3)
     o["doc_routed_lsh_pairs"] = oq.doc_minhash_lsh_sql(

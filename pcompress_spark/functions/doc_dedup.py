@@ -104,26 +104,39 @@ _DOCSIG_SCHEMA = T.StructType(
 )
 
 
-def doc_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+_DOCSIG_WIN_SCHEMA = T.StructType(
+    _DOCSIG_SCHEMA.fields
+    + [T.StructField("win_hashes", T.ArrayType(T.LongType()), False)]
+)
+
+
+def doc_signatures(docs: DataFrame, cfg: DedupConfig,
+                   with_windows: bool = False) -> DataFrame:
     """MinHash/SimHash signatures for a documents table (shared kernels).
     id_hash = splitmix64(doc_id): the deterministic salting hash for
-    hot-bucket sampling (same role as the transcript pipeline's id_hash)."""
+    hot-bucket sampling (same role as the transcript pipeline's id_hash).
+    with_windows adds the content-defined substring window fingerprints
+    (requires cfg.substring_enabled — the kernel only emits them then)."""
+    if with_windows and not cfg.substring_enabled:
+        raise ValueError("with_windows requires cfg.substring_enabled")
 
     def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sig = signatures_for_texts(pdf["text"], cfg)
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "id_hash": splitmix64(ids.view(np.uint64)).view(np.int64),
-                    "shingles": sig["shingles"].values,
-                    "minhash": sig["minhash"].values,
-                    "simhash": sig["simhash"].values,
-                }
-            )
+            cols = {
+                "doc_id": ids,
+                "id_hash": splitmix64(ids.view(np.uint64)).view(np.int64),
+                "shingles": sig["shingles"].values,
+                "minhash": sig["minhash"].values,
+                "simhash": sig["simhash"].values,
+            }
+            if with_windows:
+                cols["win_hashes"] = sig["win_hashes"].values
+            yield pd.DataFrame(cols)
 
-    return docs.select("doc_id", "text").mapInPandas(trim_after(_sign), schema=_DOCSIG_SCHEMA)
+    schema = _DOCSIG_WIN_SCHEMA if with_windows else _DOCSIG_SCHEMA
+    return docs.select("doc_id", "text").mapInPandas(trim_after(_sign), schema=schema)
 
 
 def doc_band_explode(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -291,6 +304,79 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
         .where(F.col("hamming") <= max_hamming)
     )
     return (pairs, stats) if with_stats else pairs
+
+
+_DOC_SUB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id_a", T.LongType(), False),
+        T.StructField("doc_id_b", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), False),
+        T.StructField("lcs_tokens", T.LongType(), False),
+    ]
+)
+
+
+def doc_substring_pairs(docs: DataFrame,
+                        cfg: DedupConfig | None = None) -> DataFrame:
+    """Containment channel for the documents table: (doc_id_a, doc_id_b,
+    n_windows, lcs_tokens) pairs sharing long verbatim token runs — the
+    case Jaccard misses entirely (a short doc embedded in a much longer
+    one has tiny Jaccard but total containment). Doc twin of the
+    transcript substring pass (operators/substring.py; reference analog:
+    bsdiff long-match search, /root/reference/bsdiff/bsdiff.c:142-254).
+
+    Scale shape: content-defined window fingerprints (position-independent
+    selection) -> ONE shuffle keyed by window hash through the shared
+    salted/capped/logged ``bucket_members`` path -> JVM pair explosion ->
+    exact longest-common-token-run verify (rolling-hash binary search in
+    an Arrow-batched UDF) only over flagged pairs."""
+    from ..kernels import longest_common_run, tokens_to_hashes
+    from ..operators.candidates import bucket_members, bucket_pairs
+
+    cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=True)
+    sig = doc_signatures(docs, cfg, with_windows=True)
+    exploded = (
+        sig.where(F.size("win_hashes") > 0)
+        .select(
+            "doc_id",
+            "id_hash",
+            F.lit(0).alias("band_idx"),
+            F.explode(F.array_distinct("win_hashes")).alias("band_hash"),
+        )
+    )
+    buckets, _stats = bucket_members(
+        exploded, cfg, id_col="doc_id", salt_col="id_hash", persist_sizes=False
+    )
+    cand = (
+        bucket_pairs(buckets, "doc_id_a", "doc_id_b")
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_windows"))
+        .where(F.col("n_windows") >= cfg.substring_min_windows)
+    )
+    a = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b"))
+    joined = cand.join(a, "doc_id_a").join(b, "doc_id_b").select(
+        "doc_id_a", "doc_id_b", "n_windows", "text_a", "text_b"
+    )
+    max_chars = cfg.max_token_chars
+
+    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lcs = [
+                longest_common_run(tokens_to_hashes(ta, max_chars),
+                                   tokens_to_hashes(tb, max_chars))
+                for ta, tb in zip(pdf["text_a"], pdf["text_b"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id_a": pdf["doc_id_a"].values,
+                    "doc_id_b": pdf["doc_id_b"].values,
+                    "n_windows": pdf["n_windows"].values,
+                    "lcs_tokens": pd.array(lcs, dtype="int64"),
+                }
+            )
+
+    return joined.mapInPandas(trim_after(_verify), schema=_DOC_SUB_SCHEMA)
 
 
 # routes per content class — the D6 adaptive-algorithm dispatch made real:

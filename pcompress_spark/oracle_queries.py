@@ -289,6 +289,59 @@ LEFT JOIN near_ n ON n.doc_id = dd.doc_id""",
     )
 
 
+def doc_substring_sql(k: int = 3, cfg: DedupConfig | None = None) -> str:
+    """Twin for doc_dedup.doc_substring_pairs: content-defined window
+    fingerprints -> salted/capped window buckets (member doc_id, salt
+    id_hash — same rule as the engine's shared bucket_members) -> pairs
+    with n_windows evidence -> exact longest-common-token-run via the SAME
+    unrolled rolling-hash binary search the transcript oracle uses (the
+    bs-iteration tables are named conv_id_a/conv_id_b internally; the
+    final select renames to doc ids)."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=True)
+    cap = cfg.bucket_cap
+    return _script(
+        _doc_sig_stmts(k, with_minhash=False, with_simhash=False, cfg=cfg),
+        osql.window_stmts("w", "tshr", cfg.shingle_k, cfg.substring_window,
+                          cfg.substring_stride),
+        f"""
+CREATE OR REPLACE TEMP TABLE dsubpairs AS
+WITH wrows_ AS (SELECT w.sid AS mem, tobig(i.idh) AS salt, w.wh
+                FROM wwin w JOIN dih i ON i.sid = w.sid),
+wsize_ AS (SELECT wh, count(*) AS m FROM wrows_ GROUP BY wh),
+wkept_ AS (SELECT r.mem, r.wh
+           FROM wrows_ r JOIN wsize_ s ON s.wh = r.wh
+           WHERE s.m <= {cap}
+              OR pymod(r.salt, (s.m + {cap - 1}) // {cap}) = 0),
+wcap_ AS (SELECT wh, list_sort(list(mem))[1 : {cap}] AS ids
+          FROM wkept_ GROUP BY wh HAVING count(*) >= 2)
+SELECT pr['a'] AS conv_id_a, pr['b'] AS conv_id_b,
+       count(*)::INT AS n_windows
+FROM (SELECT unnest(flatten(list_transform(range(1, len(ids) + 1), i ->
+          list_transform(range(i + 1, len(ids) + 1), j ->
+              {{'a': ids[i], 'b': ids[j]}})))) AS pr
+      FROM wcap_)
+GROUP BY 1, 2 HAVING count(*) >= {cfg.substring_min_windows};""",
+        osql.prefix_stmts("p", "ttok"),
+        """
+CREATE OR REPLACE TEMP TABLE pairpre AS
+SELECT s.conv_id_a, s.conv_id_b, s.n_windows,
+       pa.pref AS pa, pa.n AS na, pb.pref AS pb, pb.n AS nb
+FROM dsubpairs s
+JOIN ppref pa ON pa.sid = s.conv_id_a
+JOIN ppref pb ON pb.sid = s.conv_id_b;
+CREATE OR REPLACE TEMP TABLE bs0 AS
+SELECT conv_id_a, conv_id_b, 0::BIGINT AS lo, least(na, nb)::BIGINT AS hi
+FROM pairpre;""",
+        *[_bs_iter_stmt(t) for t in range(1, _BS_ITERS + 1)],
+        f"""
+SELECT p.conv_id_a::BIGINT AS doc_id_a, p.conv_id_b::BIGINT AS doc_id_b,
+       p.n_windows, coalesce(f.lo, 0)::BIGINT AS lcs_tokens
+FROM pairpre p
+LEFT JOIN bs{_BS_ITERS} f
+  ON f.conv_id_a = p.conv_id_a AND f.conv_id_b = p.conv_id_b""",
+    )
+
+
 def doc_neardup_clusters_sql(k: int = 3, threshold: float = 0.3,
                              cfg: DedupConfig | None = None) -> str:
     """CC twin for doc_dedup.neardup_clusters: LSH near edges + exact

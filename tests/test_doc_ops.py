@@ -143,3 +143,50 @@ def test_neardup_clusters_partition_and_consistency(spark, docs):
     for h in groups["content_md5"]:
         members = [d for d, m in md5_lab.items() if m == h]
         assert len({lab[d] for d in members}) == 1
+
+
+def test_doc_substring_containment(spark):
+    """The containment channel must flag a short doc embedded verbatim in a
+    much longer one — a pair whose Jaccard is far below any near-dup
+    threshold — and report an exact common-run length covering the
+    embedded span."""
+    from pcompress_spark.config import DedupConfig
+    from pcompress_spark.kernels import tokens_to_hashes
+
+    rng = __import__("numpy").random.Generator(__import__("numpy").random.PCG64(3))
+    words = [f"w{i:03d}" for i in range(400)]
+    span = " ".join(rng.choice(words, size=120))          # the shared run
+    long_doc = (" ".join(rng.choice(words, size=600)) + " " + span + " "
+                + " ".join(rng.choice(words, size=600)))
+    short_doc = span
+    other = " ".join(rng.choice(words, size=300))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, other)], "doc_id long, text string"
+    )
+    cfg = DedupConfig(shingle_k=3, substring_enabled=True)
+    out = {(r.doc_id_a, r.doc_id_b): r
+           for r in doc_dedup.doc_substring_pairs(docs, cfg).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    n_short = len(tokens_to_hashes(short_doc))
+    # the exact common run covers the whole embedded span
+    assert r.lcs_tokens >= n_short
+    # and Jaccard would never have flagged it (~120/1320 token overlap)
+    jac = doc_dedup.ngram_jaccard_pairs(
+        docs.withColumn("lang", F.lit("en")), n=3, threshold=0.0
+    ).toPandas()
+    jmap = {(a, b): j for a, b, j in zip(jac.doc_id_a, jac.doc_id_b, jac.jaccard)}
+    assert jmap.get((1, 2), 0.0) < 0.3
+
+
+def test_doc_substring_fixture_pairs(spark, docs):
+    """sf fixture sanity: every flagged pair's exact common run is at least
+    the fingerprint window (windows only exist inside true shared runs)."""
+    from pcompress_spark.config import DedupConfig
+
+    cfg = DedupConfig(shingle_k=3, substring_enabled=True)
+    rows = doc_dedup.doc_substring_pairs(docs, cfg).collect()
+    for r in rows:
+        assert r.doc_id_a < r.doc_id_b
+        assert r.n_windows >= 1
+        assert r.lcs_tokens >= cfg.substring_window
