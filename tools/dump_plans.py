@@ -49,6 +49,8 @@ def main() -> None:
     import __spark_entry__ as entry
 
     tier_df = entry.queries()["tr_tier_attribution"](spark, SF)
+    doc_sub_df = entry.queries()["doc_substring_pairs"](spark, SF)
+    inc_pairs_df = entry.queries()["doc_incremental_pairs"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -68,6 +70,10 @@ def main() -> None:
             doc_dedup.routed_lsh_pairs(docs),
         "tier attribution (exact/near/substring cascade over pipeline tables)":
             tier_df,
+        "doc containment pairs (salted window buckets, no quadratic stage)":
+            doc_sub_df,
+        "incremental delta-vs-corpus pairs (broadcast touched-bucket semi-join)":
+            inc_pairs_df,
     }
 
     checks: list[str] = []
@@ -122,9 +128,19 @@ def main() -> None:
             else f"WARN {df_name}: no WholeStageCodegen span"
         )
 
+    inc_plan = plan_of(inc_pairs_df)
+    n_semi_bcast = inc_plan.count("BroadcastHashJoin")
+    checks.append(
+        f"OK incremental: {n_semi_bcast} broadcast joins (touched-bucket "
+        "semi-join + delta-endpoint filters all broadcast)"
+        if "LeftSemi" in inc_plan and n_semi_bcast >= 3
+        else "FAIL incremental: touched-bucket/delta semi-joins not broadcast"
+    )
     for name, df in (("simhash_pairs", doc_dedup.simhash_pairs(docs)),
                      ("routed_lsh_pairs", doc_dedup.routed_lsh_pairs(docs)),
-                     ("tier_attribution", tier_df)):
+                     ("tier_attribution", tier_df),
+                     ("doc_substring_pairs", doc_sub_df),
+                     ("incremental_pairs", inc_pairs_df)):
         p = plan_of(df)
         checks.append(
             f"OK {name}: no cartesian/nested-loop stage"
