@@ -165,6 +165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprints"] = lambda s, d: text_fns.doc_fingerprints(
         load_table(s, d, "documents"))
 
+    # combined keep/drop admission verdict (exact dedup + text filters)
+    q["doc_admission"] = lambda s, d: doc_dedup.corpus_admission(
+        load_table(s, d, "documents"), quality_min=0.25)
+
     # ---- documents: text analysis ----
     q["doc_token_stats"] = lambda s, d: text_fns.token_stats(load_table(s, d, "documents"))
     q["doc_quality"] = lambda s, d: text_fns.quality_score(load_table(s, d, "documents"))
@@ -500,6 +504,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang AS lang_actual, {first_max} AS lang_guess,
                sw_en, sw_es, sw_de, sw_fr
         FROM m
+    """
+    o["doc_admission"] = f"""
+        WITH base AS (
+            SELECT doc_id, lower(text) AS lt, {words} AS words,
+                   md5(text) AS content_md5
+            FROM documents
+        ), feat AS (
+            SELECT doc_id, content_md5,
+                round((
+                    CASE WHEN length(lt) > 0 THEN
+                        length(regexp_replace(lt, '[^a-z0-9 ]', '', 'g'))::DOUBLE / length(lt)
+                        ELSE 0.0 END
+                  + CASE WHEN len(words) > 0 THEN
+                        len(list_filter(words, x -> list_contains({sw['en']}, x)))::DOUBLE / len(words)
+                        ELSE 0.0 END
+                  + least(len(words)::DOUBLE / 50.0, 1.0)) / 3.0, 6) AS quality,
+                CASE WHEN length(lt) = 0 THEN 'empty'
+                     WHEN length(regexp_replace(lt, '[^0-9]', '', 'g'))::DOUBLE
+                          / length(lt) > 0.10 THEN 'numeric'
+                     WHEN length(regexp_replace(lt, '[^ ]', '', 'g'))::DOUBLE
+                          / length(lt) > 0.25 THEN 'airy'
+                     ELSE 'dense' END AS content_class,
+                {lang_counts}
+            FROM base
+        ), m AS (
+            SELECT *, greatest(sw_en, sw_es, sw_de, sw_fr) AS best FROM feat
+        ), g AS (
+            SELECT *, {first_max} AS lang_guess FROM m
+        ), keeper AS (
+            SELECT content_md5, min(doc_id) AS keeper_doc_id
+            FROM base GROUP BY content_md5
+        ), r AS (
+            SELECT g.*, keeper.keeper_doc_id,
+                   CASE WHEN doc_id <> keeper_doc_id THEN 'exact_dup'
+                        WHEN content_class = 'empty' THEN 'empty'
+                        WHEN quality < 0.25 THEN 'low_quality'
+                        WHEN lang_guess = 'und' THEN 'unknown_lang'
+                        ELSE 'ok' END AS reason
+            FROM g JOIN keeper USING (content_md5)
+        )
+        SELECT doc_id, quality, lang_guess, content_class, keeper_doc_id,
+               reason,
+               CASE WHEN reason = 'ok' THEN 'keep' ELSE 'drop' END AS decision
+        FROM r
     """
     o["doc_census"] = """
         WITH feat AS (

@@ -56,6 +56,54 @@ def dedup_keep_first(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_admission(docs: DataFrame, quality_min: float = 0.25) -> DataFrame:
+    """Combined keep/drop admission decision per document — the single
+    verdict table a training-data ingest emits, folding exact dedup and the
+    text filters into one deterministic first-match-wins cascade (the
+    reference's analog: the per-chunk filter dispatch that decides
+    dedupe/delta/store + skip routing, /root/reference/pcompress.c:205-401
+    with the global-index first-occurrence rule
+    /root/reference/rabin/global/index.c:485-558):
+
+      1. exact_dup      doc_id is not the min of its content-hash group
+      2. empty          content_class == 'empty'
+      3. low_quality    composite quality (rounded 6dp) < quality_min
+      4. unknown_lang   stopword language guess found no evidence
+      5. ok             -> keep
+
+    Scale shape: one hash aggregation + one shuffle join on content_md5
+    (identical to dedup_keep_first); every filter column is a JVM
+    expression in the same projection — no Python, no extra shuffles.
+    """
+    from .text import content_class_col, lang_guess_col, quality_col
+
+    keepers = (
+        exact_hash(docs)
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
+    enriched = docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        quality_col().alias("quality"),
+        lang_guess_col().alias("lang_guess"),
+        content_class_col().alias("content_class"),
+    ).join(keepers, "content_md5")
+    reason = (
+        F.when(F.col("doc_id") != F.col("keeper_doc_id"), "exact_dup")
+        .when(F.col("content_class") == "empty", "empty")
+        .when(F.col("quality") < F.lit(quality_min), "low_quality")
+        .when(F.col("lang_guess") == "und", "unknown_lang")
+        .otherwise("ok")
+    )
+    return enriched.select(
+        "doc_id", "quality", "lang_guess", "content_class", "keeper_doc_id",
+        reason.alias("reason"),
+    ).withColumn(
+        "decision", F.when(F.col("reason") == "ok", "keep").otherwise("drop")
+    )
+
+
 def ngrams_col(n: int = 3) -> F.Column:
     """Distinct word n-grams (0-based Spark array indexing)."""
     grams = F.expr(

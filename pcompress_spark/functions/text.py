@@ -59,15 +59,11 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic quality features + composite score (the reference's
-    10/30/50% byte-class thresholds analog, analyzer.c:33-98):
-    - alnum_ratio: [a-z0-9 ] chars / total chars (lowercased)
-    - stopword_ratio: English stopwords / tokens
-    - len_score: min(n_tokens / 50, 1)
-    - quality: rounded mean of the three."""
-    w = norm_words("text")
-    lower = F.lower(F.col("text"))
+def _quality_parts(col: str | Column = "text") -> tuple[Column, Column, Column]:
+    """(alnum_ratio, stopword_ratio, len_score) raw (unrounded) columns —
+    shared by quality_score and corpus_admission."""
+    w = norm_words(col)
+    lower = F.lower(F.col(col) if isinstance(col, str) else col)
     total_chars = F.length(lower)
     alnum_chars = F.length(F.regexp_replace(lower, "[^a-z0-9 ]", ""))
     sw = F.array([F.lit(s) for s in STOPWORDS["en"]])
@@ -76,6 +72,23 @@ def quality_score(docs: DataFrame) -> DataFrame:
     alnum_ratio = F.when(total_chars > 0, alnum_chars.cast("double") / total_chars).otherwise(0.0)
     stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
     len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+    return alnum_ratio, stop_ratio, len_score
+
+
+def quality_col(col: str | Column = "text") -> Column:
+    """Rounded composite quality score (mean of the three parts, 6dp)."""
+    alnum_ratio, stop_ratio, len_score = _quality_parts(col)
+    return F.round((alnum_ratio + stop_ratio + len_score) / F.lit(3.0), 6)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score (the reference's
+    10/30/50% byte-class thresholds analog, analyzer.c:33-98):
+    - alnum_ratio: [a-z0-9 ] chars / total chars (lowercased)
+    - stopword_ratio: English stopwords / tokens
+    - len_score: min(n_tokens / 50, 1)
+    - quality: rounded mean of the three."""
+    alnum_ratio, stop_ratio, len_score = _quality_parts("text")
     return docs.select(
         "doc_id",
         F.round(alnum_ratio, 6).alias("alnum_ratio"),
@@ -85,16 +98,33 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_guess(docs: DataFrame) -> DataFrame:
-    """Stopword-ratio language ID over fixed lists; deterministic argmax
-    (ties broken by fixed language order en,es,de,fr; 'und' if no hit)."""
-    w = norm_words("text")
+def _lang_counts(col: str | Column = "text") -> dict[str, Column]:
+    """Per-language stopword-hit counts — shared by lang_guess and
+    corpus_admission."""
+    w = norm_words(col)
 
     def _count(sw: list[str]) -> Column:
         arr = F.array([F.lit(s) for s in sw])
         return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
 
-    counts = {lang: _count(sw) for lang, sw in STOPWORDS.items()}
+    return {lang: _count(sw) for lang, sw in STOPWORDS.items()}
+
+
+def lang_guess_col(col: str | Column = "text") -> Column:
+    """Deterministic stopword-argmax language guess (ties broken by fixed
+    language order en,es,de,fr; 'und' if no stopword hits)."""
+    counts = _lang_counts(col)
+    best = F.greatest(*counts.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:  # first max wins (insertion order = fixed)
+        guess = guess.when(counts[lang] == best, F.lit(lang))
+    return guess
+
+
+def lang_guess(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio language ID over fixed lists; deterministic argmax
+    (ties broken by fixed language order en,es,de,fr; 'und' if no hit)."""
+    counts = _lang_counts("text")
     best = F.greatest(*counts.values())
     guess = F.when(best <= 0, F.lit("und"))
     for lang in STOPWORDS:  # first max wins (insertion order = fixed)

@@ -190,3 +190,43 @@ def test_doc_substring_fixture_pairs(spark, docs):
         assert r.doc_id_a < r.doc_id_b
         assert r.n_windows >= 1
         assert r.lcs_tokens >= cfg.substring_window
+
+
+def test_corpus_admission_cascade(spark):
+    """First-match-wins reasons: exact_dup beats empty beats low_quality
+    beats unknown_lang; keepers of dup groups are judged on their own text."""
+    good = ("the quick brown fox jumps over the lazy dog and then it runs "
+            "to the forest for a while because it is happy there ") * 3
+    rows = [
+        (10, good),             # keep (first occurrence)
+        (11, good),             # exact_dup (same content, higher id)
+        (12, ""),               # empty (its dup group = itself)
+        (13, ""),               # exact_dup of the empty group — dup wins
+        (14, "!@#$ %^&* ()~~"),  # mostly punctuation: quality < 0.25 fires
+                                 # before the (also true) unknown_lang
+        (15, "kwyjibo " * 60),  # long + alnum but zero stopword hits -> unknown_lang
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in doc_dedup.corpus_admission(docs).collect()}
+    assert out[10].decision == "keep" and out[10].reason == "ok"
+    assert out[11].reason == "exact_dup" and out[11].keeper_doc_id == 10
+    assert out[12].reason == "empty"
+    assert out[13].reason == "exact_dup" and out[13].keeper_doc_id == 12
+    assert out[14].reason == "low_quality"
+    assert out[15].reason == "unknown_lang" and out[15].quality >= 0.25
+    assert all(out[i].decision == "drop" for i in (11, 12, 13, 14, 15))
+
+
+def test_corpus_admission_fixture_consistency(spark, docs):
+    """Fixture-level invariants: exactly one keeper per content group, and
+    every kept doc passes all the drop predicates."""
+    adm = doc_dedup.corpus_admission(docs).toPandas()
+    keep = adm[adm.decision == "keep"]
+    assert (keep.doc_id == keep.keeper_doc_id).all()
+    assert (keep.quality >= 0.25).all()
+    assert (keep.lang_guess != "und").all()
+    assert (keep.content_class != "empty").all()
+    # dropped exact dups reference a keeper that was itself admitted or
+    # dropped for a text reason — never a dangling id
+    ids = set(adm.doc_id)
+    assert set(adm.keeper_doc_id) <= ids
