@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # combined keep/drop admission verdict (exact dedup + text filters)
     q["doc_admission"] = lambda s, d: doc_dedup.corpus_admission(
         load_table(s, d, "documents"), quality_min=0.25)
+    # per-doc tier cascade (exact > near > containment > kept)
+    q["doc_tier_attribution"] = lambda s, d: doc_dedup.doc_tier_attribution(
+        load_table(s, d, "documents"), threshold=0.3)
 
     # ---- documents: text analysis ----
     q["doc_token_stats"] = lambda s, d: text_fns.token_stats(load_table(s, d, "documents"))
@@ -664,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_routed_lsh_pairs"] = oq.doc_minhash_lsh_sql(
         k=3, threshold=0.3, src=oq.ROUTED_DOC_SRC)
     o["doc_neardup_clusters"] = oq.doc_neardup_clusters_sql(k=3, threshold=0.3)
+    o["doc_tier_attribution"] = oq.doc_tier_attribution_sql(k=3, threshold=0.3)
     o["doc_simhash_pairs"] = oq.doc_simhash_sql(max_hamming=6, k=3)
     o["tr_near_pairs"] = oq.tr_near_pairs_sql(tr, CFG)
     o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)

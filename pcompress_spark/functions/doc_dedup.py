@@ -441,6 +441,46 @@ CLASS_ROUTES = {
 }
 
 
+def doc_tier_attribution(docs: DataFrame, cfg: DedupConfig | None = None,
+                         threshold: float = 0.3) -> DataFrame:
+    """(doc_id, tier, removed_by): WHICH dedup channel removed each
+    document — the reference's per-chunk cascade (exact global-index hit ->
+    similarity-probe delta -> stored whole, /root/reference/rabin/
+    rabin_dedup.c:1236-1344, 1469-1489) at document granularity, symmetric
+    to the transcript pipeline's tiers stage (operators/tiers.py):
+
+      exact     — not the min doc_id of its raw-md5 group
+      near      — non-representative of a near-dup cluster (LSH + star CC)
+      substring — representative losing a verified containment pair
+                  (loser = fewer tokens, tie -> greater doc_id)
+      kept      — everything else (removed_by = itself)
+
+    Reuses the SAME tier_attribution operator as transcripts — doc ids ride
+    through its conv_id columns as longs (comparisons and min() are
+    type-generic), so the cascade rule lives in exactly one place."""
+    from ..operators.tiers import tier_attribution
+    from .text import norm_words
+
+    cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=True,
+                             jaccard_threshold=threshold)
+    sig = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.md5("text").alias("content_hash"),
+        F.size(norm_words("text")).cast("long").alias("n_tokens"),
+    )
+    clusters = neardup_clusters(docs, cfg, threshold).select(
+        F.col("doc_id").alias("conv_id"), "cluster_id"
+    )
+    sub = doc_substring_pairs(docs, cfg).select(
+        F.col("doc_id_a").alias("conv_id_a"),
+        F.col("doc_id_b").alias("conv_id_b"),
+        "n_windows", "lcs_tokens",
+    )
+    return tier_attribution(sig, clusters, sub, cfg).select(
+        F.col("conv_id").alias("doc_id"), "tier", "removed_by"
+    )
+
+
 def route_docs(docs: DataFrame) -> DataFrame:
     """Adds (content_class, route) columns from the shared census
     classifier. Pure JVM; the routing decision itself is driver-checkable

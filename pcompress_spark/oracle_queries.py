@@ -298,9 +298,19 @@ def doc_substring_sql(k: int = 3, cfg: DedupConfig | None = None) -> str:
     bs-iteration tables are named conv_id_a/conv_id_b internally; the
     final select renames to doc ids)."""
     cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=True)
-    cap = cfg.bucket_cap
     return _script(
         _doc_sig_stmts(k, with_minhash=False, with_simhash=False, cfg=cfg),
+        _doc_substring_stmts(cfg),
+        """SELECT doc_id_a, doc_id_b, n_windows, lcs_tokens FROM dsubfinal""",
+    )
+
+
+def _doc_substring_stmts(cfg: DedupConfig) -> str:
+    """TEMP TABLE ``dsubfinal`` (doc_id_a, doc_id_b, n_windows, lcs_tokens)
+    — the doc containment pairs. Requires _doc_sig_stmts tables (tshr,
+    ttok, dih)."""
+    cap = cfg.bucket_cap
+    return "\n".join([
         osql.window_stmts("w", "tshr", cfg.shingle_k, cfg.substring_window,
                           cfg.substring_stride),
         f"""
@@ -334,12 +344,13 @@ SELECT conv_id_a, conv_id_b, 0::BIGINT AS lo, least(na, nb)::BIGINT AS hi
 FROM pairpre;""",
         *[_bs_iter_stmt(t) for t in range(1, _BS_ITERS + 1)],
         f"""
+CREATE OR REPLACE TEMP TABLE dsubfinal AS
 SELECT p.conv_id_a::BIGINT AS doc_id_a, p.conv_id_b::BIGINT AS doc_id_b,
        p.n_windows, coalesce(f.lo, 0)::BIGINT AS lcs_tokens
 FROM pairpre p
 LEFT JOIN bs{_BS_ITERS} f
-  ON f.conv_id_a = p.conv_id_a AND f.conv_id_b = p.conv_id_b""",
-    )
+  ON f.conv_id_a = p.conv_id_a AND f.conv_id_b = p.conv_id_b;""",
+    ])
 
 
 def doc_neardup_clusters_sql(k: int = 3, threshold: float = 0.3,
@@ -347,9 +358,18 @@ def doc_neardup_clusters_sql(k: int = 3, threshold: float = 0.3,
     """CC twin for doc_dedup.neardup_clusters: LSH near edges + exact
     md5-star edges -> recursive reachability -> min doc_id label."""
     cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
-    r = cfg.rows
     return _script(
         _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg),
+        _doc_cluster_stmts(threshold, cfg),
+        """SELECT doc_id, cluster_id FROM dclusters""",
+    )
+
+
+def _doc_cluster_stmts(threshold: float, cfg: DedupConfig) -> str:
+    """TEMP TABLE ``dclusters`` (doc_id, cluster_id). Requires
+    _doc_sig_stmts(with_minhash=True) tables (dsig, dsrc)."""
+    r = cfg.rows
+    return "\n".join([
         f"""
 CREATE OR REPLACE TEMP TABLE bands AS
 SELECT sid AS mem, tobig(idh) AS salt, b.b AS band_idx,
@@ -379,12 +399,67 @@ SELECT ma, mb FROM near_ UNION SELECT ma, mb FROM star_;
 CREATE OR REPLACE TEMP TABLE dsym AS
 SELECT ma AS a, mb AS b FROM dedges UNION SELECT mb AS a, ma AS b FROM dedges;""",
         """
+CREATE OR REPLACE TEMP TABLE dclusters AS
 WITH RECURSIVE reach(src, dst) AS (
     SELECT doc_id, doc_id FROM dsrc
     UNION
     SELECT r.src, s.b FROM reach r JOIN dsym s ON r.dst = s.a)
 SELECT src::BIGINT AS doc_id, min(dst)::BIGINT AS cluster_id
-FROM reach GROUP BY src""",
+FROM reach GROUP BY src;""",
+    ])
+
+
+def doc_tier_attribution_sql(k: int = 3, threshold: float = 0.3,
+                             cfg: DedupConfig | None = None) -> str:
+    """Twin for doc_dedup.doc_tier_attribution — the reference's chunk
+    cascade (exact index hit -> similarity delta -> stored whole,
+    rabin_dedup.c:1236-1344, 1469-1489) at document granularity:
+    'exact' = not the min doc_id of its md5 group; 'near' = cluster
+    non-representative; 'substring' = representative losing a verified
+    containment pair (loser = fewer tokens, tie -> greater doc_id;
+    removed_by = min winner); else 'kept'. Composes the cluster and
+    containment stmt helpers over ONE shared signature pipeline."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=True)
+    return _script(
+        _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg),
+        _doc_cluster_stmts(threshold, cfg),
+        _doc_substring_stmts(cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE dexrep AS
+SELECT d.doc_id, r.exact_rep, c.cluster_id
+FROM dsrc d
+JOIN (SELECT md5(text) AS h, min(doc_id) AS exact_rep
+      FROM dsrc GROUP BY 1) r ON md5(d.text) = r.h
+JOIN dclusters c ON c.doc_id = d.doc_id;
+CREATE OR REPLACE TEMP TABLE dsubrm AS
+WITH reps_ AS (SELECT doc_id FROM dclusters WHERE cluster_id = doc_id),
+qual_ AS (
+    SELECT v.doc_id_a, v.doc_id_b, pa.n AS na, pb.n AS nb
+    FROM dsubfinal v
+    JOIN reps_ ra ON ra.doc_id = v.doc_id_a
+    JOIN reps_ rb ON rb.doc_id = v.doc_id_b
+    JOIN ppref pa ON pa.sid = v.doc_id_a
+    JOIN ppref pb ON pb.sid = v.doc_id_b
+    WHERE v.lcs_tokens >= {cfg.substring_window}),
+lw_ AS (
+    SELECT CASE WHEN na < nb OR (na = nb AND doc_id_a > doc_id_b)
+                THEN doc_id_a ELSE doc_id_b END AS loser,
+           CASE WHEN na < nb OR (na = nb AND doc_id_a > doc_id_b)
+                THEN doc_id_b ELSE doc_id_a END AS winner
+    FROM qual_)
+SELECT loser, min(winner) AS sub_winner FROM lw_ GROUP BY loser;""",
+        """
+SELECT e.doc_id,
+       CASE WHEN e.doc_id != e.exact_rep THEN 'exact'
+            WHEN e.doc_id != e.cluster_id THEN 'near'
+            WHEN s.sub_winner IS NOT NULL THEN 'substring'
+            ELSE 'kept' END AS tier,
+       CASE WHEN e.doc_id != e.exact_rep THEN e.exact_rep
+            WHEN e.doc_id != e.cluster_id THEN e.cluster_id
+            WHEN s.sub_winner IS NOT NULL THEN s.sub_winner
+            ELSE e.doc_id END AS removed_by
+FROM dexrep e
+LEFT JOIN dsubrm s ON s.loser = e.doc_id""",
     )
 
 

@@ -67,3 +67,30 @@ def test_tier_attribution_cascade(spark):
     for kept in ("a-one", "c-host", "e-unique", "f-tie1"):
         assert out.at[kept, "tier"] == "kept", kept
         assert out.at[kept, "removed_by"] == kept
+
+
+def test_doc_tier_attribution_semantics(spark):
+    """Doc-table cascade: exact dup -> 'exact'; LSH near-dup cluster member
+    -> 'near'; a short doc wholly embedded in a longer one (tiny Jaccard)
+    -> 'substring'; everything else 'kept'. Priority exact > near."""
+    from pcompress_spark.functions import doc_dedup
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu ") * 4
+    near = base.replace("zulu", "zulus")  # high-Jaccard variant
+    # disjoint vocabulary from `base` so the containment pair can't sneak
+    # into the near tier via shared shingles
+    short = " ".join(f"w{i:03d}token" for i in range(40))
+    # filler is all-distinct tokens so Jaccard(short, host) ~ 38/840 << 0.3
+    host = short + " " + " ".join(f"f{i:04d}x" for i in range(800))
+    rows = [(1, base), (2, base), (3, near), (4, host), (5, short),
+            (6, "completely different standalone text about nothing much")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in doc_dedup.doc_tier_attribution(docs).collect()}
+    assert out[1].tier == "kept" and out[1].removed_by == 1
+    assert out[2].tier == "exact" and out[2].removed_by == 1
+    assert out[3].tier == "near" and out[3].removed_by == 1
+    assert out[5].tier == "substring" and out[5].removed_by == 4
+    assert out[4].tier == "kept"
+    assert out[6].tier == "kept"
