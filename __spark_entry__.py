@@ -171,6 +171,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-doc tier cascade (exact > near > containment > kept)
     q["doc_tier_attribution"] = lambda s, d: doc_dedup.doc_tier_attribution(
         load_table(s, d, "documents"), threshold=0.3)
+    # north-rule headline metric as a first-class query (recall >= 0.99)
+    q["doc_recall_report"] = lambda s, d: doc_dedup.recall_report(
+        load_table(s, d, "documents"), truth_threshold=0.5,
+        design_threshold=0.3)
 
     # ---- documents: text analysis ----
     q["doc_token_stats"] = lambda s, d: text_fns.token_stats(load_table(s, d, "documents"))
@@ -668,6 +672,8 @@ def oracle_sql() -> dict[str, str]:
         k=3, threshold=0.3, src=oq.ROUTED_DOC_SRC)
     o["doc_neardup_clusters"] = oq.doc_neardup_clusters_sql(k=3, threshold=0.3)
     o["doc_tier_attribution"] = oq.doc_tier_attribution_sql(k=3, threshold=0.3)
+    o["doc_recall_report"] = oq.doc_recall_sql(k=3, truth_threshold=0.5,
+                                               design_threshold=0.3)
     o["doc_simhash_pairs"] = oq.doc_simhash_sql(max_hamming=6, k=3)
     o["tr_near_pairs"] = oq.tr_near_pairs_sql(tr, CFG)
     o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)

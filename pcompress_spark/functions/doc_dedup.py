@@ -441,6 +441,64 @@ CLASS_ROUTES = {
 }
 
 
+def recall_report(docs: DataFrame, cfg: DedupConfig | None = None,
+                  truth_threshold: float = 0.5,
+                  design_threshold: float = 0.3) -> DataFrame:
+    """One-row audit of the north-rule headline metric: dup-pair RECALL of
+    the MinHash-LSH channel against exact shingle-Jaccard ground truth
+    (>= 0.99 required at a truth threshold above the LSH design point).
+
+    Truth = brute-force same-lang self-join over the kernel shingle sets —
+    the documented O(n^2) audit path (like ngram_jaccard_pairs; run it at
+    audit scale, never on the full corpus). Measured = minhash_lsh_pairs at
+    ``design_threshold`` — the bucketed production path. Output:
+    (truth_threshold, n_truth, n_found, recall).
+
+    Reference analog: the similarity-index hit-rate statistics pcompress
+    prints per archive (dedup ratio accounting, pcompress.c stats path);
+    here the statistic is pinned to an exact ground truth instead."""
+    cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
+                             jaccard_threshold=design_threshold)
+    sig = doc_signatures(docs, cfg).persist()
+    lang = docs.select("doc_id", "lang")
+    side = (
+        sig.join(lang, "doc_id")
+        .where(F.size("shingles") > 0)
+        .select("doc_id", "lang", "shingles")
+    )
+    a = side.select(F.col("doc_id").alias("doc_id_a"), "lang",
+                    F.col("shingles").alias("sh_a"))
+    b = side.select(F.col("doc_id").alias("doc_id_b"), "lang",
+                    F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0)), 6
+    )
+    truth = (
+        a.join(b, ["lang"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= truth_threshold)
+    )
+    found = truth.join(
+        minhash_lsh_pairs(docs, cfg, design_threshold)
+        .select("doc_id_a", "doc_id_b"),
+        ["doc_id_a", "doc_id_b"], "left_semi",
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nf = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    return nt.crossJoin(nf).select(
+        F.lit(float(truth_threshold)).alias("truth_threshold"),
+        "n_truth", "n_found",
+        F.round(
+            F.when(F.col("n_truth") > 0,
+                   F.col("n_found").cast("double") / F.col("n_truth"))
+            .otherwise(F.lit(1.0)), 6,
+        ).alias("recall"),
+    )
+
+
 def doc_tier_attribution(docs: DataFrame, cfg: DedupConfig | None = None,
                          threshold: float = 0.3) -> DataFrame:
     """(doc_id, tier, removed_by): WHICH dedup channel removed each

@@ -197,6 +197,62 @@ FROM ver2_ WHERE round(jac, 6) >= {threshold}""",
     )
 
 
+def doc_recall_sql(k: int = 3, truth_threshold: float = 0.5,
+                   design_threshold: float = 0.3,
+                   cfg: DedupConfig | None = None) -> str:
+    """Twin for doc_dedup.recall_report: brute-force same-lang shingle
+    Jaccard truth at ``truth_threshold`` vs the LSH pair set at
+    ``design_threshold`` -> one row (truth_threshold, n_truth, n_found,
+    recall)."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    r = cfg.rows
+    return _script(
+        _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE bands AS
+SELECT sid AS mem, tobig(idh) AS salt, b.b AS band_idx,
+       mh[b.b * {r} + 1 : b.b * {r} + {r}] AS key
+FROM dsig CROSS JOIN (SELECT unnest(range(0, {cfg.bands}))::INT AS b) b
+WHERE len(sh) > 0;""",
+        _bucket_pair_stmt("bands", cfg.bucket_cap),
+        f"""
+CREATE OR REPLACE TEMP TABLE lpairs AS
+WITH ver_ AS (SELECT c.ma, c.mb, len(a.sh) AS la, len(b.sh) AS lb,
+                     len(list_intersect(a.sh, b.sh)) AS inter
+              FROM cand c JOIN dsig a ON a.sid = c.ma
+              JOIN dsig b ON b.sid = c.mb),
+ver2_ AS (SELECT ma, mb,
+                 CASE WHEN la + lb - inter > 0
+                      THEN inter::DOUBLE / (la + lb - inter) ELSE 1.0 END AS jac
+          FROM ver_)
+SELECT ma::BIGINT AS doc_id_a, mb::BIGINT AS doc_id_b
+FROM ver2_ WHERE round(jac, 6) >= {design_threshold};
+CREATE OR REPLACE TEMP TABLE rtruth AS
+WITH s_ AS (SELECT d.sid, d.sh, doc.lang
+            FROM dsig d JOIN documents doc ON doc.doc_id = d.sid
+            WHERE len(d.sh) > 0),
+j_ AS (SELECT a.sid AS doc_id_a, b.sid AS doc_id_b,
+              len(a.sh) AS la, len(b.sh) AS lb,
+              len(list_intersect(a.sh, b.sh)) AS inter
+       FROM s_ a JOIN s_ b ON a.lang = b.lang AND a.sid < b.sid)
+SELECT doc_id_a, doc_id_b
+FROM (SELECT doc_id_a, doc_id_b,
+             round(CASE WHEN la + lb - inter > 0
+                        THEN inter::DOUBLE / (la + lb - inter)
+                        ELSE 1.0 END, 6) AS jac FROM j_)
+WHERE jac >= {truth_threshold};""",
+        f"""
+WITH nt AS (SELECT count(*)::BIGINT AS n_truth FROM rtruth),
+nf AS (SELECT count(*)::BIGINT AS n_found
+       FROM rtruth t JOIN lpairs l
+         ON l.doc_id_a = t.doc_id_a AND l.doc_id_b = t.doc_id_b)
+SELECT {truth_threshold}::DOUBLE AS truth_threshold, n_truth, n_found,
+       round(CASE WHEN n_truth > 0 THEN n_found::DOUBLE / n_truth
+                  ELSE 1.0 END, 6) AS recall
+FROM nt, nf""",
+    )
+
+
 DELTA_PRED = "{x} % 4 = 0"  # the deterministic corpus/delta split used by
 # the doc_incremental_* queries (engine twin in __spark_entry__.py)
 

@@ -230,3 +230,11 @@ def test_corpus_admission_fixture_consistency(spark, docs):
     # dropped for a text reason — never a dangling id
     ids = set(adm.doc_id)
     assert set(adm.keeper_doc_id) <= ids
+
+
+def test_recall_report_meets_north_rule(spark, docs):
+    """The headline metric as a query: LSH recall vs exact shingle-Jaccard
+    truth must clear the north rule's >= 0.99 bar on the fixture."""
+    row = doc_dedup.recall_report(docs).collect()[0]
+    assert row.n_truth > 0, "fixture must contain strong truth pairs"
+    assert row.recall >= 0.99, (row.n_found, row.n_truth)
