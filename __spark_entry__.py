@@ -118,6 +118,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tr_substring_pairs(spark, sf_dir):
         return _pipeline_tables(spark, sf_dir)["substring_pairs"]
 
+    def tr_simhash_pairs(spark, sf_dir):
+        from pcompress_spark.operators.candidates import simhash_candidate_pairs
+        sig = _pipeline_tables(spark, sf_dir)["signatures"]
+        return simhash_candidate_pairs(sig, CFG, max_hamming=6)
+
+    q["tr_simhash_pairs"] = tr_simhash_pairs
     q["tr_assemble"] = tr_assemble
     q["tr_turns_fidelity"] = tr_turns_fidelity
     q["tr_exact_dup_groups"] = tr_exact_dup_groups
@@ -676,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
                                                design_threshold=0.3)
     o["doc_simhash_pairs"] = oq.doc_simhash_sql(max_hamming=6, k=3)
     o["tr_near_pairs"] = oq.tr_near_pairs_sql(tr, CFG)
+    o["tr_simhash_pairs"] = oq.tr_simhash_sql(tr, max_hamming=6, cfg=CFG)
     o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)
     o["tr_dedup_view"] = oq.tr_dedup_view_sql(tr, CFG)
     o["tr_substring_pairs"] = oq.tr_substring_pairs_sql(tr, CFG)

@@ -308,9 +308,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
     /root/reference/rabin/global/index.c:539-547). For d > 6 the pair-key
     guarantee breaks; this function refuses rather than silently losing
     recall."""
-    from ..operators.candidates import bucket_members, bucket_pairs
+    from ..operators.candidates import (bucket_members, bucket_pairs,
+                                        simhash_band_expr)
 
-    n_segs, seg_bits = 8, 8
+    n_segs = 8
     if max_hamming > n_segs - 2:
         raise ValueError(
             f"segment-pair multi-index guarantees recall only for "
@@ -322,20 +323,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
     sig = doc_signatures(docs, cfg).select(
         "doc_id", "id_hash", "simhash"
     ).persist()
-    # seg(i) as JVM expr; arithmetic shiftright is safe under the & 255 mask
-    seg_pairs = [(i, j) for i in range(n_segs) for j in range(i + 1, n_segs)]
-    mask = (1 << seg_bits) - 1
-    bands = F.array(*[
-        F.struct(
-            F.lit(p).alias("band_idx"),
-            (
-                (F.shiftright("simhash", i * seg_bits).bitwiseAND(F.lit(mask))
-                 * F.lit(1 << seg_bits))
-                + F.shiftright("simhash", j * seg_bits).bitwiseAND(F.lit(mask))
-            ).cast("long").alias("band_hash"),
-        )
-        for p, (i, j) in enumerate(seg_pairs)
-    ])
+    bands = simhash_band_expr("simhash", n_segs)
     banded = sig.select(
         "doc_id", "id_hash", F.explode(bands).alias("band")
     ).select("doc_id", "id_hash", "band.band_idx", "band.band_hash")

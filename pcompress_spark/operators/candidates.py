@@ -187,3 +187,73 @@ def candidate_pairs(
         F.count(F.lit(1)).cast("int").alias("n_bands")
     )
     return agg, stats
+
+
+def simhash_band_expr(col: str = "simhash", n_segs: int = 8,
+                      seg_bits: int = 8) -> F.Column:
+    """Array of C(n_segs,2) (band_idx, band_hash) structs from a 64-bit
+    SimHash column — the segment-PAIR multi-index shared by the document
+    and transcript SimHash channels (functions/doc_dedup.simhash_pairs,
+    simhash_candidate_pairs). 16-bit pair keys give a 65536-value keyspace
+    per band; pigeonhole guarantees recall for hamming <= n_segs - 2.
+    Arithmetic shiftright is safe under the & mask."""
+    seg_pairs = [(i, j) for i in range(n_segs) for j in range(i + 1, n_segs)]
+    mask = (1 << seg_bits) - 1
+    return F.array(*[
+        F.struct(
+            F.lit(p).alias("band_idx"),
+            (
+                (F.shiftright(col, i * seg_bits).bitwiseAND(F.lit(mask))
+                 * F.lit(1 << seg_bits))
+                + F.shiftright(col, j * seg_bits).bitwiseAND(F.lit(mask))
+            ).cast("long").alias("band_hash"),
+        )
+        for p, (i, j) in enumerate(seg_pairs)
+    ])
+
+
+def simhash_candidate_pairs(
+    sig: DataFrame, cfg: DedupConfig, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash similarity self-join for TRANSCRIPTS (J2 on the primary
+    axis, reference per-block similarity_hash probe
+    /root/reference/rabin/rabin_dedup.c:684-706, 1469-1489) over the
+    pipeline signatures table (conv_id, id_hash, simhash):
+    (conv_id_a, conv_id_b, hamming) with conv_id_a < conv_id_b.
+
+    Scale shape mirrors the MinHash path exactly: bands ride the 64-bit
+    id_hash through the shared salted/capped/logged bucket_members (member
+    AND salt = id_hash, like candidate_pairs), pairs explode JVM-side, and
+    conv_ids resolve only at verify time. Empty docs carry the sentinel
+    fingerprint and pair among themselves — identical in the oracle."""
+    n_segs = 8
+    if max_hamming > n_segs - 2:
+        raise ValueError(
+            f"segment-pair multi-index guarantees recall only for "
+            f"max_hamming <= {n_segs - 2}; got {max_hamming}"
+        )
+    base = sig.select("conv_id", "id_hash", "simhash")
+    banded = base.select(
+        F.col("id_hash").alias("mem"),
+        F.explode(simhash_band_expr("simhash", n_segs)).alias("band"),
+    ).select("mem", "band.band_idx", "band.band_hash")
+    buckets, _stats = bucket_members(
+        banded, cfg, id_col="mem", persist_sizes=False
+    )
+    cand = bucket_pairs(buckets, "ih_a", "ih_b").distinct()
+    a = base.select(F.col("id_hash").alias("ih_a"),
+                    F.col("conv_id").alias("ca"),
+                    F.col("simhash").alias("sh_a"))
+    b = base.select(F.col("id_hash").alias("ih_b"),
+                    F.col("conv_id").alias("cb"),
+                    F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        cand.join(a, "ih_a").join(b, "ih_b")
+        .select(
+            F.least("ca", "cb").alias("conv_id_a"),
+            F.greatest("ca", "cb").alias("conv_id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

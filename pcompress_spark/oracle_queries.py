@@ -586,6 +586,40 @@ LEFT JOIN mmh m ON m.sid = a.conv_id;""",
     ])
 
 
+def tr_simhash_sql(tr_path: str, max_hamming: int = 6,
+                   cfg: DedupConfig | None = None) -> str:
+    """Twin for operators.candidates.simhash_candidate_pairs: the SimHash
+    channel on TRANSCRIPTS. Segment-pair bands keyed AND salted by the
+    signed 64-bit ih (exactly like the tr MinHash path), shared capped
+    bucket rule, popcount verify, conv-id pair output. Empty conversations
+    carry the sentinel fingerprint in both engines."""
+    cfg = cfg or DedupConfig()
+    n_segs = 8
+    seg_pairs = [(i, j) for i in range(n_segs) for j in range(i + 1, n_segs)]
+    vals = ", ".join(f"({p}, {i}, {j})" for p, (i, j) in enumerate(seg_pairs))
+    return _script(
+        _tr_sig_stmts(tr_path, cfg),
+        osql.simhash_stmts("x", "tshd", cfg.simhash_sample),
+        f"""
+CREATE OR REPLACE TEMP TABLE tsim AS
+SELECT t.conv_id, t.ih, coalesce(x.simh, {osql.EMPTY_SENTINEL}{_H}) AS simh
+FROM tsig t LEFT JOIN xsimh x ON x.sid = t.conv_id;
+CREATE OR REPLACE TEMP TABLE bands AS
+SELECT d.ih AS mem, d.ih AS salt, sp.p AS band_idx,
+       (rsh64(d.simh, sp.i * 8) % 256) * 256
+       + (rsh64(d.simh, sp.j * 8) % 256) AS key
+FROM tsim d CROSS JOIN (VALUES {vals}) sp(p, i, j);""",
+        _bucket_pair_stmt("bands", cfg.bucket_cap),
+        f"""
+WITH ver_ AS (SELECT a.conv_id AS ca, b.conv_id AS cb,
+                     bit_count(xor(tobig(a.simh), tobig(b.simh)))::BIGINT AS hamming
+              FROM cand c JOIN tsim a ON a.ih = c.ma
+              JOIN tsim b ON b.ih = c.mb)
+SELECT least(ca, cb) AS conv_id_a, greatest(ca, cb) AS conv_id_b, hamming
+FROM ver_ WHERE hamming <= {max_hamming}""",
+    )
+
+
 def _tr_pairs_stmts(tr_path: str, cfg: DedupConfig) -> str:
     """Adds TEMP TABLE ``allpairs`` — the verified-pairs twin (LSH
     candidates -> est-jaccard prefilter -> exact shingle jaccard; exact

@@ -157,3 +157,24 @@ def test_band_pass_splitting_is_semantics_preserving(spark, engine_sig):
     merged = (pd.concat(parts).groupby(["ih_a", "ih_b"])["n_bands"]
               .sum().astype("int32").to_frame().sort_index())
     assert merged["n_bands"].to_dict() == whole["n_bands"].to_dict()
+
+
+def test_tr_simhash_channel_properties(spark, engine_sig):
+    """Transcript SimHash channel: normalized pair order, popcount bound,
+    no self-pairs, and every near-identical conversation pair (hamming 0
+    exact dup twins) is found — pigeonhole guarantees them."""
+    from pcompress_spark.operators.candidates import simhash_candidate_pairs
+
+    cfg = DedupConfig()
+    pairs = simhash_candidate_pairs(engine_sig, cfg, max_hamming=6).toPandas()
+    assert (pairs.hamming <= 6).all()
+    assert (pairs.conv_id_a < pairs.conv_id_b).all()
+    # exact-dup conversations share identical normalized text, hence
+    # identical simhash -> hamming 0 pairs must be present
+    sig = engine_sig.select("conv_id", "content_hash").toPandas()
+    by_hash = sig.groupby("content_hash")["conv_id"].apply(list)
+    found = {(a, b) for a, b in zip(pairs.conv_id_a, pairs.conv_id_b)}
+    for members in by_hash:
+        if len(members) > 1:
+            ms = sorted(members)
+            assert (ms[0], ms[1]) in found, ms[:2]
