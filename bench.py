@@ -79,7 +79,8 @@ def main() -> None:
     # ---- per-operator headline queries on the driver tables ----
     qs = entry.queries()
     for name in ["q1_pricing_summary", "q5_nation_revenue", "events_sessionize",
-                 "doc_minhash_lsh_pairs", "doc_token_stats", "ann_topk_brute"]:
+                 "doc_minhash_lsh_pairs", "doc_token_stats", "doc_admission",
+                 "ann_topk_brute"]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)

@@ -300,7 +300,9 @@ class DedupPipeline:
         # metrics + lineage tables (the reference's separate metadata stream)
         result = PipelineResult(tables, list(self._stages))
         if self.work_dir:
+            t_fin = time.monotonic()
             bucket_row = [r.asDict() for r in bucket_stats.collect()]
+            t_bucket = time.monotonic()
             metrics = {
                 "config_hash": cfg.config_hash(),
                 "stages": result.metrics_rows(),
@@ -319,12 +321,20 @@ class DedupPipeline:
                 }
             if self.exec_plan is not None:
                 metrics["exec_plan"] = self.exec_plan.as_dict()
-            with open(os.path.join(self.work_dir, "metrics.json"), "w") as f:
-                json.dump(metrics, f, indent=2, default=str)
+            t_stats = time.monotonic()
             lineage = self.lineage("signatures", sig, ["conv_id", "content_hash"]).unionByName(
                 self.lineage("clusters", clusters, ["conv_id", "cluster_id"])
             )
             lineage.write.mode("overwrite").parquet(os.path.join(self.work_dir, "lineage"))
+            # serial driver overhead is Amdahl fraction at N->4N; keep it
+            # visible so regressions show up in metrics, not just wall clock
+            metrics["finalize_seconds"] = {
+                "bucket_stats": round(t_bucket - t_fin, 3),
+                "substring_stats_and_tiers": round(t_stats - t_bucket, 3),
+                "lineage": round(time.monotonic() - t_stats, 3),
+            }
+            with open(os.path.join(self.work_dir, "metrics.json"), "w") as f:
+                json.dump(metrics, f, indent=2, default=str)
         return result
 
 
