@@ -123,6 +123,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sig = _pipeline_tables(spark, sf_dir)["signatures"]
         return simhash_candidate_pairs(sig, CFG, max_hamming=6)
 
+    def tr_turn_dedup_index(spark, sf_dir):
+        from pcompress_spark.operators.turns import turn_dedup_index
+        return turn_dedup_index(load_transcripts(spark, sf_dir))
+
+    def tr_turn_dedup_stats(spark, sf_dir):
+        from pcompress_spark.operators.turns import turn_dedup_stats
+        return turn_dedup_stats(load_transcripts(spark, sf_dir))
+
+    q["tr_turn_dedup_index"] = tr_turn_dedup_index
+    q["tr_turn_dedup_stats"] = tr_turn_dedup_stats
     q["tr_simhash_pairs"] = tr_simhash_pairs
     q["tr_assemble"] = tr_assemble
     q["tr_turns_fidelity"] = tr_turns_fidelity
@@ -414,6 +424,46 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT content_hash, count(*)::BIGINT AS n_dups, min(conv_id) AS rep_conv_id
         FROM docs GROUP BY content_hash HAVING count(*) > 1
+    """
+    # turn-level dedup index: block-granularity literal/backward-ref analog
+    # (reference rabin_dedup.h:116-134); min_chars=16 is the min-block floor.
+    _turn_h = f"""
+        SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+               sha256({_NORM.format(x='text')}) AS th,
+               length({_NORM.format(x='text')})::BIGINT AS n_chars
+        FROM read_parquet('{tr}')
+    """
+    _turn_idx_sql = f"""
+        WITH h AS ({_turn_h}),
+        elig AS (SELECT * FROM h WHERE n_chars >= 16),
+        firsts AS (
+            SELECT th, conv_id AS f_conv, turn_idx AS f_turn
+            FROM (SELECT th, conv_id, turn_idx,
+                         row_number() OVER (PARTITION BY th
+                                            ORDER BY conv_id, turn_idx) AS rn
+                  FROM elig) WHERE rn = 1
+        )
+        SELECT e.conv_id, e.turn_idx,
+               CASE WHEN e.conv_id = f.f_conv AND e.turn_idx = f.f_turn
+                    THEN 'literal' ELSE 'ref' END AS kind,
+               f.f_conv AS src_conv_id, f.f_turn AS src_turn_idx, e.n_chars
+        FROM elig e JOIN firsts f USING (th)
+        UNION ALL
+        SELECT conv_id, turn_idx, 'literal' AS kind,
+               conv_id AS src_conv_id, turn_idx AS src_turn_idx, n_chars
+        FROM h WHERE n_chars < 16
+    """
+    o["tr_turn_dedup_index"] = _turn_idx_sql
+    o["tr_turn_dedup_stats"] = f"""
+        WITH idx AS ({_turn_idx_sql})
+        SELECT count(*)::BIGINT AS n_turns,
+               sum((kind = 'literal')::BIGINT)::BIGINT AS n_literal,
+               sum((kind = 'ref')::BIGINT)::BIGINT AS n_ref,
+               sum(n_chars)::BIGINT AS total_chars,
+               sum(CASE WHEN kind = 'ref' THEN n_chars ELSE 0 END)::BIGINT AS ref_chars,
+               round(sum(CASE WHEN kind = 'ref' THEN n_chars ELSE 0 END)::DOUBLE
+                     / greatest(sum(n_chars), 1), 6) AS savings_ratio
+        FROM idx
     """
     o["tr_exact_dedup_reps"] = f"""
         WITH docs AS (

@@ -1,0 +1,63 @@
+"""Turn-level dedup index (block-granularity literal/backward-ref analog)."""
+
+import datetime
+
+from pcompress_spark.operators.turns import turn_dedup_index, turn_dedup_stats
+
+
+def _mk(spark, rows):
+    ts = datetime.datetime(2025, 1, 1)
+    return spark.createDataFrame(
+        [(c, i, "user", t, "", ts) for (c, i, t) in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_turn_index_refs_point_backward(spark):
+    df = _mk(
+        spark,
+        [
+            ("c1", 0, "Hello there, how can I help you today?"),
+            ("c1", 1, "please refactor the billing module now"),
+            ("c2", 0, "hello THERE -- how can I help you, today"),  # same normalized
+            ("c2", 1, "a genuinely unique turn about gardening tips"),
+            ("c3", 0, "ok"),  # below min_chars floor -> always literal
+        ],
+    )
+    out = {(r.conv_id, r.turn_idx): r for r in turn_dedup_index(df).collect()}
+    assert len(out) == 5
+    first = out[("c1", 0)]
+    assert first.kind == "literal"
+    assert (first.src_conv_id, first.src_turn_idx) == ("c1", 0)
+    dup = out[("c2", 0)]
+    assert dup.kind == "ref"
+    assert (dup.src_conv_id, dup.src_turn_idx) == ("c1", 0)
+    short = out[("c3", 0)]
+    assert short.kind == "literal" and short.n_chars < 16
+    # every ref points at a literal that exists, strictly earlier in
+    # (conv_id, turn_idx) order — the backward-ref invariant
+    for r in out.values():
+        src = out[(r.src_conv_id, r.src_turn_idx)]
+        assert src.kind == "literal"
+        if r.kind == "ref":
+            assert (r.src_conv_id, r.src_turn_idx) < (r.conv_id, r.turn_idx)
+
+
+def test_turn_index_order_invariant(spark, smoke_transcripts):
+    base = turn_dedup_index(smoke_transcripts)
+    shuffled = turn_dedup_index(
+        smoke_transcripts.orderBy("text").repartition(5)
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, shuffled.collect()))
+
+
+def test_turn_stats_consistent_with_index(spark, smoke_transcripts):
+    idx = turn_dedup_index(smoke_transcripts).collect()
+    st = turn_dedup_stats(smoke_transcripts).collect()[0]
+    assert st.n_turns == len(idx)
+    assert st.n_ref == sum(1 for r in idx if r.kind == "ref")
+    assert st.n_literal + st.n_ref == st.n_turns
+    assert st.ref_chars == sum(r.n_chars for r in idx if r.kind == "ref")
+    assert 0.0 <= st.savings_ratio <= 1.0
+    # the smoke corpus plants exact-dup conversations, so turn-level refs exist
+    assert st.n_ref > 0
