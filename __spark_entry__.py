@@ -224,9 +224,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = load_table(spark, sf_dir, "embeddings")
         return similarity.ivf_topk(emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
 
+    def ann_recall_report(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.ann_recall_report(
+            emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
     q["ann_topk_brute"] = ann_topk_brute
     q["ann_topk_lsh"] = ann_topk_lsh
     q["ann_topk_ivf"] = ann_topk_ivf
+    q["ann_recall_report"] = ann_recall_report
 
     # ---- multimodal plumbing (binary payload -> content hash + feature;
     # real in-tree PNM + WAV decoders, real JPEG header parse (SOI/SOF
@@ -740,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
     o["tr_tier_attribution"] = oq.tr_tier_attribution_sql(tr, CFG)
     o["ann_topk_lsh"] = oq.ann_lsh_sql(k=5)
     o["ann_topk_ivf"] = oq.ann_ivf_sql(k=5)
+    o["ann_recall_report"] = oq.ann_recall_sql(k=5)
     o["multimodal_features"] = oq.multimodal_sql(media_fixture_path(n=64, seed=42))
 
     # ---- provenance (multi-source union) ----

@@ -216,3 +216,44 @@ def hyperplane_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ann_recall_report(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Recall@k of each approximate method vs the brute-force truth — the
+    similarity-search analog of doc_dedup.recall_report (the north rule's
+    headline recall metric, applied to the ANN channel). Two rows:
+    (method 'lsh'|'ivf', k, n_truth, n_found, recall).
+
+    The truth set (brute top-k over the query sample) is computed once and
+    persisted across the two method joins; each method's found set joins it
+    on (query_id, neighbor_id) — count-only aggregates, so the report costs
+    one corpus pass per method plus two tiny joins, never a second
+    quadratic pass.
+    """
+    truth = (
+        cosine_topk_bruteforce(emb, queries, k=k)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+
+    def one(method: str, found: DataFrame) -> DataFrame:
+        return (
+            found.select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+            .crossJoin(n_truth)
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(k).cast("long").alias("k"),
+                "n_truth",
+                "n_found",
+                F.round(
+                    F.col("n_found") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+                ).alias("recall"),
+            )
+        )
+
+    return one("lsh", hyperplane_lsh_topk(emb, queries, k=k)).unionByName(
+        one("ivf", ivf_topk(emb, queries, k=k))
+    )

@@ -936,12 +936,14 @@ def _dot(a: str, b: str, dim: int) -> str:
         xs=f"list_transform(range(1, {dim} + 1), i -> {a}[i] * {b}[i])")
 
 
-def ann_lsh_sql(k: int = 5, n_planes: int = 6, n_tables: int = 8,
-                dim: int = 64, seed: int = 42) -> str:
+def _ann_lsh_parts(k: int = 5, n_planes: int = 6, n_tables: int = 8,
+                   dim: int = 64, seed: int = 42) -> tuple[list[str], str]:
+    """(setup statements, final SELECT) for the hyperplane-LSH top-k twin —
+    split so ann_recall_sql can stage the SELECT into a TEMP TABLE."""
     c = (seed * 0x9E37) % osql.M64
     total = n_tables * n_planes * dim
     dot = _dot("n.v", "pl.coefs", dim)
-    return _script(
+    stmts = [
         f"""
 CREATE OR REPLACE TEMP TABLE planes AS
 WITH pe_ AS ({osql.smix_chain(['idx'], f'(idx + {c}{_H}) % {osql.M64}{_H}', 'u',
@@ -958,7 +960,8 @@ SELECT n.vec_id, pl.t,
        sum(CASE WHEN {dot} >= 0 THEN (1 << pl.p) ELSE 0 END)::BIGINT AS bucket
 FROM nrm n CROSS JOIN planes pl
 GROUP BY n.vec_id, pl.t;""",
-        f"""
+    ]
+    final = f"""
 WITH qids_ AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0),
 cand_ AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
           FROM sigs q JOIN qids_ USING (vec_id)
@@ -974,13 +977,20 @@ scored_ AS (SELECT cd.query_id, cd.neighbor_id,
 SELECT query_id, neighbor_id, cosine,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
-FROM scored_ QUALIFY rank <= {k}""",
-    )
+FROM scored_ QUALIFY rank <= {k}"""
+    return stmts, final
 
 
-def ann_ivf_sql(k: int = 5, n_cells: int = 16, n_probe: int = 4,
-                dim: int = 64) -> str:
-    return _script(
+def ann_lsh_sql(k: int = 5, n_planes: int = 6, n_tables: int = 8,
+                dim: int = 64, seed: int = 42) -> str:
+    stmts, final = _ann_lsh_parts(k, n_planes, n_tables, dim, seed)
+    return _script(*stmts, final)
+
+
+def _ann_ivf_parts(k: int = 5, n_cells: int = 16, n_probe: int = 4,
+                   dim: int = 64) -> tuple[list[str], str]:
+    """(setup statements, final SELECT) for the IVF top-k twin."""
+    stmts = [
         _emb_norm_stmt(),
         f"""
 CREATE OR REPLACE TEMP TABLE anchors AS
@@ -1001,7 +1011,8 @@ SELECT vec_id, cell,
        row_number() OVER (PARTITION BY vec_id
                           ORDER BY score DESC, cell DESC) AS rc
 FROM cellscore_;""",
-        f"""
+    ]
+    final = f"""
 WITH corpus_ AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rc = 1),
 probes_ AS (SELECT r.vec_id AS query_id, r.cell
             FROM ranked r
@@ -1021,7 +1032,55 @@ scored_ AS (SELECT cd.query_id, cd.neighbor_id,
 SELECT query_id, neighbor_id, cosine,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
-FROM scored_ QUALIFY rank <= {k}""",
+FROM scored_ QUALIFY rank <= {k}"""
+    return stmts, final
+
+
+def ann_ivf_sql(k: int = 5, n_cells: int = 16, n_probe: int = 4,
+                dim: int = 64) -> str:
+    stmts, final = _ann_ivf_parts(k, n_cells, n_probe, dim)
+    return _script(*stmts, final)
+
+
+def ann_recall_sql(k: int = 5, dim: int = 64) -> str:
+    """Twin for similarity.ann_recall_report: recall@k of each approximate
+    method (hyperplane LSH, IVF) against the brute-force cosine top-k truth
+    over the same % 100 = 0 query sample — two rows
+    (method, k, n_truth, n_found, recall). Every heavy level is staged in a
+    TEMP TABLE (plain CTEs re-expand in DuckDB)."""
+    lsh_stmts, lsh_final = _ann_lsh_parts(k=k, dim=dim)
+    ivf_stmts, ivf_final = _ann_ivf_parts(k=k, dim=dim)
+    brute = f"""
+CREATE OR REPLACE TEMP TABLE bruteres AS
+WITH q_ AS (SELECT vec_id, v, nv FROM nrm WHERE vec_id % 100 = 0),
+scored_ AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(CASE WHEN q.nv > 0 AND c.nv > 0
+                         THEN {_dot("q.v", "c.v", dim)} / (q.nv * c.nv)
+                         ELSE 0.0 END, 6) AS cosine
+            FROM nrm c, q_ q WHERE q.vec_id != c.vec_id)
+SELECT query_id, neighbor_id
+FROM (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored_) WHERE rank <= {k};"""
+    rec = ("round(n_found::DOUBLE / greatest(n_truth, 1), 6)")
+    return _script(
+        *lsh_stmts,
+        f"CREATE OR REPLACE TEMP TABLE lshres AS {lsh_final};",
+        *ivf_stmts,
+        f"CREATE OR REPLACE TEMP TABLE ivfres AS {ivf_final};",
+        brute,
+        f"""
+WITH nt AS (SELECT count(*)::BIGINT AS n_truth FROM bruteres),
+l AS (SELECT count(*)::BIGINT AS n_found
+      FROM bruteres t JOIN lshres f USING (query_id, neighbor_id)),
+v AS (SELECT count(*)::BIGINT AS n_found
+      FROM bruteres t JOIN ivfres f USING (query_id, neighbor_id))
+SELECT 'lsh' AS method, {k}::BIGINT AS k, nt.n_truth, l.n_found,
+       {rec} AS recall FROM nt, l
+UNION ALL
+SELECT 'ivf' AS method, {k}::BIGINT AS k, nt.n_truth, v.n_found,
+       {rec} AS recall FROM nt, v""",
     )
 
 

@@ -238,3 +238,23 @@ def test_recall_report_meets_north_rule(spark, docs):
     row = doc_dedup.recall_report(docs).collect()[0]
     assert row.n_truth > 0, "fixture must contain strong truth pairs"
     assert row.recall >= 0.99, (row.n_found, row.n_truth)
+
+
+def test_ann_recall_report_consistent_with_sets(spark, emb):
+    """The report's counts must equal the set intersections of the
+    underlying method results, and recall stays in [0, 1]."""
+    from pyspark.sql import functions as F
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    rep = {r.method: r for r in similarity.ann_recall_report(emb, q, k=5).collect()}
+    assert set(rep) == {"lsh", "ivf"}
+    brute = similarity.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    bset = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+    for method, fn in (("lsh", similarity.hyperplane_lsh_topk),
+                       ("ivf", similarity.ivf_topk)):
+        found = fn(emb, q, k=5).toPandas()
+        fset = {(r.query_id, r.neighbor_id) for r in found.itertuples()}
+        row = rep[method]
+        assert row.n_truth == len(bset)
+        assert row.n_found == len(bset & fset)
+        assert 0.0 <= row.recall <= 1.0
+        assert row.k == 5
