@@ -51,6 +51,8 @@ def main() -> None:
     tier_df = entry.queries()["tr_tier_attribution"](spark, SF)
     doc_sub_df = entry.queries()["doc_substring_pairs"](spark, SF)
     inc_pairs_df = entry.queries()["doc_incremental_pairs"](spark, SF)
+    turn_idx_df = entry.queries()["tr_turn_dedup_index"](spark, SF)
+    ann_recall_df = entry.queries()["ann_recall_report"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -74,6 +76,10 @@ def main() -> None:
             doc_sub_df,
         "incremental delta-vs-corpus pairs (broadcast touched-bucket semi-join)":
             inc_pairs_df,
+        "turn-level dedup index (single hash shuffle, JVM-only, no UDF)":
+            turn_idx_df,
+        "ANN recall report (brute truth persisted, count-only method joins)":
+            ann_recall_df,
     }
 
     checks: list[str] = []
@@ -147,6 +153,21 @@ def main() -> None:
             if "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
             else f"FAIL {name}: quadratic join stage in plan"
         )
+
+    turn_plan = plan_of(turn_idx_df)
+    n_turn_exch = turn_plan.count("Arguments: hashpartitioning")
+    checks.append(
+        f"OK turn_dedup_index: JVM-only ({n_turn_exch} hash exchange, no Python UDF)"
+        if "MapInPandas" not in turn_plan and "BatchEvalPython" not in turn_plan
+        and n_turn_exch <= 1
+        else "FAIL turn_dedup_index: Python UDF or extra shuffles in plan"
+    )
+    ann_plan = plan_of(ann_recall_df)
+    checks.append(
+        "OK ann_recall_report: query side broadcast, no cartesian stage"
+        if "BroadcastHashJoin" in ann_plan and "CartesianProduct" not in ann_plan
+        else "FAIL ann_recall_report: missing broadcast or quadratic stage"
+    )
 
     out.append("## Plan-quality checks\n")
     out.extend(f"- {c}" for c in checks)
