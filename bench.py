@@ -80,10 +80,17 @@ def main() -> None:
     qs = entry.queries()
     for name in ["q1_pricing_summary", "q5_nation_revenue", "events_sessionize",
                  "doc_minhash_lsh_pairs", "doc_token_stats", "doc_admission",
-                 "ann_topk_brute"]:
+                 "ann_topk_brute", "ann_recall_report"]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
+
+    # turn-level dedup on the FULL bench corpus (3.3M turns) — the JVM-only
+    # block-granularity channel, timed at the same scale as the pipeline
+    from pcompress_spark.operators.turns import turn_dedup_stats
+    t0 = time.monotonic()
+    turn_dedup_stats(tdf).collect()
+    timings["tr_turn_dedup_stats"] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

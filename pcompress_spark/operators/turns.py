@@ -48,39 +48,56 @@ def turn_dedup_index(transcripts: DataFrame, min_chars: int = 16) -> DataFrame:
     file-offset order (earlier offset wins the index slot,
     /root/reference/rabin/global/index.c:286-323).
     """
+    # norm is projected once so the sha2/length pair shares one regexp pass
+    # (codegen subexpression elimination); a single LEFT join replaces a
+    # union-of-branches so the (scan -> normalize -> hash) work runs exactly
+    # twice (build + probe), not once per branch. Below-floor turns can
+    # never collide with an eligible turn_hash (same hash => same text =>
+    # same length), so their join miss is structural, and coalesce routes
+    # them to the literal self-reference.
     h = transcripts.select(
         "conv_id",
         F.col("turn_idx").cast("long").alias("turn_idx"),
-        F.sha2(norm_text_col(F.col("text")), 256).alias("turn_hash"),
-        F.length(norm_text_col(F.col("text"))).cast("long").alias("n_chars"),
+        norm_text_col(F.col("text")).alias("norm"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.sha2("norm", 256).alias("turn_hash"),
+        F.length("norm").cast("long").alias("n_chars"),
     )
-    elig = h.where(F.col("n_chars") >= min_chars)
-    firsts = elig.groupBy("turn_hash").agg(
-        F.min(F.struct("conv_id", "turn_idx")).alias("src")
+    # min over a packed "conv_id \x01 zero-padded-turn" string instead of
+    # min(struct(...)): struct min falls back to interpreted ordering in the
+    # aggregate (~3x slower here); the packed key keeps the agg in codegen.
+    # \x01 sorts below every printable character, so packed order equals
+    # tuple order for any printable conv_id (incl. a prefix of another) and
+    # non-negative turn_idx up to 12 digits — both are table invariants.
+    packed = F.concat(
+        "conv_id", F.lit("\x01"), F.lpad(F.col("turn_idx").cast("string"), 12, "0")
     )
-    deduped = elig.join(firsts, "turn_hash").select(
+    firsts = (
+        h.where(F.col("n_chars") >= min_chars)
+        .groupBy("turn_hash")
+        .agg(F.min(packed).alias("src_key"))
+        .select(
+            "turn_hash",
+            F.substring_index("src_key", "\x01", 1).alias("f_conv"),
+            F.substring_index("src_key", "\x01", -1).cast("long").alias("f_turn"),
+        )
+    )
+    return h.join(firsts, "turn_hash", "left").select(
         "conv_id",
         "turn_idx",
         F.when(
-            (F.col("conv_id") == F.col("src.conv_id"))
-            & (F.col("turn_idx") == F.col("src.turn_idx")),
+            F.col("f_conv").isNull()
+            | ((F.col("conv_id") == F.col("f_conv")) & (F.col("turn_idx") == F.col("f_turn"))),
             F.lit("literal"),
         )
         .otherwise(F.lit("ref"))
         .alias("kind"),
-        F.col("src.conv_id").alias("src_conv_id"),
-        F.col("src.turn_idx").alias("src_turn_idx"),
+        F.coalesce(F.col("f_conv"), F.col("conv_id")).alias("src_conv_id"),
+        F.coalesce(F.col("f_turn"), F.col("turn_idx")).alias("src_turn_idx"),
         "n_chars",
     )
-    short = h.where(F.col("n_chars") < min_chars).select(
-        "conv_id",
-        "turn_idx",
-        F.lit("literal").alias("kind"),
-        F.col("conv_id").alias("src_conv_id"),
-        F.col("turn_idx").alias("src_turn_idx"),
-        "n_chars",
-    )
-    return deduped.unionByName(short)
 
 
 def turn_dedup_stats(transcripts: DataFrame, min_chars: int = 16) -> DataFrame:
