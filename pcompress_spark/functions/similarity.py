@@ -1,12 +1,25 @@
-"""Similarity search over embedding columns: brute-force cosine top-k and a
-hyperplane-LSH bucketed approximate variant.
+"""Similarity search over embedding columns: brute-force cosine top-k,
+a hyperplane-LSH bucketed approximate variant, and an IVF-flat variant.
 
 No direct reference analog (pcompress has no vector search); this is the
 training-data-pipeline extension mandated by the build brief. Semantics:
-all similarity math in JVM double arithmetic (zip_with/aggregate,
-left-to-right sums — bit-reproducible); ordering is made deterministic by
-rounding the score and tie-breaking on vec_id, so results are stable across
-partitionings and match the SQL oracle exactly.
+all similarity math is float64 with LEFT-TO-RIGHT accumulation across
+dimensions (kernels.fold_dot — vectorized across rows in Arrow batches,
+but the per-row operation sequence is identical to the Catalyst
+``aggregate(zip_with(...))`` fold it replaced and to the DuckDB oracle's
+``list_reduce`` fold, so scores are bit-reproducible, not merely close).
+Ordering is made deterministic by rounding the score (JVM ``round``,
+HALF_UP — kept out of the kernels so engine and oracle rounding rules
+stay the single pair already proven equal) and tie-breaking on vec_id, so
+results are stable across partitionings and match the SQL oracle exactly.
+
+Why kernels and not JVM expressions: per-row ``aggregate``/``zip_with``
+higher-order functions are interpreted (never whole-stage codegen), and
+unrolling them per hyperplane inlines n_tables*n_planes*dim literals into
+the plan — at the previous 8x6x64 that was ~3k literal leaves, dominating
+both analysis time and per-row cost. One Arrow batch through numpy does
+the same math at memory bandwidth; all mapInPandas UDFs are wrapped in
+kernels.trim_after (worker arena hygiene, see kernels.trim_memory).
 """
 
 from __future__ import annotations
@@ -15,25 +28,90 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import kernels
 from ..kernels import splitmix64
 
 
-def _with_norm(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    return emb.select(
-        F.col(id_col), F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn(
-        "norm",
-        F.sqrt(
-            F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0),
-                        lambda acc, x: acc + x)
-        ),
+def _stack64(series) -> np.ndarray:
+    """pd.Series of float arrays -> (n, dim) float64 (the widening cast is
+    exact, same as the JVM array<float> -> array<double> cast)."""
+    return np.stack(series.to_numpy()).astype(np.float64)
+
+
+def _prep(emb: DataFrame, planes: np.ndarray | None = None) -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, v array<double>, norm double
+    [, buckets array<bigint>]) in one map-only Arrow pass.
+
+    norm is the left-fold sum of squares (kernels.fold_norm); buckets[t]
+    is the n_planes-bit hyperplane sign signature for table t
+    (kernels.lsh_bucket_matrix) when ``planes`` is given.
+    """
+    schema = "vec_id bigint, v array<double>, norm double"
+    if planes is not None:
+        schema += ", buckets array<bigint>"
+    pl = planes
+
+    @kernels.trim_after
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _stack64(pdf["embedding"])
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "v": list(V),
+                "norm": kernels.fold_norm(V),
+            }
+            if pl is not None:
+                out["buckets"] = list(kernels.lsh_bucket_matrix(V, pl))
+            yield pd.DataFrame(out)
+
+    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+
+
+def _score_pairs(cand: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, vq, nq, vc, nc) -> (query_id, neighbor_id,
+    cosine) — raw (unrounded) cosine; callers apply the JVM round(.., 6).
+    ``cosine = dot / (nq * nc)`` when both norms > 0 else 0.0, the same
+    expression tree as the previous per-pair Catalyst fold."""
+
+    @kernels.trim_after
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _stack64(pdf["vq"])
+            B = _stack64(pdf["vc"])
+            na = pdf["nq"].to_numpy(dtype=np.float64)
+            nb = pdf["nc"].to_numpy(dtype=np.float64)
+            dot = kernels.fold_dot(A, B)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where((na > 0) & (nb > 0), dot / (na * nb), 0.0)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    return cand.select("query_id", "neighbor_id", "vq", "nq", "vc", "nc").mapInPandas(
+        gen, "query_id bigint, neighbor_id bigint, cosine double"
     )
 
 
-def _cosine(va, vb, na, nb):
-    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0),
-                      lambda acc, x: acc + x)
-    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def cosine_topk_bruteforce(
@@ -44,24 +122,13 @@ def cosine_topk_bruteforce(
     the (small) query set against the corpus — one pass over the corpus, no
     quadratic shuffle; this is the exact baseline the ANN path is judged
     against. Returns (query_id, neighbor_id, cosine, rank)."""
-    c = _with_norm(emb).select(F.col("vec_id").alias("neighbor_id"),
-                               F.col("v").alias("vc"), F.col("norm").alias("nc"))
-    q = _with_norm(queries).select(F.col("vec_id").alias("query_id"),
-                                   F.col("v").alias("vq"), F.col("norm").alias("nq"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine(F.col("vq"), F.col("vc"), F.col("nq"), F.col("nc")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    c = _prep(emb).select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("v").alias("vc"), F.col("norm").alias("nc"))
+    q = _prep(queries).select(F.col("vec_id").alias("query_id"),
+                              F.col("v").alias("vq"), F.col("norm").alias("nq"))
+    cand = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = _score_pairs(cand).withColumn("cosine", F.round("cosine", 6))
+    return _topk(scored, k)
 
 
 def ivf_topk(
@@ -76,75 +143,105 @@ def ivf_topk(
 
     Scale shape: cell anchors are a tiny deterministic sample collected to
     the driver (n_cells x dim floats — the only driver-side data) and
-    re-distributed as a BROADCAST-JOINED DataFrame, never as plan-literal
-    arrays (a literal anchor array inlines n_cells x dim constants into
-    every scoring expression and blows up plan/codegen size from a few
-    thousand cells). Cell assignment is corpus x broadcast(anchors) ->
-    score -> max_by partial aggregate: the n_cells-way expansion lives only
-    inside one whole-stage-codegen pipeline, and the shuffle after the
-    map-side combine carries exactly one row per corpus vector. The probe
-    is a hash join on cell_id; each query touches ~n_probe/n_cells of the
-    corpus. Recall/cost tunes with n_probe.
+    shipped to the assignment kernel as a closure ndarray (never
+    plan-literal arrays: a literal anchor array inlines n_cells x dim
+    constants into every scoring expression and blows up plan/codegen size
+    from a few thousand cells). Cell assignment and probe selection are
+    MAP-ONLY — the n_cells-way score expansion lives inside one numpy batch
+    and one row per corpus vector (resp. n_probe per query) comes out; no
+    shuffle until the cell hash join. Each query touches ~n_probe/n_cells
+    of the corpus. Recall/cost tunes with n_probe.
     """
-    withn = _with_norm(emb)
+    prepped = _prep(emb)
     # deterministic anchors: the n_cells corpus vectors with smallest
     # xxhash64(vec_id) — content-independent, seed-stable sample
     anchor_rows = (
-        withn.withColumn(
-            "rk", F.xxhash64(F.col("vec_id"))
-        ).orderBy("rk").limit(n_cells).select("v", "norm").collect()
+        prepped.withColumn("rk", F.xxhash64(F.col("vec_id")))
+        .orderBy("rk").limit(n_cells).select("v", "norm").collect()
     )
-    anchors = emb.sparkSession.createDataFrame(
-        [(i, [float(x) for x in r["v"]], float(r["norm"]))
-         for i, r in enumerate(anchor_rows)],
-        "cell int, av array<double>, an double",
-    )
-    # cosine vs anchor; tie order (score DESC, cell DESC) matches the
-    # previous literal-array implementation (reverse of an ascending
-    # (score, cell) struct sort) and the SQL oracle
-    anchor_score = F.when(
-        (F.col("an") > 0) & (F.col("norm") > 0),
-        F.aggregate(F.zip_with("v", "av", lambda x, y: x * y), F.lit(0.0),
-                    lambda acc, x: acc + x) / (F.col("an") * F.col("norm")),
-    ).otherwise(F.lit(-2.0))
+    av = np.array([r["v"] for r in anchor_rows], dtype=np.float64)
+    an = np.array([r["norm"] for r in anchor_rows], dtype=np.float64)
 
-    corpus = (
-        withn.crossJoin(F.broadcast(anchors))
-        .withColumn("score", anchor_score)
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cell", F.struct("score", "cell")).alias("cell"),
-            F.first("v").alias("vc"),
-            F.first("norm").alias("nc"),
-        )
-        .select(F.col("vec_id").alias("neighbor_id"), "vc", "nc", "cell")
+    def _cell_scores(V: np.ndarray, nv: np.ndarray) -> np.ndarray:
+        """(n, n_cells) anchor cosine; -2.0 where either norm is 0 (same
+        fallback the previous JVM CASE used, and the SQL oracle uses)."""
+        n = V.shape[0]
+        S = np.empty((n, len(av)), dtype=np.float64)
+        for c in range(len(av)):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S[:, c] = np.where(
+                    (an[c] > 0) & (nv > 0),
+                    kernels.fold_dot(V, av[c]) / (an[c] * nv),
+                    -2.0,
+                )
+        return S
+
+    @kernels.trim_after
+    def assign_gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _stack64(pdf["v"])
+            S = _cell_scores(V, pdf["norm"].to_numpy(dtype=np.float64))
+            # max_by(cell, struct(score, cell)): ties -> larger cell wins
+            best = np.zeros(len(V), dtype=np.int64)
+            best_s = S[:, 0].copy()
+            for c in range(1, S.shape[1]):
+                upd = S[:, c] >= best_s
+                best[upd] = c
+                best_s[upd] = S[upd, c]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "v": pdf["v"],
+                 "norm": pdf["norm"].to_numpy(), "cell": best}
+            )
+
+    np_probe = n_probe
+
+    @kernels.trim_after
+    def probe_gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _stack64(pdf["v"])
+            S = _cell_scores(V, pdf["norm"].to_numpy(dtype=np.float64))
+            n, C = S.shape
+            cells2d = np.broadcast_to(np.arange(C, dtype=np.int64), (n, C))
+            # primary: score DESC; tie: cell DESC (matches the previous
+            # row_number window and the SQL oracle)
+            order = np.lexsort((-cells2d, -S))[:, :np_probe]
+            rep = np.repeat(pdf["vec_id"].to_numpy(), order.shape[1])
+            rv = [v for v, row in zip(pdf["v"], order) for _ in row]
+            rn = np.repeat(pdf["norm"].to_numpy(), order.shape[1])
+            yield pd.DataFrame(
+                {"vec_id": rep, "v": rv, "norm": rn,
+                 "cell": np.take_along_axis(cells2d, order, 1).ravel()}
+            )
+
+    row_schema = "vec_id bigint, v array<double>, norm double, cell bigint"
+    corpus = prepped.mapInPandas(assign_gen, row_schema).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vc"),
+        F.col("norm").alias("nc"), "cell",
     )
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.desc("cell"))
     probes = (
-        withn.join(queries.select("vec_id"), "vec_id")
-        .crossJoin(F.broadcast(anchors))
-        .withColumn("score", anchor_score)
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= n_probe)
-        .select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
-            F.col("norm").alias("nq"), "cell",
-        )
+        prepped.join(queries.select("vec_id"), "vec_id")
+        .mapInPandas(probe_gen, row_schema)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
+                F.col("norm").alias("nq"), "cell")
     )
     cand = (
         corpus.join(F.broadcast(probes), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        F.round(_cosine(F.col("vq"), F.col("vc"), F.col("nq"), F.col("nc")), 6).alias("cosine"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    scored = (
+        _score_pairs(cand)
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round("cosine", 6))
     )
+    return _topk(scored, k)
 
 
 def hyperplane_lsh_topk(
@@ -161,9 +258,11 @@ def hyperplane_lsh_topk(
     Each of ``n_tables`` hash tables buckets vectors by an ``n_planes``-bit
     signature (sign pattern against seed-fixed random hyperplanes). Query
     vectors probe their buckets; candidates are scored exactly and top-k
-    selected. Scale path: corpus is hashed ONCE (map-only), the join is on
-    (table_id, bucket) — the quadratic scan is replaced by bucket-local
-    work, same shape as the text LSH. Recall tunes with n_planes/n_tables.
+    selected. Scale path: corpus is hashed ONCE (map-only Arrow batch —
+    all n_tables * n_planes sign bits in one numpy pass, no per-plane
+    expression unrolling), the join is on (table_id, bucket) — the
+    quadratic scan is replaced by bucket-local work, same shape as the
+    text LSH. Recall tunes with n_planes/n_tables.
 
     Hyperplanes are derived deterministically from the seed via splitmix64
     -> uniform(-1,1) — identical across runs/partitions.
@@ -172,50 +271,26 @@ def hyperplane_lsh_topk(
     u = splitmix64(rng_idx + np.uint64(seed) * np.uint64(0x9E37)).astype(np.float64)
     planes = (u / 2**63 - 1.0).reshape(n_tables, n_planes, dim)  # uniform[-1,1)
 
-    def sig_expr(vcol: str):
-        # bucket bits per table, computed with JVM expressions
-        table_sigs = []
-        for t in range(n_tables):
-            bits = []
-            for p in range(n_planes):
-                coeffs = F.array([F.lit(float(c)) for c in planes[t, p]])
-                dot = F.aggregate(
-                    F.zip_with(F.col(vcol), coeffs, lambda x, y: x * y),
-                    F.lit(0.0), lambda acc, x: acc + x,
-                )
-                bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-            sig = bits[0]
-            for bb in bits[1:]:
-                sig = sig + bb
-            table_sigs.append(F.struct(F.lit(t).alias("table_id"), sig.alias("bucket")))
-        return F.array(*table_sigs)
+    def banded(df: DataFrame, id_alias: str, v_alias: str, n_alias: str) -> DataFrame:
+        return (
+            _prep(df, planes=planes)
+            .select(
+                F.col("vec_id").alias(id_alias), F.col("v").alias(v_alias),
+                F.col("norm").alias(n_alias),
+                F.posexplode("buckets").alias("table_id", "bucket"),
+            )
+        )
 
-    c = _with_norm(emb).withColumn("tables", sig_expr("v"))
-    q = _with_norm(queries).withColumn("tables", sig_expr("v"))
-    c_b = c.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vc"),
-        F.col("norm").alias("nc"), F.explode("tables").alias("tb")
-    ).select("neighbor_id", "vc", "nc", "tb.table_id", "tb.bucket")
-    q_b = q.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
-        F.col("norm").alias("nq"), F.explode("tables").alias("tb")
-    ).select("query_id", "vq", "nq", "tb.table_id", "tb.bucket")
+    c_b = banded(emb, "neighbor_id", "vc", "nc")
+    q_b = banded(queries, "query_id", "vq", "nq")
     cand = (
         c_b.join(F.broadcast(q_b), ["table_id", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "vq", "nq", "vc", "nc")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        F.round(_cosine(F.col("vq"), F.col("vc"), F.col("nq"), F.col("nc")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    scored = _score_pairs(cand).withColumn("cosine", F.round("cosine", 6))
+    return _topk(scored, k)
 
 
 def ann_recall_report(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:

@@ -864,3 +864,45 @@ def minhash_est(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 def hamming64(a: int, b: int) -> int:
     return bin((int(a) & 0xFFFFFFFFFFFFFFFF) ^ (int(b) & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+
+def fold_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Left-fold float64 dot product, vectorized across rows.
+
+    Accumulates ``acc = (acc + A[:, d] * B[d])`` for d = 0..dim-1 — the
+    exact IEEE-754 operation sequence of the Catalyst
+    ``aggregate(zip_with(a, b, *), 0.0, acc + x)`` fold and the DuckDB
+    oracle's ``list_reduce(list_prepend(0.0, ...), (a, x) -> a + x)``
+    (oracle_queries._FOLD_SUM), so results are bit-identical to the
+    JVM-expression path it replaces, not merely close. B may be one vector
+    (dim,) or a per-row matrix with A's shape.
+    """
+    n, dim = A.shape
+    acc = np.zeros(n, dtype=np.float64)
+    if B.ndim == 1:
+        for d in range(dim):
+            acc = acc + A[:, d] * B[d]
+    else:
+        for d in range(dim):
+            acc = acc + A[:, d] * B[:, d]
+    return acc
+
+
+def fold_norm(A: np.ndarray) -> np.ndarray:
+    """sqrt of the left-fold sum of squares — bit-exact twin of the
+    ``sqrt(aggregate(transform(v, x*x), 0.0, acc + x))`` norm expression."""
+    return np.sqrt(fold_dot(A, A))
+
+
+def lsh_bucket_matrix(V: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Hyperplane-LSH buckets: (n, n_tables) int64 where bucket bit p of
+    table t is ``fold_dot(V, planes[t, p]) >= 0`` — sign decisions use the
+    same fold order as the JVM/DuckDB expressions (see fold_dot), so bucket
+    assignments match the SQL oracle exactly."""
+    n = V.shape[0]
+    n_tables, n_planes, _ = planes.shape
+    out = np.zeros((n, n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            out[:, t] += (fold_dot(V, planes[t, p]) >= 0).astype(np.int64) << p
+    return out
