@@ -601,26 +601,21 @@ def adaptive_k_lsh_pairs(
 def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Embedding near-dup: pairs with cosine similarity >= threshold.
     Brute-force O(n^2) form (oracle-checkable); ANN/LSH variant lives in
-    functions/similarity.py. All-JVM double arithmetic (zip_with +
-    aggregate), left-to-right summation — bit-reproducible."""
-    withn = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0),
-                           lambda acc, x: acc + x)),
-    )
-    a = withn.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"),
-                     F.col("norm").alias("na"))
-    b = withn.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"),
-                     F.col("norm").alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
-                      lambda acc, x: acc + x)
-    cos = F.when((F.col("na") > 0) & (F.col("nb") > 0),
-                 dot / (F.col("na") * F.col("nb"))).otherwise(F.lit(0.0))
+    functions/similarity.py. Scoring goes through the shared fold-exact
+    Arrow kernels (similarity._score_pairs / kernels.fold_dot):
+    left-to-right float64 summation, bit-identical to the JVM
+    zip_with+aggregate fold it replaced and to the DuckDB oracle."""
+    from .similarity import _prep, _score_pairs
+
+    withn = _prep(emb)
+    a = withn.select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
+                     F.col("norm").alias("nq"))
+    b = withn.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vc"),
+                     F.col("norm").alias("nc"))
     return (
-        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b", F.round(cos, 6).alias("cosine"))
+        _score_pairs(a.join(b, F.col("query_id") < F.col("neighbor_id")))
+        .select(F.col("query_id").alias("vec_id_a"),
+                F.col("neighbor_id").alias("vec_id_b"),
+                F.round("cosine", 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
