@@ -152,7 +152,10 @@ def ivf_topk(
     shuffle until the cell hash join. Each query touches ~n_probe/n_cells
     of the corpus. Recall/cost tunes with n_probe.
     """
-    prepped = _prep(emb)
+    # persisted: referenced three times (anchor collect, corpus cell
+    # assignment, probe side) — without it the prep UDF re-scans the corpus
+    # per reference, the same fan-out lesson as doc_dedup's signatures
+    prepped = _prep(emb).persist()
     # deterministic anchors: the n_cells corpus vectors with smallest
     # xxhash64(vec_id) — content-independent, seed-stable sample
     anchor_rows = (

@@ -189,3 +189,40 @@ def test_simhash_flat_matches_naive_majority():
             bm = np.unpackbits(seg.astype("<u8").view(np.uint8).reshape(len(seg), 8), axis=1)
             maj = (2 * bm.sum(0) >= len(seg)).astype(np.uint8)
             assert got[i] == np.packbits(maj).view("<u8")[0], (trial, i)
+
+
+def test_fold_dot_is_left_fold_exact():
+    # fold_dot's documented invariant: per row it performs EXACTLY
+    # acc = (acc + a_d * b_d) left-to-right in float64 — the operation
+    # sequence of the Catalyst aggregate(zip_with(...)) fold and the DuckDB
+    # oracle's list_reduce fold. Pinned bitwise vs a scalar reference,
+    # including a summation-order-sensitive case (pairwise/SIMD summation
+    # would diverge in the last ulps).
+    rng = np.random.default_rng(7)
+    A = rng.uniform(-1.0, 1.0, (17, 64))
+    B = rng.uniform(-1.0, 1.0, 64)
+    got_1d = K.fold_dot(A, B)
+    got_2d = K.fold_dot(A, np.broadcast_to(B, A.shape).copy())
+    for i in range(A.shape[0]):
+        acc = 0.0
+        for d in range(64):
+            acc = acc + A[i, d] * B[d]
+        assert got_1d[i] == acc  # bitwise, no tolerance
+        assert got_2d[i] == acc
+    # order sensitivity: mixed magnitudes where np.dot (pairwise) differs
+    a = np.array([[1e16, 1.0, -1e16, 1.0]])
+    b = np.ones((1, 4))
+    assert K.fold_dot(a, b)[0] == ((0.0 + 1e16) + 1.0 - 1e16) + 1.0
+    assert K.fold_norm(a)[0] == np.sqrt((((0.0 + 1e32) + 1.0) + 1e32) + 1.0)
+
+
+def test_lsh_bucket_matrix_bits():
+    V = np.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 0.0]])
+    planes = np.array([  # 1 table, 2 planes
+        [[1.0, 0.0],     # dot = v[0]
+         [-1.0, 0.0]],   # dot = -v[0]
+    ])
+    out = K.lsh_bucket_matrix(V, planes)
+    # dot >= 0 sets bit p: row0 -> bit0 only; row1 -> bit1 only;
+    # row2 (zero vector, dots exactly 0.0) -> both bits
+    assert out.tolist() == [[1], [2], [3]]
