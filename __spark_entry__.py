@@ -156,6 +156,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), k_airy=3, k_dense=5, threshold=0.3)
     q["doc_embedding_neardup"] = lambda s, d: doc_dedup.embedding_cosine_pairs(
         load_table(s, d, "embeddings"), threshold=0.4)
+    # bucketed scale path of the same question (hyperplane-LSH collision ->
+    # shared salted/capped buckets -> exact rescore); approximate recall,
+    # exact scores — the oracle reproduces bucket + cap + score bit-for-bit
+    q["doc_embedding_lsh_pairs"] = lambda s, d: similarity.embedding_lsh_pairs(
+        load_table(s, d, "embeddings"), threshold=0.4)
 
     # incremental delta-vs-corpus admission (functions/incremental.py):
     # deterministic split doc_id % 4 == 0 -> delta, rest -> corpus (the
@@ -745,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
     o["tr_substring_verified"] = oq.tr_substring_verified_sql(tr, CFG)
     o["tr_tier_attribution"] = oq.tr_tier_attribution_sql(tr, CFG)
     o["ann_topk_lsh"] = oq.ann_lsh_sql(k=5)
+    o["doc_embedding_lsh_pairs"] = oq.embedding_lsh_pairs_sql(threshold=0.4)
     o["ann_topk_ivf"] = oq.ann_ivf_sql(k=5)
     o["ann_recall_report"] = oq.ann_recall_sql(k=5)
     o["multimodal_features"] = oq.multimodal_sql(media_fixture_path(n=64, seed=42))

@@ -247,6 +247,77 @@ def ivf_topk(
     return _topk(scored, k)
 
 
+def _hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Seed-deterministic hyperplane coefficients, uniform[-1, 1), shape
+    (n_tables, n_planes, dim) — splitmix64 over a flat index, identical
+    across runs/partitions and reproduced verbatim by the DuckDB oracle."""
+    rng_idx = np.arange(n_tables * n_planes * dim, dtype=np.uint64)
+    u = splitmix64(rng_idx + np.uint64(seed) * np.uint64(0x9E37)).astype(np.float64)
+    return (u / 2**63 - 1.0).reshape(n_tables, n_planes, dim)
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    cfg=None,
+) -> DataFrame:
+    """Embedding near-dup PAIRS above a cosine threshold — the bucketed
+    scale path twin of doc_dedup.embedding_cosine_pairs (whose O(n^2)
+    self-join is the oracle-checkable brute form). Same shape as the text
+    LSH: corpus hashed once into n_tables hyperplane-sign buckets, pair
+    generation routed through THE shared salted/capped/logged
+    ``bucket_members`` (operators/candidates.py) so a degenerate bucket —
+    e.g. a spike of near-identical or zero vectors — is deterministically
+    sampled to ``cfg.bucket_cap`` members instead of exploding
+    quadratically; candidates are then scored exactly (kernels.fold_dot,
+    bit-identical to the brute path) and filtered on the rounded cosine.
+
+    Approximate by construction: a pair is emitted only if it collides in
+    at least one table, so recall < 1 vs the brute form (tunable via
+    n_planes/n_tables), but every emitted pair carries its EXACT cosine.
+    Returns (vec_id_a, vec_id_b, cosine) with vec_id_a < vec_id_b.
+    """
+    from ..config import DedupConfig
+    from ..operators.candidates import bucket_members, bucket_pairs
+
+    cfg = cfg or DedupConfig()
+    planes = _hyperplanes(n_tables, n_planes, dim, seed)
+    # persisted: referenced three times (banding + both exact-score sides)
+    prepped = _prep(emb, planes=planes).persist()
+    banded = prepped.select(
+        "vec_id", F.posexplode("buckets").alias("band_idx", "band_hash")
+    )
+    # vec_id doubles as the salt: sequential ids under pmod give the same
+    # deterministic 1-in-ceil(m/cap) sample the oracle's pymod reproduces
+    buckets, _stats = bucket_members(
+        banded, cfg, id_col="vec_id", persist_sizes=False
+    )
+    # a pair colliding in several tables appears once per table — dedupe
+    # BEFORE the vector join so each pair is scored exactly once
+    pairs = bucket_pairs(buckets, "vec_id_a", "vec_id_b").distinct()
+    a = prepped.select(F.col("vec_id").alias("vec_id_a"),
+                       F.col("v").alias("vq"), F.col("norm").alias("nq"))
+    b = prepped.select(F.col("vec_id").alias("vec_id_b"),
+                       F.col("v").alias("vc"), F.col("norm").alias("nc"))
+    cand = (
+        pairs.join(a, "vec_id_a").join(b, "vec_id_b")
+        .select(F.col("vec_id_a").alias("query_id"),
+                F.col("vec_id_b").alias("neighbor_id"),
+                "vq", "nq", "vc", "nc")
+    )
+    return (
+        _score_pairs(cand)
+        .select(F.col("query_id").alias("vec_id_a"),
+                F.col("neighbor_id").alias("vec_id_b"),
+                F.round("cosine", 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplane_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -270,9 +341,7 @@ def hyperplane_lsh_topk(
     Hyperplanes are derived deterministically from the seed via splitmix64
     -> uniform(-1,1) — identical across runs/partitions.
     """
-    rng_idx = np.arange(n_tables * n_planes * dim, dtype=np.uint64)
-    u = splitmix64(rng_idx + np.uint64(seed) * np.uint64(0x9E37)).astype(np.float64)
-    planes = (u / 2**63 - 1.0).reshape(n_tables, n_planes, dim)  # uniform[-1,1)
+    planes = _hyperplanes(n_tables, n_planes, dim, seed)
 
     def banded(df: DataFrame, id_alias: str, v_alias: str, n_alias: str) -> DataFrame:
         return (

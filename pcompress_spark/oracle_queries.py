@@ -936,14 +936,15 @@ def _dot(a: str, b: str, dim: int) -> str:
         xs=f"list_transform(range(1, {dim} + 1), i -> {a}[i] * {b}[i])")
 
 
-def _ann_lsh_parts(k: int = 5, n_planes: int = 6, n_tables: int = 8,
-                   dim: int = 64, seed: int = 42) -> tuple[list[str], str]:
-    """(setup statements, final SELECT) for the hyperplane-LSH top-k twin —
-    split so ann_recall_sql can stage the SELECT into a TEMP TABLE."""
+def _emb_lsh_sig_stmts(n_planes: int = 6, n_tables: int = 8, dim: int = 64,
+                       seed: int = 42) -> list[str]:
+    """TEMP TABLEs ``planes``, ``nrm``, ``sigs`` — the hyperplane-sign
+    bucket signatures shared by the ANN top-k twin and the embedding
+    near-dup pairs twin (similarity._hyperplanes / _prep parity)."""
     c = (seed * 0x9E37) % osql.M64
     total = n_tables * n_planes * dim
     dot = _dot("n.v", "pl.coefs", dim)
-    stmts = [
+    return [
         f"""
 CREATE OR REPLACE TEMP TABLE planes AS
 WITH pe_ AS ({osql.smix_chain(['idx'], f'(idx + {c}{_H}) % {osql.M64}{_H}', 'u',
@@ -961,6 +962,43 @@ SELECT n.vec_id, pl.t,
 FROM nrm n CROSS JOIN planes pl
 GROUP BY n.vec_id, pl.t;""",
     ]
+
+
+def embedding_lsh_pairs_sql(threshold: float = 0.4, n_planes: int = 6,
+                            n_tables: int = 8, dim: int = 64, seed: int = 42,
+                            cfg: DedupConfig | None = None) -> str:
+    """Twin for similarity.embedding_lsh_pairs: hyperplane-sign buckets ->
+    the shared salted/capped pair rule (_bucket_pair_stmt, same pymod
+    sampling the engine's bucket_members applies with vec_id as the salt)
+    -> exact cosine on the surviving pairs, filtered on the rounded value."""
+    cfg = cfg or DedupConfig()
+    bands = """
+CREATE OR REPLACE TEMP TABLE ebands AS
+SELECT vec_id AS mem, vec_id AS salt, t AS band_idx, bucket AS key
+FROM sigs;"""
+    final = f"""
+SELECT vec_id_a, vec_id_b, cosine FROM (
+    SELECT c.ma AS vec_id_a, c.mb AS vec_id_b,
+           round(CASE WHEN a.nv > 0 AND b.nv > 0
+                 THEN {_dot("a.v", "b.v", dim)} / (a.nv * b.nv)
+                 ELSE 0.0 END, 6) AS cosine
+    FROM ecand c
+    JOIN nrm a ON a.vec_id = c.ma
+    JOIN nrm b ON b.vec_id = c.mb)
+WHERE cosine >= {threshold}"""
+    return _script(
+        *_emb_lsh_sig_stmts(n_planes, n_tables, dim, seed),
+        bands,
+        _bucket_pair_stmt("ebands", cfg.bucket_cap, out="ecand"),
+        final,
+    )
+
+
+def _ann_lsh_parts(k: int = 5, n_planes: int = 6, n_tables: int = 8,
+                   dim: int = 64, seed: int = 42) -> tuple[list[str], str]:
+    """(setup statements, final SELECT) for the hyperplane-LSH top-k twin —
+    split so ann_recall_sql can stage the SELECT into a TEMP TABLE."""
+    stmts = _emb_lsh_sig_stmts(n_planes, n_tables, dim, seed)
     final = f"""
 WITH qids_ AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0),
 cand_ AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id

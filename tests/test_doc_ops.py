@@ -100,6 +100,24 @@ def test_ann_lsh_subset_of_bruteforce_scores(spark, emb):
     assert hits / len(bscore) >= 0.1
 
 
+def test_embedding_lsh_pairs_subset_of_brute(spark, emb):
+    """The bucketed embedding pair path must emit a SUBSET of the brute
+    O(n^2) pairs with bit-identical cosines (it rescores candidates through
+    the same fold-exact kernel), all above threshold, a < b, no dupes."""
+    thr = 0.4
+    brute = doc_dedup.embedding_cosine_pairs(emb, threshold=thr).toPandas()
+    lsh = similarity.embedding_lsh_pairs(emb, threshold=thr).toPandas()
+    bmap = {(r.vec_id_a, r.vec_id_b): r.cosine for r in brute.itertuples()}
+    keys = list(zip(lsh.vec_id_a, lsh.vec_id_b))
+    assert len(keys) == len(set(keys))  # multi-table collisions deduped
+    for r in lsh.itertuples():
+        assert r.vec_id_a < r.vec_id_b
+        assert r.cosine >= thr
+        assert bmap[(r.vec_id_a, r.vec_id_b)] == r.cosine  # exact, not close
+    # approximate by design, but must find a real fraction of the pairs
+    assert len(keys) >= 0.15 * len(bmap)
+
+
 def test_ivf_recall_vs_bruteforce(spark, emb):
     from pyspark.sql import functions as F
     q = emb.where(F.col("vec_id") % 100 == 0)

@@ -53,6 +53,7 @@ def main() -> None:
     inc_pairs_df = entry.queries()["doc_incremental_pairs"](spark, SF)
     turn_idx_df = entry.queries()["tr_turn_dedup_index"](spark, SF)
     ann_recall_df = entry.queries()["ann_recall_report"](spark, SF)
+    emb_lsh_df = entry.queries()["doc_embedding_lsh_pairs"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -80,6 +81,8 @@ def main() -> None:
             turn_idx_df,
         "ANN recall report (brute truth persisted, count-only method joins)":
             ann_recall_df,
+        "embedding LSH pairs (hyperplane buckets -> shared salted cap -> exact rescore)":
+            emb_lsh_df,
     }
 
     checks: list[str] = []
@@ -167,6 +170,14 @@ def main() -> None:
         "OK ann_recall_report: query side broadcast, no cartesian stage"
         if "BroadcastHashJoin" in ann_plan and "CartesianProduct" not in ann_plan
         else "FAIL ann_recall_report: missing broadcast or quadratic stage"
+    )
+    emb_lsh_plan = plan_of(emb_lsh_df)
+    checks.append(
+        "OK doc_embedding_lsh_pairs: hot-bucket salt broadcast, no cartesian stage"
+        if "BroadcastHashJoin" in emb_lsh_plan
+        and "CartesianProduct" not in emb_lsh_plan
+        and "BroadcastNestedLoopJoin" not in emb_lsh_plan
+        else "FAIL doc_embedding_lsh_pairs: missing broadcast salt or quadratic stage"
     )
 
     out.append("## Plan-quality checks\n")
