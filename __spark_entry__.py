@@ -161,6 +161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact scores — the oracle reproduces bucket + cap + score bit-for-bit
     q["doc_embedding_lsh_pairs"] = lambda s, d: similarity.embedding_lsh_pairs(
         load_table(s, d, "embeddings"), threshold=0.4)
+    # CC over the bucketed pairs (min-vec_id labels, singletons -> self)
+    q["doc_embedding_clusters"] = lambda s, d: similarity.embedding_clusters(
+        load_table(s, d, "embeddings"), threshold=0.4)
+    # recall audit of the bucketed path vs the brute truth (one row)
+    q["emb_pair_recall_report"] = lambda s, d: similarity.embedding_pair_recall_report(
+        load_table(s, d, "embeddings"), threshold=0.4)
 
     # incremental delta-vs-corpus admission (functions/incremental.py):
     # deterministic split doc_id % 4 == 0 -> delta, rest -> corpus (the
@@ -751,6 +757,8 @@ def oracle_sql() -> dict[str, str]:
     o["tr_tier_attribution"] = oq.tr_tier_attribution_sql(tr, CFG)
     o["ann_topk_lsh"] = oq.ann_lsh_sql(k=5)
     o["doc_embedding_lsh_pairs"] = oq.embedding_lsh_pairs_sql(threshold=0.4)
+    o["doc_embedding_clusters"] = oq.embedding_clusters_sql(threshold=0.4)
+    o["emb_pair_recall_report"] = oq.embedding_pair_recall_sql(threshold=0.4)
     o["ann_topk_ivf"] = oq.ann_ivf_sql(k=5)
     o["ann_recall_report"] = oq.ann_recall_sql(k=5)
     o["multimodal_features"] = oq.multimodal_sql(media_fixture_path(n=64, seed=42))

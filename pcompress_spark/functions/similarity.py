@@ -318,6 +318,79 @@ def embedding_lsh_pairs(
     )
 
 
+def embedding_clusters(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    cfg=None,
+) -> DataFrame:
+    """Semantic near-dup clusters over the embeddings table: connected
+    components of the bucketed embedding_lsh_pairs edges, labeled with the
+    min vec_id of the component (singletons map to self) — the embedding
+    twin of doc_dedup.neardup_clusters, on the same long-key agg+join CC
+    (operators/cluster.py — no collect_set, skew-safe at 10^12 rows).
+
+    No separate exact-dup star edge is needed: byte-identical vectors
+    always produce identical hyperplane signs, so exact duplicates are
+    GUARANTEED to collide in every table and surface as cosine-1.0 pairs.
+    Returns (vec_id, cluster_id)."""
+    from ..config import DedupConfig
+    from ..operators.cluster import connected_components
+
+    cfg = cfg or DedupConfig()
+    edges = embedding_lsh_pairs(
+        emb, threshold, n_planes, n_tables, dim, seed, cfg
+    ).select(F.col("vec_id_a").alias("ih_a"), F.col("vec_id_b").alias("ih_b"))
+    nodes = emb.select(F.col("vec_id").alias("conv_id"),
+                       F.col("vec_id").alias("id_hash"))
+    cc = connected_components(nodes, edges, cfg)
+    return cc.select(F.col("conv_id").cast("long").alias("vec_id"),
+                     F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+def embedding_pair_recall_report(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    cfg=None,
+) -> DataFrame:
+    """One-row recall audit of the bucketed embedding pair path against the
+    brute-force truth at the same threshold — the embedding twin of
+    doc_dedup.recall_report (the north rule's headline metric, applied to
+    the vector channel). Returns (threshold, n_truth, n_found, recall).
+
+    The LSH path's emitted pairs are a SUBSET of the brute pairs with
+    identical cosines (same fold-exact kernel), so found-set membership is
+    a plain inner join on the id pair — count-only aggregates, one corpus
+    pass per side."""
+    from .doc_dedup import embedding_cosine_pairs
+
+    truth = embedding_cosine_pairs(emb, threshold).select("vec_id_a", "vec_id_b")
+    found = embedding_lsh_pairs(
+        emb, threshold, n_planes, n_tables, dim, seed, cfg
+    ).select("vec_id_a", "vec_id_b")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return (
+        found.join(truth, ["vec_id_a", "vec_id_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+        .crossJoin(n_truth)
+        .select(
+            F.lit(threshold).cast("double").alias("threshold"),
+            "n_truth",
+            "n_found",
+            F.round(
+                F.col("n_found") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def hyperplane_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

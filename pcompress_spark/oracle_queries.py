@@ -964,19 +964,25 @@ GROUP BY n.vec_id, pl.t;""",
     ]
 
 
-def embedding_lsh_pairs_sql(threshold: float = 0.4, n_planes: int = 6,
-                            n_tables: int = 8, dim: int = 64, seed: int = 42,
-                            cfg: DedupConfig | None = None) -> str:
-    """Twin for similarity.embedding_lsh_pairs: hyperplane-sign buckets ->
-    the shared salted/capped pair rule (_bucket_pair_stmt, same pymod
-    sampling the engine's bucket_members applies with vec_id as the salt)
-    -> exact cosine on the surviving pairs, filtered on the rounded value."""
+def _emb_pair_stmts(threshold: float = 0.4, n_planes: int = 6,
+                    n_tables: int = 8, dim: int = 64, seed: int = 42,
+                    cfg: DedupConfig | None = None) -> list[str]:
+    """Statements building TEMP TABLE ``epairs`` (vec_id_a, vec_id_b,
+    cosine): hyperplane-sign buckets -> the shared salted/capped pair rule
+    (_bucket_pair_stmt, same pymod sampling the engine's bucket_members
+    applies with vec_id as the salt) -> exact cosine on the surviving
+    pairs, filtered on the rounded value. Shared by the pairs, clusters,
+    and recall twins."""
     cfg = cfg or DedupConfig()
-    bands = """
+    return [
+        *_emb_lsh_sig_stmts(n_planes, n_tables, dim, seed),
+        """
 CREATE OR REPLACE TEMP TABLE ebands AS
 SELECT vec_id AS mem, vec_id AS salt, t AS band_idx, bucket AS key
-FROM sigs;"""
-    final = f"""
+FROM sigs;""",
+        _bucket_pair_stmt("ebands", cfg.bucket_cap, out="ecand"),
+        f"""
+CREATE OR REPLACE TEMP TABLE epairs AS
 SELECT vec_id_a, vec_id_b, cosine FROM (
     SELECT c.ma AS vec_id_a, c.mb AS vec_id_b,
            round(CASE WHEN a.nv > 0 AND b.nv > 0
@@ -985,12 +991,67 @@ SELECT vec_id_a, vec_id_b, cosine FROM (
     FROM ecand c
     JOIN nrm a ON a.vec_id = c.ma
     JOIN nrm b ON b.vec_id = c.mb)
-WHERE cosine >= {threshold}"""
+WHERE cosine >= {threshold};""",
+    ]
+
+
+def embedding_lsh_pairs_sql(threshold: float = 0.4, n_planes: int = 6,
+                            n_tables: int = 8, dim: int = 64, seed: int = 42,
+                            cfg: DedupConfig | None = None) -> str:
+    """Twin for similarity.embedding_lsh_pairs."""
     return _script(
-        *_emb_lsh_sig_stmts(n_planes, n_tables, dim, seed),
-        bands,
-        _bucket_pair_stmt("ebands", cfg.bucket_cap, out="ecand"),
-        final,
+        *_emb_pair_stmts(threshold, n_planes, n_tables, dim, seed, cfg),
+        "SELECT vec_id_a, vec_id_b, cosine FROM epairs",
+    )
+
+
+def embedding_clusters_sql(threshold: float = 0.4, n_planes: int = 6,
+                           n_tables: int = 8, dim: int = 64, seed: int = 42,
+                           cfg: DedupConfig | None = None) -> str:
+    """Twin for similarity.embedding_clusters: epairs edges -> symmetric
+    closure -> recursive reachability -> min vec_id label (singletons map
+    to self). Same construction as the doc-table CC twin."""
+    return _script(
+        *_emb_pair_stmts(threshold, n_planes, n_tables, dim, seed, cfg),
+        """
+CREATE OR REPLACE TEMP TABLE esym AS
+SELECT vec_id_a AS a, vec_id_b AS b FROM epairs
+UNION SELECT vec_id_b AS a, vec_id_a AS b FROM epairs;""",
+        """
+WITH RECURSIVE reach(src, dst) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT r.src, s.b FROM reach r JOIN esym s ON r.dst = s.a)
+SELECT src::BIGINT AS vec_id, min(dst)::BIGINT AS cluster_id
+FROM reach GROUP BY src""",
+    )
+
+
+def embedding_pair_recall_sql(threshold: float = 0.4, n_planes: int = 6,
+                              n_tables: int = 8, dim: int = 64,
+                              seed: int = 42,
+                              cfg: DedupConfig | None = None) -> str:
+    """Twin for similarity.embedding_pair_recall_report: brute all-pairs
+    truth at the same rounded-cosine threshold vs the epairs found set —
+    one row (threshold, n_truth, n_found, recall)."""
+    return _script(
+        *_emb_pair_stmts(threshold, n_planes, n_tables, dim, seed, cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE etruth AS
+SELECT vec_id_a, vec_id_b FROM (
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(CASE WHEN a.nv > 0 AND b.nv > 0
+                 THEN {_dot("a.v", "b.v", dim)} / (a.nv * b.nv)
+                 ELSE 0.0 END, 6) AS cosine
+    FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id)
+WHERE cosine >= {threshold};""",
+        f"""
+WITH nt AS (SELECT count(*)::BIGINT AS n_truth FROM etruth),
+nf AS (SELECT count(*)::BIGINT AS n_found
+       FROM epairs p JOIN etruth t USING (vec_id_a, vec_id_b))
+SELECT {threshold}::DOUBLE AS threshold, nt.n_truth, nf.n_found,
+       round(nf.n_found::DOUBLE / greatest(nt.n_truth, 1), 6) AS recall
+FROM nt, nf""",
     )
 
 

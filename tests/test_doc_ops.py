@@ -118,6 +118,41 @@ def test_embedding_lsh_pairs_subset_of_brute(spark, emb):
     assert len(keys) >= 0.15 * len(bmap)
 
 
+def test_embedding_clusters_consistent_with_pairs(spark, emb):
+    """Cluster labels must be the min-vec_id connected component of the
+    LSH pair edges: every pair shares a label, every label is a member,
+    non-paired vectors are singletons labeled self."""
+    pairs = similarity.embedding_lsh_pairs(emb, threshold=0.4).toPandas()
+    clusters = similarity.embedding_clusters(emb, threshold=0.4).toPandas()
+    label = dict(zip(clusters.vec_id, clusters.cluster_id))
+    # union-find ground truth from the pair edges
+    parent = {v: v for v in clusters.vec_id}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.itertuples():
+        ra, rb = find(r.vec_id_a), find(r.vec_id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for v in parent:
+        assert label[v] == find(v)
+
+
+def test_embedding_pair_recall_report(spark, emb):
+    rep = similarity.embedding_pair_recall_report(emb, threshold=0.4).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    brute = doc_dedup.embedding_cosine_pairs(emb, threshold=0.4).count()
+    found = similarity.embedding_lsh_pairs(emb, threshold=0.4).count()
+    assert r.n_truth == brute
+    assert r.n_found == found  # subset property: every found pair is truth
+    assert 0.0 < r.recall <= 1.0
+
+
 def test_ivf_recall_vs_bruteforce(spark, emb):
     from pyspark.sql import functions as F
     q = emb.where(F.col("vec_id") % 100 == 0)
