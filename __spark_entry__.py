@@ -27,6 +27,7 @@ from pcompress_spark.pipeline import DedupPipeline
 from pcompress_spark.operators.assemble import assemble, assembled_turns
 from pcompress_spark.operators.substring import verify_substring_pairs
 from pcompress_spark.functions import (
+    curation,
     doc_dedup,
     incremental,
     similarity,
@@ -202,6 +203,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_recall_report"] = lambda s, d: doc_dedup.recall_report(
         load_table(s, d, "documents"), truth_threshold=0.5,
         design_threshold=0.3)
+
+    # ---- documents: curation (post-dedup selection/hygiene passes) ----
+    # deterministic per-stratum downsampling (map-only, xxhash64 threshold)
+    q["doc_stratified_sample"] = lambda s, d: curation.stratified_sample(
+        load_table(s, d, "documents"), seed=7)
+
+    # benchmark decontamination: doc_id % 19 == 0 is the stand-in eval
+    # suite; report n-gram leak ratio for every other document
+    def doc_decontamination(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        is_bench = (F.col("doc_id") % 19) == 0
+        return curation.decontaminate(
+            docs.where(~is_bench), docs.where(is_bench), n=3,
+            overlap_threshold=0.5)
+
+    q["doc_decontamination"] = doc_decontamination
+    # boilerplate phrase mining: 3-grams in >= 8 distinct documents
+    q["doc_boilerplate_ngrams"] = lambda s, d: curation.boilerplate_ngrams(
+        load_table(s, d, "documents"), n=3, min_df=5)
 
     # ---- documents: text analysis ----
     q["doc_token_stats"] = lambda s, d: text_fns.token_stats(load_table(s, d, "documents"))
@@ -734,6 +754,10 @@ def oracle_sql() -> dict[str, str]:
     """
     # ---- kernel-twin oracles (oracle_queries composes the DuckDB macros
     # that reproduce splitmix64/FNV/Horner/OPH/SimHash bit-for-bit) ----
+    o["doc_stratified_sample"] = oq.doc_stratified_sample_sql(seed=7)
+    o["doc_decontamination"] = oq.doc_decontamination_sql(
+        bench_mod=19, overlap_threshold=0.5)
+    o["doc_boilerplate_ngrams"] = oq.doc_boilerplate_sql(min_df=5)
     o["doc_fingerprints"] = oq.doc_fingerprints_sql(k=5, keep=16)
     o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
     o["doc_incremental_pairs"] = oq.doc_incremental_pairs_sql(k=3, threshold=0.3)

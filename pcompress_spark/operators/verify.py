@@ -6,17 +6,33 @@ matching (memcmp residual after the hash probe,
 early when the projected gain is too small ("No Dedupe possible",
 /root/reference/rabin/rabin_dedup.c:1250-1257 — the A2 early-abort).
 
-Spark shape: two hash joins of the (small) pair list against the signatures
-table, then pure JVM expressions:
+Spark shape: the bare pair list is BROADCAST against the signatures table
+TWICE (one map-side hash join per pair end — no shuffle of the corpus), and
+the two enriched sides then join on the composite (ih_a, ih_b) key, so the
+only exchange in this stage moves O(candidate) rows. Then pure JVM
+expressions:
   - est_jaccard: fraction of agreeing MinHash positions (zip_with +
     aggregate) — the cheap pre-filter (early-abort analog);
   - jaccard: EXACT Jaccard on the sorted-distinct shingle sets
     (array_intersect / sizes) — the memcmp-strength residual;
   - exact: content_hash equality (crypto-hash path).
 
-Everything here is whole-stage-codegen JVM; no Python. The joins are keyed
-on the 64-bit id_hash; candidate lists are tiny relative to signatures, and
-AQE turns these into broadcast joins automatically when the pair list fits.
+Everything here is whole-stage-codegen JVM; no Python.
+
+Why the explicit double-broadcast instead of chained joins: the naive
+cand ⋈ sig_a ⋈ sig_b plan makes Spark shuffle + sort the FULL signatures
+table (shingle + minhash arrays — by far the heaviest table in the
+pipeline) on the second join key. That is an O(corpus) array shuffle whose
+sort spill dominated the stage and swung its wall time 4x run-to-run.
+With the pair list broadcast to both probe joins, the corpus is only ever
+SCANNED (map-side), and the composite-key exchange carries array payloads
+for candidate rows only — at the 10^12-turn design point candidates are
+orders of magnitude smaller than the corpus, so the stage's shuffle volume
+is pair-bound, not corpus-bound. When the pair list itself outgrows
+broadcast range (cand_rows > broadcast_limit) the probes fall back to
+ordinary shuffled joins; in that regime pair volume rivals corpus volume
+(LSH produced >= broadcast_limit surviving pairs), so a corpus-keyed
+exchange is inherent to the question being asked, not plan overhead.
 
 Exact-duplicate pairs are generated independently of LSH from
 content_hash groups (J3 analog: the global crypto-hash index,
@@ -71,7 +87,13 @@ def exact_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def near_pairs(sig: DataFrame, candidates: DataFrame, cfg: DedupConfig) -> DataFrame:
+def near_pairs(
+    sig: DataFrame,
+    candidates: DataFrame,
+    cfg: DedupConfig,
+    cand_rows: int | None = None,
+    broadcast_limit: int = 20_000_000,
+) -> DataFrame:
     """candidates (ih_a, ih_b, n_bands — long keys) -> verified NEAR pairs
     (conv_id_a, conv_id_b, jaccard, match_kind='near', ih_a, ih_b) with
     (conv_id_a, conv_id_b) normalized lexicographic a < b and the ih
@@ -80,22 +102,33 @@ def near_pairs(sig: DataFrame, candidates: DataFrame, cfg: DedupConfig) -> DataF
 
     The joins are keyed on the 64-bit id_hash, not the conv_id string — the
     candidate table never carries strings, and the join hashes 8-byte keys.
-    conv_ids come along for free from the signature rows."""
-    a = sig.select(
+    conv_ids come along for free from the signature rows.
+
+    cand_rows: known candidate-pair count (the pipeline reads it from the
+    candidates stage manifest — zero extra jobs). The bare pair list is
+    broadcast to both probe joins when it fits (<= broadcast_limit rows,
+    ~16 B/row => 320 MB at the 20M default); above that the probes degrade
+    to ordinary shuffled joins (see module docstring). None (ad-hoc
+    callers) broadcasts: a pair list only outgrows broadcast range in
+    pipelines, which always know the count."""
+    bare = candidates.select("ih_a", "ih_b")
+    if cand_rows is None or cand_rows <= broadcast_limit:
+        bare = F.broadcast(bare)
+    a_side = sig.select(
         F.col("id_hash").alias("ih_a"),
         F.col("conv_id").alias("cid_a"),
         F.col("content_hash").alias("ch_a"),
         F.col("shingles").alias("sh_a"),
         F.col("minhash").alias("mh_a"),
-    )
-    b = sig.select(
+    ).join(bare, "ih_a")
+    b_side = sig.select(
         F.col("id_hash").alias("ih_b"),
         F.col("conv_id").alias("cid_b"),
         F.col("content_hash").alias("ch_b"),
         F.col("shingles").alias("sh_b"),
         F.col("minhash").alias("mh_b"),
-    )
-    joined = candidates.join(a, "ih_a").join(b, "ih_b")
+    ).join(bare, "ih_b")
+    joined = a_side.join(b_side, ["ih_a", "ih_b"])
     est = (
         F.aggregate(
             F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
@@ -129,9 +162,17 @@ def near_pairs(sig: DataFrame, candidates: DataFrame, cfg: DedupConfig) -> DataF
     )
 
 
-def verify_pairs(sig: DataFrame, candidates: DataFrame, cfg: DedupConfig) -> DataFrame:
+def verify_pairs(
+    sig: DataFrame,
+    candidates: DataFrame,
+    cfg: DedupConfig,
+    cand_rows: int | None = None,
+) -> DataFrame:
     """Full verified-pair table: near pairs (LSH candidates -> est-jaccard
     prefilter -> exact shingle jaccard) plus exact star edges. Exact pairs
     come from the content-hash star (complete by construction); LSH-sourced
-    exact pairs are dropped in near_pairs to avoid duplicates."""
-    return near_pairs(sig, candidates, cfg).unionByName(exact_pairs(sig))
+    exact pairs are dropped in near_pairs to avoid duplicates. cand_rows:
+    see near_pairs (broadcast-vs-shuffle decision for the pair probes)."""
+    return near_pairs(sig, candidates, cfg, cand_rows=cand_rows).unionByName(
+        exact_pairs(sig)
+    )

@@ -1272,3 +1272,97 @@ SELECT media_id, kind, tobig(chash) AS payload_sha_like, decoded,
        {feature_dim}::BIGINT AS feat_dim
 FROM sh_""",
     )
+
+
+# ---------------------------------------------------------------------------
+# curation oracles (functions/curation.py twins)
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower({x}), "
+    "'[^a-z0-9]+', ' ', 'g')), '\\s+'), w -> w != '')"
+)
+
+_CLASS_CASE = """CASE WHEN length(lower(text)) = 0 THEN 'empty'
+         WHEN length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
+              / length(lower(text)) > 0.10 THEN 'numeric'
+         WHEN length(regexp_replace(lower(text), '[^ ]', '', 'g'))::DOUBLE
+              / length(lower(text)) > 0.25 THEN 'airy'
+         ELSE 'dense' END"""
+
+
+def _grams3_expr(w: str) -> str:
+    """Distinct word 3-gram list — the exact twin of doc_dedup.ngrams_col(3)
+    (and of the inline doc_ngram_jaccard_pairs oracle)."""
+    return (
+        f"list_distinct(CASE WHEN len({w}) >= 3 THEN "
+        f"list_transform(range(1, len({w}) - 1), "
+        f"i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]) ELSE [] END)"
+    )
+
+
+def doc_stratified_sample_sql(rates: dict[str, int] | None = None,
+                              seed: int = 7) -> str:
+    """curation.stratified_sample twin: Spark-compatible
+    xxhash64(doc_id XOR seed) (xxh64_long_ctes, seed 42 = Spark's fixed
+    seed) -> pymod(tobig(.), 1000) = Spark pmod on the signed value."""
+    rates = rates or {"empty": 0, "numeric": 100, "airy": 500, "dense": 800}
+    rate_case = "CASE " + " ".join(
+        f"WHEN content_class = '{k}' THEN {int(v)}"
+        for k, v in sorted(rates.items())
+    ) + " ELSE 1000 END"
+    return _script(f"""
+CREATE OR REPLACE TEMP TABLE strat_base AS
+SELECT doc_id, lang, {_CLASS_CASE} AS content_class FROM documents;
+WITH {osql.xxh64_long_ctes('sk', 'strat_base',
+                           ['doc_id', 'lang', 'content_class'],
+                           f'xor(doc_id, {seed})', 'xh', seed=42)}
+SELECT doc_id, lang, content_class,
+       ({rate_case})::BIGINT AS rate_per_mille,
+       pymod(tobig(xh), 1000)::BIGINT AS sample_key,
+       pymod(tobig(xh), 1000) < ({rate_case}) AS kept
+FROM skx5
+""")
+
+
+def doc_decontamination_sql(bench_mod: int = 19,
+                            overlap_threshold: float = 0.5) -> str:
+    """curation.decontaminate twin over the deterministic benchmark split
+    doc_id % bench_mod == 0 (the stand-in eval suite)."""
+    w = _WORDS.format(x="text")
+    return f"""
+CREATE OR REPLACE TEMP TABLE deco_g AS
+SELECT doc_id, {_grams3_expr('w')} AS grams
+FROM (SELECT doc_id, {w} AS w FROM documents);
+CREATE OR REPLACE TEMP TABLE deco_bench AS
+SELECT DISTINCT unnest(grams) AS gram FROM deco_g
+WHERE doc_id % {bench_mod} = 0;
+CREATE OR REPLACE TEMP TABLE deco_hits AS
+SELECT c.doc_id, count(*)::BIGINT AS n_overlap
+FROM (SELECT doc_id, unnest(grams) AS gram FROM deco_g
+      WHERE doc_id % {bench_mod} != 0) c
+JOIN deco_bench USING (gram) GROUP BY c.doc_id;
+SELECT g.doc_id, len(g.grams)::BIGINT AS n_grams,
+       coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+       round(CASE WHEN len(g.grams) > 0
+             THEN coalesce(h.n_overlap, 0)::DOUBLE / len(g.grams)
+             ELSE 0.0 END, 6) AS overlap_ratio,
+       round(CASE WHEN len(g.grams) > 0
+             THEN coalesce(h.n_overlap, 0)::DOUBLE / len(g.grams)
+             ELSE 0.0 END, 6) >= {overlap_threshold} AS contaminated
+FROM deco_g g LEFT JOIN deco_hits h USING (doc_id)
+WHERE g.doc_id % {bench_mod} != 0
+"""
+
+
+def doc_boilerplate_sql(min_df: int = 8) -> str:
+    """curation.boilerplate_ngrams twin: document frequency of distinct
+    3-grams, df >= min_df (count cutoff, no rank boundary)."""
+    w = _WORDS.format(x="text")
+    return f"""
+WITH g AS (SELECT doc_id, {_grams3_expr('w')} AS grams
+           FROM (SELECT doc_id, {w} AS w FROM documents)),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+SELECT gram, count(*)::BIGINT AS df FROM e GROUP BY gram
+HAVING count(*) >= {min_df}
+"""

@@ -262,8 +262,14 @@ class DedupPipeline:
         else:
             cand_df, bucket_stats = candidate_pairs(sig, cfg)
         cand = self._run_stage("candidates", cand_df)
-
-        pairs = self._run_stage("pairs", verify_pairs(sig, cand, cfg))
+        # exact pair count from the stage manifest (zero extra jobs) drives
+        # the verify stage's broadcast-vs-shuffle decision for the pair list
+        cand_rows = self._stages[-1].rows
+        pairs = self._run_stage(
+            "pairs",
+            verify_pairs(sig, cand, cfg,
+                         cand_rows=cand_rows if cand_rows >= 0 else None),
+        )
 
         clusters = self._run_stage(
             "clusters",

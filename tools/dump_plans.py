@@ -4,6 +4,7 @@ relational stages). Run: python tools/dump_plans.py"""
 
 from __future__ import annotations
 
+import re
 import io
 import os
 import sys
@@ -136,6 +137,21 @@ def main() -> None:
             if ("*(" in executed or "*(" in simple_plan(df))
             else f"WARN {df_name}: no WholeStageCodegen span"
         )
+
+    # verify stage shape: the bare pair list must be BROADCAST to both probe
+    # joins (no corpus-keyed exchange of the array-heavy signature table);
+    # the only allowed merge join is on the composite (ih_a, ih_b) pair key.
+    vp_plan = plan_of(pairs)
+    n_pair_bcast = vp_plan.count("BroadcastHashJoin")
+    # a corpus-keyed exchange hash-partitions on ONE pair-end key
+    # (hashpartitioning(ih_b#NNNL, P)); the composite pair exchange carries
+    # both keys and is pair-bound, so it is allowed
+    bad_corpus_exchange = re.search(r"hashpartitioning\(ih_[ab]#\d+L, \d+\)", vp_plan)
+    checks.append(
+        "OK verify: pair list broadcast to both probes; no corpus-keyed array exchange"
+        if n_pair_bcast >= 2 and not bad_corpus_exchange
+        else "FAIL verify: signature table exchanged on a single pair-end key"
+    )
 
     inc_plan = plan_of(inc_pairs_df)
     n_semi_bcast = inc_plan.count("BroadcastHashJoin")
