@@ -42,6 +42,19 @@ def run_bench(cpus: int, n_conv: int) -> dict:
     return json.loads(line)
 
 
+def kernel_ceiling() -> dict:
+    """Spark-free multi-process kernel throughput (BENCH/kernel_scaling.py)
+    measured in THIS invocation — the host's compute/bandwidth ceiling that
+    any Spark number must be read against. Hosts differ run-to-run in this
+    sandbox (VM migrations change the DRAM profile), so the ceiling is
+    never hardcoded into the narrative."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "BENCH", "kernel_scaling.py")],
+        cwd=REPO, capture_output=True, text=True, timeout=1800,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     # 160k convs: below that the local[4+] pipeline is constant-dominated
     # (~25 s wall) and the ratio understates true scaling — measured 0.57
@@ -50,6 +63,7 @@ def main() -> None:
     n_supp = int(sys.argv[2]) if len(sys.argv) > 2 else 160000
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     n_hi = 4 * n_lo
+    kc = kernel_ceiling()
     ra = run_bench(n_lo, n_primary)
     rb = run_bench(n_hi, n_primary)
     r8b = run_bench(8, n_supp)
@@ -58,6 +72,17 @@ def main() -> None:
     t8b, t32 = r8b["turns_per_sec"], r32["turns_per_sec"]
     eff = tb / (4 * ta)
     eff_supp = t32 / (4 * t8b)
+    k8, k32 = kc["docs_per_sec"]["8"], kc["docs_per_sec"]["32"]
+    k_eff = k32 / (4 * k8)
+    if eff_supp >= 0.8:
+        supp_verdict = (
+            f"**Efficiency = {eff_supp:.3f}** — MEETS the >= 0.8 target on "
+            f"this pair.")
+    else:
+        supp_verdict = (
+            f"**Efficiency = {eff_supp:.3f}** against the >= 0.8 target. "
+            f"Read honestly: this pair does NOT meet 0.8 on this box, and "
+            f"we do not claim it does.")
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
     n_runs = os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence
@@ -76,15 +101,16 @@ the other.
 | A | local[8]  | {r8b['queries']['dedup_pipeline']} | {t8b} |
 | B | local[32] | {r32['queries']['dedup_pipeline']} | {t32} |
 
-**Efficiency = {eff_supp:.3f}** against the >= 0.8 target. Read honestly:
-this pair does NOT meet 0.8 on this box, and we do not claim it does. Both
-points sit above this VM's shared-DRAM saturation knee, so the ratio
-measures the host's memory-bandwidth ceiling rather than the engine's
-shuffle/partition behavior: the raw numpy signature kernels with no Spark
-at all saturate the DRAM channels from ~8 worker processes up (8 procs
-~4.3k docs/s aggregate vs 32 procs ~6-7k), so quadrupling threads past 8
-cannot quadruple throughput on one machine regardless of how the engine is
-written.
+{supp_verdict}
+
+Host ceiling, measured in this same invocation (Spark-free numpy signature
+kernels, BENCH/kernel_scaling.py): 8 procs {k8:.0f} docs/s aggregate ->
+32 procs {k32:.0f} docs/s, i.e. kernel-only 8->32 efficiency {k_eff:.3f}.
+The Spark pipeline cannot exceed the box's own compute/bandwidth scaling;
+the gap between {eff_supp:.3f} (pipeline) and {k_eff:.3f} (kernel ceiling)
+is what the engine's shuffle/partition behavior answers for, the rest is
+the machine. Real N -> 4N EXECUTORS each bring their own memory channels,
+which is what the supporting below-the-knee pair stands in for.
 
 ## Supporting: N={n_lo} -> 4N={n_hi} cores ({n_primary} conversations, {ra['bench_turns']} turns)
 
@@ -110,6 +136,7 @@ Full bench JSON:
 - local[{n_hi}]/{n_primary}: `{json.dumps(rb)}`
 - local[8]/{n_supp}: `{json.dumps(r8b)}`
 - local[32]/{n_supp}: `{json.dumps(r32)}`
+- kernel ceiling: `{json.dumps(kc)}`
 
 Generated {stamp} by BENCH/run_scaling.py.
 """
@@ -118,7 +145,8 @@ Generated {stamp} by BENCH/run_scaling.py.
     print(json.dumps({"t_lo": ta, "t_hi": tb, "n_lo": n_lo, "n_hi": n_hi,
                       "efficiency": round(eff, 3),
                       "t8_supp": t8b, "t32_supp": t32,
-                      "efficiency_supp": round(eff_supp, 3)}))
+                      "efficiency_supp": round(eff_supp, 3),
+                      "kernel_8_32_efficiency": round(k_eff, 3)}))
 
 
 if __name__ == "__main__":
