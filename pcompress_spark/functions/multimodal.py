@@ -14,10 +14,11 @@ parser (the reference routes WAV members to its bundled wavpack filter,
 /root/reference/pcompress.c:205-401), and a full PNG raster decoder
 (stdlib-zlib inflate + scanline unfiltering, CRC-checked chunk walk).
 Payloads that decode get a real pixel/amplitude-histogram feature; JPEG
-gets a real header parse (dims/components); other kinds (video — no codec
-in this container) fall back to a deterministic content-addressed stub
-behind ``decode_stub=True``, or raise NotImplementedError when
-decode_stub=False.
+gets a real header parse (SOI/SOF marker walk -> dims/components) and MP4
+video a real ISO-BMFF box walk (ftyp/moov/mvhd/tkhd -> dims + duration);
+their raster/sample tiers (no entropy decoder or codec in this container)
+fall back to a deterministic content-addressed stub behind
+``decode_stub=True``, or raise NotImplementedError when decode_stub=False.
 All Spark-side plumbing — schema, batching, partitioning, UDF signatures —
 is real and identical for both paths.
 
@@ -56,8 +57,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("payload_sha_like", T.LongType(), False),
         T.StructField("decoded", T.BooleanType(), False),
         # header_decoded: the payload's container header parsed in-tree
-        # (PNM/WAV/PNG fully decode; JPEG parses SOI/SOF markers only —
-        # its raster stays stubbed, no entropy decoder in this container)
+        # (PNM/WAV/PNG fully decode; JPEG parses SOI/SOF markers, MP4
+        # walks ftyp/moov/tkhd boxes — their rasters/samples stay stubbed,
+        # no entropy decoder or codec in this container)
         T.StructField("header_decoded", T.BooleanType(), False),
         T.StructField("hdr_width", T.IntegerType(), True),
         T.StructField("hdr_height", T.IntegerType(), True),
@@ -189,6 +191,73 @@ def decode_png_header(payload: bytes | None) -> tuple[int, int, int] | None:
     if w <= 0 or h <= 0 or channels is None or bit_depth not in (1, 2, 4, 8, 16):
         return None
     return w, h, channels
+
+
+def decode_mp4_header(payload: bytes | None) -> tuple[int, int, int] | None:
+    """Parse an ISO-BMFF (MP4) payload's box tree into (width, height,
+    duration_ms); None if the payload is not MP4 or carries no video track
+    header before the data boxes.
+
+    Real box walk, dependency-free: verify the first box is 'ftyp', then
+    scan top-level boxes for 'moov' and walk its children — 'mvhd' gives
+    (timescale, duration) -> duration_ms, 'trak'/'tkhd' gives the track's
+    16.16 fixed-point width/height (version 0 and 1 layouts both handled).
+    This is the header tier of the reference's type-routed dispatch
+    (/root/reference/pcompress.c:205-401): the sample data itself stays
+    behind the declared decode stub (no codec in-tree)."""
+    if not payload or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    n = len(payload)
+
+    def boxes(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(payload[pos:pos + 4], "big")
+            btype = payload[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    return
+                size = int.from_bytes(payload[pos + 8:pos + 16], "big")
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing space
+                size = hi - pos
+            if size < body - pos or pos + size > hi:
+                return
+            yield btype, body, pos + size
+            pos += size
+
+    duration_ms = None
+    dims = None
+    for btype, body, end in boxes(0, n):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in boxes(body, end):
+            if ctype == b"mvhd" and cend - cbody >= 20:
+                ver = payload[cbody]
+                if ver == 1 and cend - cbody >= 32:
+                    scale = int.from_bytes(payload[cbody + 20:cbody + 24], "big")
+                    dur = int.from_bytes(payload[cbody + 24:cbody + 32], "big")
+                else:
+                    scale = int.from_bytes(payload[cbody + 12:cbody + 16], "big")
+                    dur = int.from_bytes(payload[cbody + 16:cbody + 20], "big")
+                if scale > 0:
+                    duration_ms = dur * 1000 // scale
+            elif ctype == b"trak":
+                for ttype, tbody, tend in boxes(cbody, cend):
+                    if ttype != b"tkhd":
+                        continue
+                    ver = payload[tbody]
+                    off = 88 if ver == 1 else 76  # width offset in payload
+                    if tend - tbody >= off + 8:
+                        w = int.from_bytes(payload[tbody + off:tbody + off + 2], "big")
+                        h = int.from_bytes(payload[tbody + off + 4:tbody + off + 6], "big")
+                        if w > 0 and h > 0:
+                            dims = (w, h)
+        break
+    if dims is None:
+        return None
+    return dims[0], dims[1], duration_ms if duration_ms is not None else 0
 
 
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -351,11 +420,12 @@ def extract_features(
     Routing (the D6 type dispatch): payloads that parse as PNM, canonical
     WAV, or supported PNG (8-bit non-interlaced, zlib inflate + unfilter)
     decode for real (pixel-byte / amplitude histogram, ``decoded=True``,
-    header dims populated); JPEG payloads — and PNGs outside the supported
-    subset — get a REAL header parse (``header_decoded=True``) with the
-    raster behind the stub; anything else uses the content-addressed stub
-    when decode_stub=True or raises NotImplementedError otherwise (a real
-    entropy decoder would plug in where decode_jpeg_header returns).
+    header dims populated); JPEG and MP4 payloads — and PNGs outside the
+    supported subset — get a REAL header parse (``header_decoded=True``,
+    dims populated) with the raster/samples behind the stub; anything else
+    uses the content-addressed stub when decode_stub=True or raises
+    NotImplementedError otherwise (a real entropy decoder / codec would
+    plug in where decode_jpeg_header / decode_mp4_header return).
 
     ``size_bucket_partitions``: when set, repartitionByRange on payload
     size first, so Arrow batches stay near-uniform in bytes
@@ -382,6 +452,8 @@ def extract_features(
                         hdr = decode_jpeg_header(p)
                         if hdr is None:
                             hdr = decode_png_header(p)
+                        if hdr is None:
+                            hdr = decode_mp4_header(p)
                 if pnm is not None or png is not None:
                     raster, w, hh = pnm if pnm is not None else png
                     feats.append(raster_histogram(raster))
@@ -475,6 +547,32 @@ def make_jpeg_header(w: int, h: int, entropy: bytes,
     return b"\xff\xd8" + app0 + sof + sos + entropy + b"\xff\xd9"
 
 
+def make_mp4(w: int, h: int, duration_ms: int, entropy: bytes) -> bytes:
+    """Serialize a structurally-valid MP4 prefix: ftyp + moov(mvhd + one
+    trak/tkhd carrying 16.16 width/height, timescale 1000 so mvhd duration
+    IS milliseconds) + mdat with fake sample bytes. The box tree is real
+    and parses with any ISO-BMFF reader (fixed layout: tkhd width int16 at
+    byte 228, height at 232 — the oracle reads those offsets directly);
+    the mdat payload is not decodable media (header-tier fixture only)."""
+    import struct
+
+    ftyp = struct.pack(">I", 20) + b"ftypisom" + struct.pack(">I", 0x200) + b"isom"
+    mvhd = (struct.pack(">I", 108) + b"mvhd"
+            + struct.pack(">BBHIIIII", 0, 0, 0, 0, 0, 1000, duration_ms, 0x10000)
+            + struct.pack(">H", 0x100) + bytes(10)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + bytes(24) + struct.pack(">I", 2))
+    tkhd = (struct.pack(">I", 92) + b"tkhd"
+            + struct.pack(">BBHIIIII", 0, 0, 7, 0, 0, 1, 0, duration_ms)
+            + bytes(8) + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16))
+    trak = struct.pack(">I", 100) + b"trak" + tkhd
+    moov = struct.pack(">I", 216) + b"moov" + mvhd + trak
+    mdat = struct.pack(">I", 8 + len(entropy)) + b"mdat" + entropy
+    return ftyp + moov + mdat
+
+
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
     import struct
     import zlib
@@ -535,8 +633,10 @@ def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
     REAL SOI/APP0/SOF0 markers (header-parseable dimensions) over fake
     entropy data; png payloads are FULLY decodable PNGs (real deflate +
     cycling scanline filters) whose raster follows the splitmix rule
-    documented at the generation site; video payloads are opaque seeded
-    bytes (the declared stub kind)."""
+    documented at the generation site; video payloads carry a REAL
+    ISO-BMFF box tree (ftyp/moov/mvhd/trak/tkhd — header-parseable dims +
+    duration) over fake mdat sample bytes (raster/codec tier stays the
+    declared stub)."""
     rng = np.random.Generator(np.random.PCG64(seed))
     kinds = ["image", "audio", "video", "jpeg", "png"]
     rows = []
@@ -577,11 +677,16 @@ def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
             ).astype(np.uint8)
             payload = make_png_raster(w, h, raster)
             rows.append((i, kind, "image/png", payload, w, h, None))
-        else:
-            size = int(rng.integers(64, 2048))
-            payload = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
-            rows.append((i, kind, f"application/x-fake-{kind}", payload,
-                         None, None, int(rng.integers(1000, 60000))))
+        else:  # video: REAL ISO-BMFF box tree (ftyp/moov/mvhd/trak/tkhd),
+            # header-parseable dims + duration; mdat bytes are fake samples
+            w = int(rng.integers(160, 4096))
+            h = int(rng.integers(120, 2160))
+            dur = int(rng.integers(1000, 60000))
+            ent = bytes(rng.integers(0, 256,
+                                     size=int(rng.integers(64, 2048)),
+                                     dtype=np.uint8))
+            payload = make_mp4(w, h, dur, ent)
+            rows.append((i, kind, "video/mp4", payload, w, h, dur))
     return pd.DataFrame(
         rows,
         columns=["media_id", "kind", "mime", "payload", "width", "height",
@@ -595,7 +700,7 @@ def media_fixture_path(n: int = 64, seed: int = 42) -> str:
     query and the DuckDB oracle read."""
     from ..sources.tables import CACHE_DIR
 
-    out_dir = os.path.join(CACHE_DIR, f"media_v5_n{n}_s{seed}")
+    out_dir = os.path.join(CACHE_DIR, f"media_v6_n{n}_s{seed}")
     path = os.path.join(out_dir, "media.parquet")
     if not os.path.exists(path):
         import pyarrow as pa

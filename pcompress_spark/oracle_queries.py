@@ -1230,13 +1230,18 @@ WITH feat_ AS (
            -- u32 at bytes 17-20, height 21-24) — independent checks of the
            -- engine's parsers; PNM dims come from the parquet metadata
            -- columns the generator derived the header text from
-           kind IN ('image', 'audio', 'jpeg', 'png') AS header_decoded,
+           kind IN ('image', 'audio', 'jpeg', 'png', 'video') AS header_decoded,
+           -- video: fixed-layout MP4 fixture (make_mp4) — tkhd 16.16 width
+           -- int part at bytes 228-229, height at 232-233 (the engine does
+           -- a general box walk; the oracle exploits the fixed layout)
            CASE WHEN kind = 'image' THEN width::DOUBLE
+                WHEN kind = 'video' THEN (bs[229] * 256 + bs[230])::DOUBLE
                 WHEN kind = 'jpeg' THEN (bs[28] * 256 + bs[29])::DOUBLE
                 WHEN kind = 'png' THEN (bs[17] * 16777216 + bs[18] * 65536
                                         + bs[19] * 256 + bs[20])::DOUBLE
                 ELSE NULL END AS hdr_width,
            CASE WHEN kind = 'image' THEN height::DOUBLE
+                WHEN kind = 'video' THEN (bs[233] * 256 + bs[234])::DOUBLE
                 WHEN kind = 'jpeg' THEN (bs[26] * 256 + bs[27])::DOUBLE
                 WHEN kind = 'png' THEN (bs[21] * 16777216 + bs[22] * 65536
                                         + bs[23] * 256 + bs[24])::DOUBLE

@@ -26,15 +26,16 @@ def test_feature_extraction_shape_and_determinism(spark, media):
     by_kind = f1.groupby("kind")["decoded"].all()
     assert by_kind["image"] and by_kind["audio"] and by_kind["png"]
     assert not f1[f1["kind"] == "video"]["decoded"].any()
-    # header tier: PNM/WAV/JPEG/PNG headers parse; video stays fully stubbed
+    # header tier: every container header parses in-tree now (PNM/WAV full
+    # decode, JPEG marker walk, PNG IHDR, MP4 box walk)
     by_hdr = f1.groupby("kind")["header_decoded"].all()
-    assert by_hdr["image"] and by_hdr["audio"] and by_hdr["jpeg"] and by_hdr["png"]
-    assert not f1[f1["kind"] == "video"]["header_decoded"].any()
-    # jpeg raster stays behind the stub (no entropy decoder in-tree)
+    assert by_hdr["image"] and by_hdr["audio"] and by_hdr["jpeg"]
+    assert by_hdr["png"] and by_hdr["video"]
+    # jpeg raster / mp4 samples stay behind the stub (no codec in-tree)
     assert not f1[f1["kind"] == "jpeg"]["decoded"].any()
-    # jpeg/png parsed dims equal the generator's metadata columns
+    # jpeg/png/video parsed dims equal the generator's metadata columns
     meta = mm.generate_media_pdf(n=48).set_index("media_id")
-    for r in f1[f1["kind"].isin(["jpeg", "png"])].itertuples():
+    for r in f1[f1["kind"].isin(["jpeg", "png", "video"])].itertuples():
         assert int(r.hdr_width) == int(meta.at[r.media_id, "width"])
         assert int(r.hdr_height) == int(meta.at[r.media_id, "height"])
 
@@ -58,6 +59,25 @@ def test_jpeg_header_decode():
     no_sof = p[:20] + p[33:]
     assert p[33:35] == b"\xff\xda"
     assert mm.decode_jpeg_header(no_sof) is None
+
+
+def test_mp4_header_decode():
+    ent = bytes(range(1, 200))
+    p = mm.make_mp4(1920, 1080, 42_500, ent)
+    assert mm.decode_mp4_header(p) == (1920, 1080, 42_500)
+    # box walk must skip unknown top-level boxes (insert 'free' before moov)
+    import struct
+    free = struct.pack(">I", 12) + b"free" + b"xxxx"
+    walked = p[:20] + free + p[20:]
+    assert mm.decode_mp4_header(walked) == (1920, 1080, 42_500)
+    # size==0 (box extends to EOF) handled on the last box
+    tail = p[:236] + struct.pack(">I", 0) + b"mdat" + ent
+    assert mm.decode_mp4_header(tail) == (1920, 1080, 42_500)
+    # invalid: not mp4 / truncated mid-box / ftyp but no moov
+    assert mm.decode_mp4_header(None) is None
+    assert mm.decode_mp4_header(b"RIFF....WAVE") is None
+    assert mm.decode_mp4_header(p[:100]) is None
+    assert mm.decode_mp4_header(p[:20] + p[236:]) is None
 
 
 def test_png_header_decode():
