@@ -94,7 +94,9 @@ def near_pairs(
     cand_rows: int | None = None,
     broadcast_limit: int = 20_000_000,
 ) -> DataFrame:
-    """candidates (ih_a, ih_b, n_bands — long keys) -> verified NEAR pairs
+    """candidates (ih_a, ih_b, n_bands — long keys, UNIQUE on (ih_a, ih_b):
+    every producer is a groupBy/distinct; duplicates would cross-multiply
+    in the composite join below) -> verified NEAR pairs
     (conv_id_a, conv_id_b, jaccard, match_kind='near', ih_a, ih_b) with
     (conv_id_a, conv_id_b) normalized lexicographic a < b and the ih
     columns aligned to that order. Exact-hash pairs are excluded here; they
