@@ -55,6 +55,8 @@ def main() -> None:
     turn_idx_df = entry.queries()["tr_turn_dedup_index"](spark, SF)
     ann_recall_df = entry.queries()["ann_recall_report"](spark, SF)
     emb_lsh_df = entry.queries()["doc_embedding_lsh_pairs"](spark, SF)
+    sample_df = entry.queries()["doc_stratified_sample"](spark, SF)
+    deco_df = entry.queries()["doc_decontamination"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -84,6 +86,10 @@ def main() -> None:
             ann_recall_df,
         "embedding LSH pairs (hyperplane buckets -> shared salted cap -> exact rescore)":
             emb_lsh_df,
+        "stratified sample (map-only hash-threshold decision, no shuffle, no UDF)":
+            sample_df,
+        "decontamination (broadcast eval-gram set, hit counts via one groupBy)":
+            deco_df,
     }
 
     checks: list[str] = []
@@ -194,6 +200,22 @@ def main() -> None:
         and "CartesianProduct" not in emb_lsh_plan
         and "BroadcastNestedLoopJoin" not in emb_lsh_plan
         else "FAIL doc_embedding_lsh_pairs: missing broadcast salt or quadratic stage"
+    )
+
+    sample_plan = plan_of(sample_df)
+    checks.append(
+        "OK doc_stratified_sample: map-only (no exchange, no Python UDF)"
+        if "Exchange" not in sample_plan and "MapInPandas" not in sample_plan
+        and "BatchEvalPython" not in sample_plan
+        else "FAIL doc_stratified_sample: shuffle or Python UDF in a map-only op"
+    )
+    deco_plan = plan_of(deco_df)
+    checks.append(
+        "OK doc_decontamination: eval-gram set broadcast, no cartesian stage"
+        if "BroadcastHashJoin" in deco_plan
+        and "CartesianProduct" not in deco_plan
+        and "BroadcastNestedLoopJoin" not in deco_plan
+        else "FAIL doc_decontamination: benchmark grams not broadcast"
     )
 
     out.append("## Plan-quality checks\n")
