@@ -59,6 +59,17 @@ def get_spark(
         # the extra compression CPU buys nothing; default stays lz4
         .config("spark.io.compression.codec",
                 os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
+        # LOCAL MODE ONLY: skip shuffle-block compression entirely — blocks
+        # live in the page cache, and at 32 task threads the codec's
+        # allocation churn measurably inflates the array-heavy exchanges
+        # (A/B at local[32]: off won every attempt, best 81 s vs lz4 118 s,
+        # pairs stage 15-18 s vs 15-40 s). A real cluster shuffles over the
+        # network, where compression pays — so the default flips only when
+        # the master is local; SPARK_GRAFT_SHUFFLE_COMPRESS overrides both.
+        .config("spark.shuffle.compress",
+                os.environ.get(
+                    "SPARK_GRAFT_SHUFFLE_COMPRESS",
+                    "false" if master.startswith("local") else "true"))
         # local mode: the driver JVM hosts ALL task threads — an undersized
         # heap GC-thrashes the text shuffle (measured 4-6x slowdown at 8g),
         # while an oversized one starves the 32 Python workers of RAM
