@@ -475,19 +475,39 @@ def distinct_sorted_per_doc(
     flat: np.ndarray, starts: np.ndarray
 ) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
     """Per-doc distinct+sorted shingle sets. Returns (list of arrays, flat
-    concat, new starts). Per-segment np.unique beats a global
-    (doc, value) lexsort here ~5x: the segments are already contiguous, so
-    each unique sorts a cache-resident slice, while lexsort pays two full
-    stable argsorts + gathers over the whole batch."""
+    concat, new starts; the list entries are views into the concat).
+
+    One batch copy, then an IN-PLACE ndarray.sort() per contiguous segment
+    (the only real work — each sorts a cache-resident slice), then ONE
+    vectorized adjacent-dedup + compaction across the whole batch. This
+    beats per-segment np.unique ~3x: unique pays flatten/copy/slice
+    dispatch per doc (~90% of its time at Arrow batch sizes was numpy
+    call overhead, not sorting), and beats a global (doc, value) lexsort
+    ~5x (two full stable argsorts + gathers over the batch)."""
     n_docs = len(starts) - 1
-    outs: list[np.ndarray] = []
+    total = len(flat)
+    if total == 0:
+        cat = np.empty(0, dtype=np.uint64)
+        return [cat[:0]] * n_docs, cat, np.zeros(n_docs + 1, dtype=np.int64)
+    # copy: callers reuse `flat` in input order (window hashes)
+    f = flat.astype(np.uint64, copy=True)
     for i in range(n_docs):
-        seg = flat[starts[i] : starts[i + 1]]
-        outs.append(np.unique(seg) if len(seg) else seg.astype(np.uint64))
-    lens = np.fromiter((len(o) for o in outs), dtype=np.int64, count=n_docs)
-    new_starts = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(lens, out=new_starts[1:])
-    cat = np.concatenate(outs) if outs else np.empty(0, dtype=np.uint64)
+        s, e = starts[i], starts[i + 1]
+        if e - s > 1:
+            f[s:e].sort()
+    keep = np.empty(total, dtype=bool)
+    keep[0] = True
+    np.not_equal(f[1:], f[:-1], out=keep[1:])
+    # segment firsts always survive (a value equal to the previous doc's
+    # last is not a within-doc duplicate); empty segments mark the next
+    # doc's first — also a first, so harmless
+    seg_firsts = starts[:-1][starts[:-1] < total]
+    keep[seg_firsts] = True
+    cat = f[keep]
+    kept_cum = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(keep, out=kept_cum[1:])
+    new_starts = kept_cum[starts]
+    outs = [cat[new_starts[i] : new_starts[i + 1]] for i in range(n_docs)]
     return outs, cat, new_starts
 
 
@@ -568,14 +588,28 @@ def minhash_oph_flat(
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
         keys = doc_idx * num_perm + bins
         np.minimum.at(sig.reshape(-1), keys, vals)
-    # rotation densification: two circular left-to-right passes
-    for _pass in range(2):
-        for j in range(num_perm):
-            prev = (j - 1) % num_perm
-            col = sig[:, j]
-            empty = col == sentinel
-            if empty.any():
-                col[empty] = sig[empty, prev]
+    # rotation densification, vectorized: every empty bin takes the value
+    # of the nearest non-empty bin to its LEFT (circular) — exactly what
+    # two circular left-to-right copy passes converge to. One
+    # maximum.accumulate forward-fills last-valid column indices; leading
+    # empties wrap to the row's last valid index; one take_along_axis
+    # gathers. Only rows that HAVE an empty bin pay anything (dense docs
+    # skip), and the index matrix is int16 (num_perm <= 2^15).
+    invalid = sig == sentinel
+    rows = np.flatnonzero(invalid.any(axis=1))
+    if len(rows):
+        sub = sig[rows]
+        cols = np.arange(num_perm, dtype=np.int16)
+        idx = np.where(invalid[rows], np.int16(-1), cols[None, :])
+        np.maximum.accumulate(idx, axis=1, out=idx)
+        np.copyto(idx, idx[:, -1:], where=(idx < 0))
+        all_empty = idx[:, -1] < 0
+        if all_empty.any():
+            idx[all_empty] = 0  # placeholder; rows reset to sentinel below
+        filled = np.take_along_axis(sub, idx.astype(np.intp), axis=1)
+        if all_empty.any():
+            filled[all_empty] = sentinel
+        sig[rows] = filled
     # all-empty docs: deterministic sentinel signature (identical for all)
     still = sig[:, 0] == sentinel
     if still.any():
