@@ -264,7 +264,8 @@ def _fnv_tokens_gather(
     return out
 
 
-def _tokenize_hash_ascii(docs: list[str], max_token_chars: int):
+def _tokenize_hash_ascii(docs: list[str], max_token_chars: int,
+                         want_hashes: bool = True):
     """ASCII batch fast path: normalize + tokenize + token-hash a whole
     batch with flat uint8 numpy arrays — no per-token Python strings, no
     UCS4 padding (4 B/char -> 1 B/char of matrix traffic). Caller
@@ -273,6 +274,8 @@ def _tokenize_hash_ascii(docs: list[str], max_token_chars: int):
     Returns (norm_bytes list[bytes], th_flat uint64, starts int64[n+1]).
     norm_bytes[i] is doc i's normalized text (the sha256 content-hash
     input); th_flat/starts are the concatenated per-doc token hashes.
+    ``want_hashes=False`` skips the FNV token-hash pass (th_flat comes back
+    empty) for callers that only need the normalized bytes.
 
     Exactness: lower()+translate() on the joined string is byte-identical
     to normalize_one's fast path (ASCII lower/translate are
@@ -306,8 +309,11 @@ def _tokenize_hash_ascii(docs: list[str], max_token_chars: int):
     starts[-1] = n_tok
     nt_doc = np.diff(starts)
 
-    w = np.minimum(tok_lens, max_token_chars)
-    th_flat = _fnv_tokens_gather(a, tok_starts, w)
+    if want_hashes:
+        w = np.minimum(tok_lens, max_token_chars)
+        th_flat = _fnv_tokens_gather(a, tok_starts, w)
+    else:
+        th_flat = np.empty(0, dtype=np.uint64)
 
     # normalized doc bytes: full-length tokens joined by single spaces
     # (exactly " ".join(split())). One boolean mask does the run-collapse:
@@ -381,6 +387,40 @@ def tokenize_hash_batch(
         np.concatenate(per_doc) if starts[-1] > 0 else np.empty(0, dtype=np.uint64)
     )
     return norm_bytes, th_flat, starts
+
+
+def normalize_bytes_batch(texts: pd.Series) -> tuple[list[bytes], np.ndarray]:
+    """Batch normalize WITHOUT token hashing: returns (norm_bytes per doc,
+    char lengths int64). The ASCII majority rides the flat-numpy batch path
+    of _tokenize_hash_ascii with the FNV pass skipped (want_hashes=False);
+    non-ASCII / NUL docs fall back to normalize_one. Char length equals byte
+    length on the ASCII path and len(norm_str) on the fallback, matching
+    DuckDB length() (code points) in the oracle twins."""
+    s = texts.fillna("").astype(str)
+    lst = s.tolist()
+    n_docs = len(lst)
+    slow_idx = [i for i, t in enumerate(lst) if not t.isascii() or "\x00" in t]
+    if not slow_idx:
+        norm_bytes, _, _ = _tokenize_hash_ascii(lst, 1, want_hashes=False)
+        lens = np.fromiter(
+            (len(b) for b in norm_bytes), dtype=np.int64, count=n_docs
+        )
+        return norm_bytes, lens
+    slow_set = set(slow_idx)
+    fast_idx = [i for i in range(n_docs) if i not in slow_set]
+    f_norm, _, _ = _tokenize_hash_ascii(
+        [lst[i] for i in fast_idx], 1, want_hashes=False
+    )
+    norm_bytes: list[bytes] = [b""] * n_docs
+    lens = np.zeros(n_docs, dtype=np.int64)
+    for pos, i in enumerate(fast_idx):
+        norm_bytes[i] = f_norm[pos]
+        lens[i] = len(f_norm[pos])
+    for i in slow_idx:
+        norm = normalize_one(lst[i])
+        norm_bytes[i] = norm.encode("utf-8")
+        lens[i] = len(norm)
+    return norm_bytes, lens
 
 
 def hash_bytes_rows(payloads) -> np.ndarray:

@@ -133,14 +133,18 @@ def turn_dedup_stats(transcripts: DataFrame, min_chars: int = 16) -> DataFrame:
 
     @kernels.trim_after
     def _hash_gen(batches):
+        import hashlib
+
         import pandas as pd
 
         for pdf in batches:
-            norm = kernels.normalize_texts(pdf["text"])
+            norm_bytes, n_chars = kernels.normalize_bytes_batch(pdf["text"])
             yield pd.DataFrame(
                 {
-                    "turn_hash": kernels.content_hash_hex(norm),
-                    "n_chars": norm.str.len().astype("int64"),
+                    "turn_hash": [
+                        hashlib.sha256(b).hexdigest() for b in norm_bytes
+                    ],
+                    "n_chars": n_chars,
                 }
             )
 

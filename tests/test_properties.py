@@ -51,6 +51,19 @@ def test_normalize_scalar_equals_vector(t):
 
 @given(text_lists)
 @settings(**SETTINGS)
+def test_normalize_bytes_batch_matches_scalar(docs):
+    """normalize_bytes_batch (flat-ASCII want_hashes=False path) must agree
+    with normalize_one on bytes AND char length for every mix of
+    ASCII/non-ASCII/NUL docs."""
+    nb, lens = K.normalize_bytes_batch(pd.Series(docs))
+    for b, l, t in zip(nb, lens, docs):
+        ref = K.normalize_one(t)
+        assert b == ref.encode("utf-8")
+        assert l == len(ref)
+
+
+@given(text_lists)
+@settings(**SETTINGS)
 def test_signatures_batch_invariance(docs):
     """Signatures must not depend on batch composition (partition
     independence — the property Spark repartitioning relies on)."""
