@@ -139,7 +139,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tr_turns_fidelity"] = tr_turns_fidelity
     q["tr_exact_dup_groups"] = tr_exact_dup_groups
     q["tr_exact_dedup_reps"] = tr_exact_dedup_reps
+    def tr_recall_report(spark, sf_dir):
+        from pcompress_spark.operators.verify import transcript_recall_report
+        t = _pipeline_tables(spark, sf_dir)
+        return transcript_recall_report(
+            t["signatures"], t["clusters"], truth_threshold=0.7
+        )
+
     q["tr_near_pairs"] = tr_near_pairs
+    q["tr_recall_report"] = tr_recall_report
     q["tr_clusters"] = tr_clusters
     q["tr_substring_pairs"] = tr_substring_pairs
 
@@ -775,6 +783,7 @@ def oracle_sql() -> dict[str, str]:
     o["tr_near_pairs"] = oq.tr_near_pairs_sql(tr, CFG)
     o["tr_simhash_pairs"] = oq.tr_simhash_sql(tr, max_hamming=6, cfg=CFG)
     o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)
+    o["tr_recall_report"] = oq.tr_recall_sql(tr, CFG, truth_threshold=0.7)
     o["tr_dedup_view"] = oq.tr_dedup_view_sql(tr, CFG)
     o["tr_substring_pairs"] = oq.tr_substring_pairs_sql(tr, CFG)
     o["tr_substring_verified"] = oq.tr_substring_verified_sql(tr, CFG)

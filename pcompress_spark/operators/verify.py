@@ -178,3 +178,83 @@ def verify_pairs(
     return near_pairs(sig, candidates, cfg, cand_rows=cand_rows).unionByName(
         exact_pairs(sig)
     )
+
+
+def transcript_recall_report(
+    sig: DataFrame, clusters: DataFrame, truth_threshold: float = 0.7
+) -> DataFrame:
+    """One-row audit of the north-rule headline on the TRANSCRIPT pipeline:
+    dup-pair recall of the clustered output against exact shingle-Jaccard
+    ground truth, required >= 0.99 at a truth threshold above the LSH
+    design point (cfg.jaccard_threshold, default 0.50; truth default 0.70).
+
+    Truth = every conversation pair whose exact Jaccard over the
+    sorted-distinct shingle sets is >= truth_threshold, computed by a
+    shingle-row self-join (explode -> join on shingle -> count per pair) —
+    never an all-pairs array_intersect scan, so cost is bounded by pairs
+    that SHARE a shingle. A pair counts as found when both ends carry the
+    same cluster_id, i.e. recall is measured on the transitive closure the
+    north rule's "matching cluster assignments" wording asks about, so
+    exact-dup star edges and multi-hop merges count naturally.
+
+    AUDIT path, like doc_dedup.recall_report: a shingle shared by m
+    conversations contributes C(m,2) join rows, which is exactly the
+    quadratic hot-bucket blowup the production LSH path caps away — run
+    this on audit samples, never the full 10^12-turn corpus. Reference
+    analog: the end-of-run dedup-ratio accounting pcompress prints
+    (/root/reference/rabin/rabin_dedup.c:1469-1489), strengthened from a
+    ratio to a recall against ground truth.
+    """
+    ex = (
+        sig.where(F.size("shingles") > 0)
+        .select(
+            "conv_id",
+            F.size("shingles").alias("nsh"),
+            F.explode("shingles").alias("sh"),
+        )
+    )
+    a = ex.select(
+        F.col("conv_id").alias("conv_id_a"), F.col("nsh").alias("na"), "sh"
+    )
+    b = ex.select(
+        F.col("conv_id").alias("conv_id_b"), F.col("nsh").alias("nb"), "sh"
+    )
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("conv_id_a") < F.col("conv_id_b"))
+        .groupBy("conv_id_a", "conv_id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # plain IEEE double compare: integer-valued operands, bit-identical in
+    # Spark and the DuckDB twin — no rounding at the threshold boundary
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    truth = inter.where(jac >= F.lit(truth_threshold)).select(
+        "conv_id_a", "conv_id_b"
+    )
+    c1 = clusters.select(
+        F.col("conv_id").alias("conv_id_a"), F.col("cluster_id").alias("cl_a")
+    )
+    c2 = clusters.select(
+        F.col("conv_id").alias("conv_id_b"), F.col("cluster_id").alias("cl_b")
+    )
+    found = (
+        truth.join(c1, "conv_id_a")
+        .join(c2, "conv_id_b")
+        .where(F.col("cl_a") == F.col("cl_b"))
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nf = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    return nt.crossJoin(nf).select(
+        F.lit(float(truth_threshold)).alias("truth_threshold"),
+        "n_truth",
+        "n_found",
+        F.round(
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_found").cast("double") / F.col("n_truth"),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("recall"),
+    )

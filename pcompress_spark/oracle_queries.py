@@ -706,6 +706,42 @@ def tr_clusters_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
     )
 
 
+def tr_recall_sql(tr_path: str, cfg: DedupConfig | None = None,
+                  truth_threshold: float = 0.7) -> str:
+    """Twin for operators.verify.transcript_recall_report: exact
+    shingle-Jaccard truth pairs (shingle-ROW self-join on tshd — never
+    list_intersect over all pairs, per the quadratic-list rule) checked
+    against the recursive-CC cluster assignments; one row
+    (truth_threshold, n_truth, n_found, recall)."""
+    cfg = cfg or DedupConfig()
+    return _script(
+        _tr_clusters_stmts(tr_path, cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE rlen AS
+SELECT sid, count(*) AS n FROM tshd GROUP BY sid;
+CREATE OR REPLACE TEMP TABLE rinter AS
+SELECT a.sid AS ca, b.sid AS cb, count(*) AS inter
+FROM tshd a JOIN tshd b ON a.sh = b.sh AND a.sid < b.sid
+GROUP BY a.sid, b.sid;
+CREATE OR REPLACE TEMP TABLE rtruth AS
+SELECT r.ca, r.cb
+FROM rinter r JOIN rlen la ON la.sid = r.ca JOIN rlen lb ON lb.sid = r.cb
+WHERE r.inter::DOUBLE / (la.n + lb.n - r.inter) >= {truth_threshold};
+CREATE OR REPLACE TEMP TABLE rfound AS
+SELECT t.ca, t.cb
+FROM rtruth t
+JOIN clusters x ON x.conv_id = t.ca
+JOIN clusters y ON y.conv_id = t.cb
+WHERE x.cluster_id = y.cluster_id;
+SELECT {truth_threshold}::DOUBLE AS truth_threshold,
+       nt.n AS n_truth, nf.n AS n_found,
+       round(CASE WHEN nt.n > 0 THEN nf.n::DOUBLE / nt.n ELSE 1.0 END, 6)
+           AS recall
+FROM (SELECT count(*)::BIGINT AS n FROM rtruth) nt,
+     (SELECT count(*)::BIGINT AS n FROM rfound) nf""",
+    )
+
+
 def tr_dedup_view_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
     cfg = cfg or DedupConfig()
     return _script(

@@ -86,6 +86,16 @@ def test_query_matches_oracle_sf0001(spark, duck, name):
     assert er == orows
 
 
+def test_tr_recall_report_meets_north_rule(spark):
+    """The north rule's headline: dup-pair recall >= 0.99 of the clustered
+    pipeline output vs exact shingle-Jaccard truth (truth threshold 0.7,
+    above the 0.5 LSH design point)."""
+    pdf = entry.queries()["tr_recall_report"](spark, SF).toPandas()
+    assert len(pdf) == 1
+    assert pdf["n_truth"][0] > 0
+    assert pdf["recall"][0] >= 0.99
+
+
 def test_rows_only_queries_nonempty(spark):
     qs = entry.queries()
     for name in ["tr_near_pairs", "tr_clusters", "doc_minhash_lsh_pairs",
