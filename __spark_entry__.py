@@ -434,6 +434,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_neardup_clusters"] = doc_neardup_clusters
+
+    def doc_dedup_keep_best(spark, sf_dir):
+        """Quality-aware near-dup dedup: keep the highest-quality member
+        per cluster (tie -> min doc_id) — the curation keep policy."""
+        return doc_dedup.dedup_keep_best(
+            load_table(spark, sf_dir, "documents"), threshold=0.3
+        )
+
+    q["doc_dedup_keep_best"] = doc_dedup_keep_best
     return q
 
 
@@ -578,26 +587,34 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0.0 END, 6) AS avg_token_len
         FROM w
     """
-    o["doc_quality"] = f"""
+    quality_feat = f"""
         WITH base AS (
             SELECT doc_id, lower(text) AS lt, {words} AS words FROM documents
-        ), feat AS (
-            SELECT doc_id,
-                CASE WHEN length(lt) > 0 THEN
-                    length(regexp_replace(lt, '[^a-z0-9 ]', '', 'g'))::DOUBLE / length(lt)
-                    ELSE 0.0 END AS alnum_ratio_raw,
-                CASE WHEN len(words) > 0 THEN
-                    len(list_filter(words, x -> list_contains({sw['en']}, x)))::DOUBLE / len(words)
-                    ELSE 0.0 END AS stop_ratio_raw,
-                least(len(words)::DOUBLE / 50.0, 1.0) AS len_score_raw
-            FROM base
         )
+        SELECT doc_id,
+            CASE WHEN length(lt) > 0 THEN
+                length(regexp_replace(lt, '[^a-z0-9 ]', '', 'g'))::DOUBLE / length(lt)
+                ELSE 0.0 END AS alnum_ratio_raw,
+            CASE WHEN len(words) > 0 THEN
+                len(list_filter(words, x -> list_contains({sw['en']}, x)))::DOUBLE / len(words)
+                ELSE 0.0 END AS stop_ratio_raw,
+            least(len(words)::DOUBLE / 50.0, 1.0) AS len_score_raw
+        FROM base
+    """
+    o["doc_quality"] = f"""
         SELECT doc_id, round(alnum_ratio_raw, 6) AS alnum_ratio,
                round(stop_ratio_raw, 6) AS stopword_ratio,
                round(len_score_raw, 6) AS len_score,
                round((alnum_ratio_raw + stop_ratio_raw + len_score_raw) / 3.0, 6) AS quality
-        FROM feat
+        FROM ({quality_feat})
     """
+    o["doc_dedup_keep_best"] = oq.doc_keep_best_sql(
+        k=3, threshold=0.3,
+        quality_sql=f"""SELECT doc_id,
+            round((alnum_ratio_raw + stop_ratio_raw + len_score_raw) / 3.0, 6)
+                AS quality
+        FROM ({quality_feat})""",
+    )
     lang_counts = ", ".join(
         f"len(list_filter(words, x -> list_contains({sw[lang]}, x)))::BIGINT AS sw_{lang}"
         for lang in text_fns.STOPWORDS

@@ -288,6 +288,48 @@ def neardup_clusters(docs: DataFrame, cfg: DedupConfig | None = None,
     )
 
 
+def dedup_keep_best(docs: DataFrame, cfg: DedupConfig | None = None,
+                    threshold: float = 0.3) -> DataFrame:
+    """Quality-aware near-dup dedup: one kept row per near-dup cluster —
+    the HIGHEST-quality member, ties broken by min doc_id. Output
+    (cluster_id, doc_id, quality, n_members); singletons keep themselves.
+
+    This is the curation policy real training-data pipelines use instead of
+    first-occurrence-wins: within a duplicate cluster, retain the cleanest
+    copy (composite quality score: alnum ratio + stopword ratio + length,
+    text.quality_col) rather than the earliest id. Reference analog: the
+    global index keeps the FIRST occurrence because byte-identical blocks
+    have no better/worse copy (/root/reference/rabin/global/index.c:485-558);
+    near-dup clusters DO have unequal members, so the keep rule generalizes
+    to arg-max quality.
+
+    Scale shape: clusters come from the bucketed LSH + star CC path (never
+    all-pairs); the policy itself is two hash aggregations on cluster_id
+    (max quality + member count, then min doc_id among the tied best) —
+    skew-safe, since even a viral cluster contributes one group with
+    count/max/min aggregates, membership never materialized."""
+    from .text import quality_col
+
+    clusters = neardup_clusters(docs, cfg, threshold)
+    scored = docs.select(
+        "doc_id", quality_col("text").alias("quality")
+    ).join(clusters, "doc_id")
+    agg = scored.groupBy("cluster_id").agg(
+        F.max("quality").alias("best_q"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return (
+        scored.join(agg, "cluster_id")
+        .where(F.col("quality") == F.col("best_q"))
+        .groupBy("cluster_id", "best_q", "n_members")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select(
+            "cluster_id", "doc_id", F.col("best_q").alias("quality"),
+            "n_members",
+        )
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
                   cfg: DedupConfig | None = None,
                   with_stats: bool = False):

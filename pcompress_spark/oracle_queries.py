@@ -421,6 +421,32 @@ def doc_neardup_clusters_sql(k: int = 3, threshold: float = 0.3,
     )
 
 
+def doc_keep_best_sql(k: int = 3, threshold: float = 0.3,
+                      quality_sql: str = "",
+                      cfg: DedupConfig | None = None) -> str:
+    """Twin for doc_dedup.dedup_keep_best: near-dup clusters (shared
+    dclusters staging) joined to per-doc quality, arg-max quality with min
+    doc_id tie-break per cluster. ``quality_sql`` is a SELECT yielding
+    (doc_id, quality) — passed in from the caller so the quality expression
+    lives in exactly one place (the doc_quality oracle)."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    return _script(
+        _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg),
+        _doc_cluster_stmts(threshold, cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE kbq AS {quality_sql};
+CREATE OR REPLACE TEMP TABLE kbm AS
+SELECT c.cluster_id, c.doc_id, q.quality
+FROM dclusters c JOIN kbq q USING (doc_id);
+SELECT cluster_id, doc_id, quality, n_members FROM (
+    SELECT cluster_id, doc_id, quality,
+           count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality DESC, doc_id ASC) AS rn
+    FROM kbm) WHERE rn = 1""",
+    )
+
+
 def _doc_cluster_stmts(threshold: float, cfg: DedupConfig) -> str:
     """TEMP TABLE ``dclusters`` (doc_id, cluster_id). Requires
     _doc_sig_stmts(with_minhash=True) tables (dsig, dsrc)."""

@@ -311,3 +311,26 @@ def test_ann_recall_report_consistent_with_sets(spark, emb):
         assert row.n_found == len(bset & fset)
         assert 0.0 <= row.recall <= 1.0
         assert row.k == 5
+
+
+def test_dedup_keep_best_policy(spark, docs):
+    """keep_best keeps exactly one row per cluster: the max-quality member,
+    min doc_id on quality ties; singletons keep themselves."""
+    from pcompress_spark.functions.text import quality_score
+
+    kept = doc_dedup.dedup_keep_best(docs, threshold=0.3).toPandas()
+    clusters = doc_dedup.neardup_clusters(docs, threshold=0.3).toPandas()
+    q = quality_score(docs).toPandas().set_index("doc_id")["quality"]
+
+    assert len(kept) == clusters["cluster_id"].nunique()
+    sizes = clusters.groupby("cluster_id").size()
+    by_cluster = clusters.groupby("cluster_id")["doc_id"].apply(list)
+    for row in kept.itertuples(index=False):
+        members = by_cluster[row.cluster_id]
+        assert row.n_members == sizes[row.cluster_id]
+        best = max(q[m] for m in members)
+        assert row.quality == best
+        assert row.doc_id == min(m for m in members if q[m] == best)
+    # singleton clusters keep themselves with n_members == 1
+    singles = kept[kept.n_members == 1]
+    assert (singles.doc_id == singles.cluster_id).all()

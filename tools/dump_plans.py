@@ -57,6 +57,7 @@ def main() -> None:
     emb_lsh_df = entry.queries()["doc_embedding_lsh_pairs"](spark, SF)
     sample_df = entry.queries()["doc_stratified_sample"](spark, SF)
     deco_df = entry.queries()["doc_decontamination"](spark, SF)
+    tr_recall_df = entry.queries()["tr_recall_report"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -90,6 +91,8 @@ def main() -> None:
             sample_df,
         "decontamination (broadcast eval-gram set, hit counts via one groupBy)":
             deco_df,
+        "transcript recall report (shingle-row equi-join truth, no all-pairs stage)":
+            tr_recall_df,
     }
 
     checks: list[str] = []
@@ -216,6 +219,14 @@ def main() -> None:
         and "CartesianProduct" not in deco_plan
         and "BroadcastNestedLoopJoin" not in deco_plan
         else "FAIL doc_decontamination: benchmark grams not broadcast"
+    )
+
+    tr_recall_plan = plan_of(tr_recall_df)
+    checks.append(
+        "OK tr_recall_report: truth via shingle-row equi-join, no cartesian stage"
+        if "CartesianProduct" not in tr_recall_plan
+        and "BroadcastNestedLoopJoin" not in tr_recall_plan
+        else "FAIL tr_recall_report: quadratic join stage in truth computation"
     )
 
     out.append("## Plan-quality checks\n")
