@@ -146,7 +146,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t["signatures"], t["clusters"], truth_threshold=0.7
         )
 
+    def tr_assistant_near_pairs(spark, sf_dir):
+        """Role-scoped near-dup: conversations whose ASSISTANT side is
+        near-identical (canned/template bot responses) even when the user
+        turns differ — the same assemble -> signatures -> LSH -> verify
+        operator chain, run on the role-filtered turn set. Conversations
+        with no assistant turns drop out of scope entirely (both engines).
+        Demonstrates the pipeline operators compose over any turn subset;
+        the role predicate is pushed to the parquet scan."""
+        from pcompress_spark.operators.assemble import assemble
+        from pcompress_spark.operators.candidates import candidate_pairs
+        from pcompress_spark.operators.signatures import compute_signatures
+        from pcompress_spark.operators.verify import verify_pairs
+
+        t = load_transcripts(spark, sf_dir).where(F.col("role") == "assistant")
+        sig = compute_signatures(assemble(t, parallelism=8), CFG).persist()
+        cand, _ = candidate_pairs(sig, CFG)
+        pairs = verify_pairs(sig, cand, CFG)
+        return pairs.select(
+            "conv_id_a", "conv_id_b",
+            F.round("jaccard", 6).alias("jaccard"), "match_kind",
+        )
+
     q["tr_near_pairs"] = tr_near_pairs
+    q["tr_assistant_near_pairs"] = tr_assistant_near_pairs
     q["tr_recall_report"] = tr_recall_report
     q["tr_clusters"] = tr_clusters
     q["tr_substring_pairs"] = tr_substring_pairs
@@ -801,6 +824,9 @@ def oracle_sql() -> dict[str, str]:
     o["tr_simhash_pairs"] = oq.tr_simhash_sql(tr, max_hamming=6, cfg=CFG)
     o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)
     o["tr_recall_report"] = oq.tr_recall_sql(tr, CFG, truth_threshold=0.7)
+    o["tr_assistant_near_pairs"] = oq.tr_near_pairs_sql(
+        f"(SELECT conv_id, turn_idx, text FROM read_parquet('{tr}') "
+        "WHERE role = 'assistant')", CFG)
     o["tr_dedup_view"] = oq.tr_dedup_view_sql(tr, CFG)
     o["tr_substring_pairs"] = oq.tr_substring_pairs_sql(tr, CFG)
     o["tr_substring_verified"] = oq.tr_substring_verified_sql(tr, CFG)
