@@ -425,6 +425,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tr_provenance_clusters"] = tr_provenance_clusters
 
+    def tr_source_overlap(spark, sf_dir):
+        """Cross-source overlap matrix: verified duplicate pairs (near +
+        exact star) over the multi-source union corpus, counted per
+        unordered source pair — the "how much does crawl A duplicate
+        crawl B" report multi-dump curation runs before merging corpora.
+        Reuses the provenance pipeline's checkpointed pair table; the
+        rollup is one tiny groupBy over pair rows."""
+        from pcompress_spark.sources.tables import load_transcripts_multi
+
+        t = load_transcripts_multi(spark, sf_dir).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        wd = os.path.join(CACHE_DIR, f"pipeline_multi_{tag}_{CFG.config_hash()}")
+        os.makedirs(wd, exist_ok=True)
+        pairs = DedupPipeline(spark, CFG, work_dir=wd).run(t).tables["pairs"]
+        sa = F.substring_index("conv_id_a", "/", 1)
+        sb = F.substring_index("conv_id_b", "/", 1)
+        return (
+            pairs.select(
+                F.least(sa, sb).alias("source_a"),
+                F.greatest(sa, sb).alias("source_b"),
+            )
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        )
+
+    q["tr_source_overlap"] = tr_source_overlap
+
     # ---- D6 routing: per-content-class algorithm dispatch ----
     def doc_routed_dedup(spark, sf_dir):
         """The routing DECISION table (class -> exact_only | shingle);
@@ -849,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
         for tag, path in srcs
     )
     o["tr_provenance_clusters"] = oq.tr_provenance_clusters_sql(srcs, CFG)
+    o["tr_source_overlap"] = oq.tr_source_overlap_sql(srcs, CFG)
 
     o["tr_provenance_dedup"] = f"""
         WITH u AS (

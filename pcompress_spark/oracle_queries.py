@@ -801,6 +801,31 @@ FROM clusters c GROUP BY c.cluster_id""",
     )
 
 
+def tr_source_overlap_sql(srcs: list[tuple[str, str]],
+                          cfg: DedupConfig | None = None) -> str:
+    """Twin for the cross-source overlap matrix: verified duplicate pairs
+    (near + exact star) over the multi-source union corpus, rolled up per
+    unordered source pair — how much each crawl duplicates each other
+    crawl. Same namespaced-conv_id union source as
+    tr_provenance_clusters_sql."""
+    cfg = cfg or DedupConfig()
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{tag}/' || conv_id AS conv_id, turn_idx, text "
+        f"FROM read_parquet('{path}')"
+        for tag, path in srcs
+    )
+    return _script(
+        _tr_pairs_stmts(f"({union})", cfg),
+        """
+SELECT least(split_part(conv_id_a, '/', 1), split_part(conv_id_b, '/', 1))
+           AS source_a,
+       greatest(split_part(conv_id_a, '/', 1), split_part(conv_id_b, '/', 1))
+           AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM allpairs GROUP BY 1, 2""",
+    )
+
+
 def _tr_substring_stmts(tr_path: str, cfg: DedupConfig) -> str:
     """Adds TEMP TABLE ``subpairs`` (conv_id_a, conv_id_b lexicographic,
     n_windows): window-fingerprint buckets (id_hash sorted-cap) minus
