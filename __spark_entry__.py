@@ -168,7 +168,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("jaccard", 6).alias("jaccard"), "match_kind",
         )
 
+    def tr_dedup_keep_latest(spark, sf_dir):
+        """Freshest-copy-wins keep policy: per near-dup cluster keep the
+        member with the latest conversation activity (max turn ts), min
+        conv_id on exact-timestamp ties — the recency counterpart of
+        doc_dedup_keep_best (near-dup clusters DO have unequal members, so
+        first-occurrence-wins generalizes to arg-max recency). Two
+        skew-safe cluster_id aggregations; membership never materialized."""
+        t = load_transcripts(spark, sf_dir)
+        clusters = _pipeline_tables(spark, sf_dir)["clusters"]
+        conv_ts = t.groupBy("conv_id").agg(F.max("ts").alias("last_ts"))
+        m = clusters.join(conv_ts, "conv_id")
+        best = m.groupBy("cluster_id").agg(F.max("last_ts").alias("best_ts"))
+        return (
+            m.join(best, "cluster_id")
+            .where(F.col("last_ts") == F.col("best_ts"))
+            .groupBy("cluster_id", "best_ts")
+            .agg(F.min("conv_id").alias("conv_id"))
+            .select("cluster_id", "conv_id", F.col("best_ts").alias("last_ts"))
+        )
+
     q["tr_near_pairs"] = tr_near_pairs
+    q["tr_dedup_keep_latest"] = tr_dedup_keep_latest
     q["tr_assistant_near_pairs"] = tr_assistant_near_pairs
     q["tr_recall_report"] = tr_recall_report
     q["tr_clusters"] = tr_clusters
@@ -853,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
     o["tr_simhash_pairs"] = oq.tr_simhash_sql(tr, max_hamming=6, cfg=CFG)
     o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)
     o["tr_recall_report"] = oq.tr_recall_sql(tr, CFG, truth_threshold=0.7)
+    o["tr_dedup_keep_latest"] = oq.tr_keep_latest_sql(tr, CFG)
     o["tr_assistant_near_pairs"] = oq.tr_near_pairs_sql(
         f"(SELECT conv_id, turn_idx, text FROM read_parquet('{tr}') "
         "WHERE role = 'assistant')", CFG)

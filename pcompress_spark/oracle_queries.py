@@ -801,6 +801,25 @@ FROM clusters c GROUP BY c.cluster_id""",
     )
 
 
+def tr_keep_latest_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
+    """Twin for the freshest-copy-wins keep policy: per near-dup cluster
+    keep the member with the latest conversation activity (max turn ts),
+    min conv_id on exact-timestamp ties."""
+    cfg = cfg or DedupConfig()
+    return _script(
+        _tr_clusters_stmts(tr_path, cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE kts AS
+SELECT conv_id, max(ts) AS last_ts
+FROM {_tr_src(tr_path)} GROUP BY conv_id;
+SELECT cluster_id, conv_id, last_ts FROM (
+    SELECT c.cluster_id, c.conv_id, k.last_ts,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY k.last_ts DESC, c.conv_id ASC) AS rn
+    FROM clusters c JOIN kts k USING (conv_id)) WHERE rn = 1""",
+    )
+
+
 def tr_source_overlap_sql(srcs: list[tuple[str, str]],
                           cfg: DedupConfig | None = None) -> str:
     """Twin for the cross-source overlap matrix: verified duplicate pairs
