@@ -132,6 +132,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pcompress_spark.operators.turns import turn_dedup_stats
         return turn_dedup_stats(load_transcripts(spark, sf_dir))
 
+    def tr_tool_profile(spark, sf_dir):
+        """Per-tool invocation census over tool turns: call count, distinct
+        conversations, total/mean turn tokens — agent-transcript corpora
+        get curated per tool exactly like text corpora per language.
+        Completes computed coverage of the input schema (tool was the one
+        column no query aggregated over); pure JVM, one hash shuffle."""
+        t = load_transcripts(spark, sf_dir).where(F.col("tool").isNotNull())
+        ntok = F.size(F.split(F.trim("text"), r"\s+"))
+        return t.groupBy("tool").agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.sum(ntok).cast("long").alias("total_tokens"),
+            F.round(F.avg(ntok), 6).alias("avg_turn_tokens"),
+        )
+
+    q["tr_tool_profile"] = tr_tool_profile
     q["tr_turn_dedup_index"] = tr_turn_dedup_index
     q["tr_turn_dedup_stats"] = tr_turn_dedup_stats
     q["tr_simhash_pairs"] = tr_simhash_pairs
@@ -875,6 +891,16 @@ def oracle_sql() -> dict[str, str]:
     o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)
     o["tr_recall_report"] = oq.tr_recall_sql(tr, CFG, truth_threshold=0.7)
     o["tr_dedup_keep_latest"] = oq.tr_keep_latest_sql(tr, CFG)
+    o["tr_tool_profile"] = f"""
+        SELECT tool,
+               count(*)::BIGINT AS n_calls,
+               count(DISTINCT conv_id)::BIGINT AS n_convs,
+               sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                   AS total_tokens,
+               round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 6)
+                   AS avg_turn_tokens
+        FROM read_parquet('{tr}') WHERE tool IS NOT NULL GROUP BY tool
+    """
     o["tr_assistant_near_pairs"] = oq.tr_near_pairs_sql(
         f"(SELECT conv_id, turn_idx, text FROM read_parquet('{tr}') "
         "WHERE role = 'assistant')", CFG)
