@@ -61,3 +61,22 @@ def test_turn_stats_consistent_with_index(spark, smoke_transcripts):
     assert 0.0 <= st.savings_ratio <= 1.0
     # the smoke corpus plants exact-dup conversations, so turn-level refs exist
     assert st.n_ref > 0
+
+
+def test_transcript_recall_report_empty_truth(spark):
+    """No conversation pair shares a shingle -> n_truth = 0 and recall
+    reports 1.0 (vacuous success), never a divide-by-zero or null."""
+    from pcompress_spark.operators.verify import transcript_recall_report
+
+    sig = spark.createDataFrame(
+        [("c1", [1, 2, 3]), ("c2", [9, 10, 11]), ("c3", [])],
+        "conv_id string, shingles array<bigint>",
+    )
+    clusters = spark.createDataFrame(
+        [("c1", "c1"), ("c2", "c2"), ("c3", "c3")],
+        "conv_id string, cluster_id string",
+    )
+    row = transcript_recall_report(sig, clusters).collect()[0]
+    assert row.n_truth == 0
+    assert row.n_found == 0
+    assert row.recall == 1.0
