@@ -21,7 +21,7 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = """
-import json, sys, tempfile
+import json, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from pcompress_spark.session import get_spark
 from pcompress_spark.config import DedupConfig
@@ -37,20 +37,30 @@ def _noop(it):
     for pdf in it:
         yield pdf
 spark.range(0, 10_000, 1, {parts}).mapInPandas(_noop, "id long").count()
+t0 = time.monotonic()
 DedupPipeline(spark, DedupConfig(), work_dir={wd!r}).run(tdf)
-print(json.dumps(json.load(open({wd!r} + "/metrics.json"))["stages"]))
+wall = time.monotonic() - t0
+m = json.load(open({wd!r} + "/metrics.json"))
+print(json.dumps({{"stages": m["stages"], "wall": round(wall, 3),
+                   "finalize": m.get("finalize_seconds", {{}})}}))
 """
 
 
-def probe(cores: int, n_conv: int) -> dict[str, float]:
+def probe(cores: int, n_conv: int) -> dict:
     wd = tempfile.mkdtemp(prefix=f"pcompress_stageprobe_{cores}_")
     try:
         code = _CHILD.format(repo=REPO, cores=cores, parts=max(2 * cores, 8),
                              n_conv=n_conv, wd=wd)
         out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                              text=True, timeout=3600, check=True)
-        stages = json.loads(out.stdout.strip().splitlines()[-1])
-        return {s["stage"]: s["seconds"] for s in stages}
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        return {
+            "stages": {s["stage"]: s["seconds"] for s in res["stages"]},
+            "construct": {s["stage"]: s.get("construct_seconds", 0.0)
+                          for s in res["stages"]},
+            "wall": res["wall"],
+            "finalize": sum(res.get("finalize", {}).values()),
+        }
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 
@@ -66,18 +76,28 @@ def main() -> None:
         f"| stage | local[{lo}] (s) | local[{hi}] (s) | speedup | efficiency |",
         "|---|---|---|---|---|",
     ]
-    for stage, ta in a.items():
-        tb = b.get(stage)
+    for stage, ta in a["stages"].items():
+        tb = b["stages"].get(stage)
         if tb is None or tb <= 0:
             continue
         sp = ta / tb
+        ca, cb = a["construct"].get(stage, 0.0), b["construct"].get(stage, 0.0)
+        detail = f" (construct {ca:.1f}/{cb:.1f})" if max(ca, cb) >= 0.5 else ""
         lines.append(
-            f"| {stage} | {ta:.1f} | {tb:.1f} | {sp:.2f}x | {sp / (hi / lo):.2f} |"
+            f"| {stage}{detail} | {ta:.1f} | {tb:.1f} | {sp:.2f}x | {sp / (hi / lo):.2f} |"
         )
-    ta_tot, tb_tot = sum(a.values()), sum(b.values())
+    ta_tot, tb_tot = sum(a["stages"].values()), sum(b["stages"].values())
     lines.append(
         f"| TOTAL (stage sum) | {ta_tot:.1f} | {tb_tot:.1f} | "
         f"{ta_tot / tb_tot:.2f}x | {ta_tot / tb_tot / (hi / lo):.2f} |"
+    )
+    lines.append(
+        f"| finalize (stats+lineage) | {a['finalize']:.1f} | {b['finalize']:.1f} | — | — |"
+    )
+    wa, wb = a["wall"], b["wall"]
+    lines.append(
+        f"| FULL run() wall | {wa:.1f} | {wb:.1f} | {wa / wb:.2f}x | "
+        f"{wa / wb / (hi / lo):.2f} |"
     )
     table = "\n".join(lines)
     print(table)
@@ -88,9 +108,11 @@ def main() -> None:
 
 One stage_probe.py invocation ({n_conv} conversations, sf0.1 slice); stage
 seconds come from the pipeline's own metrics.json checkpointer, Python
-workers warmed before timing. The stage sum excludes inter-stage driver /
-checkpoint-write overhead, which is why it can exceed the full-pipeline
-wall-clock ratio in BASELINE.md.
+workers warmed before timing. A stage's seconds INCLUDE its operator
+construction (shown separately when >= 0.5 s — the CC convergence loop
+runs driver-synchronized jobs at build time); the finalize row is the
+bucket-stats collect + lineage write, and FULL wall is the same run()'s
+end-to-end time, so wall - stage sum - finalize = residual driver time.
 
 {table}
 

@@ -68,6 +68,13 @@ class DedupConfig:
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 2048  # bound UDF working-set memory
     cc_max_iters: int = 50        # connected-components fixpoint guard
+    # Edge sets at or below this ride a driver union-find (16 B/edge ->
+    # 32 MB at the default, the same order as what a broadcast join ships
+    # through the driver); larger sets take the distributed
+    # large-star/small-star loop. Output is bit-identical either way —
+    # this is a physical-strategy knob like autoBroadcastJoinThreshold,
+    # and the chosen path is logged to metrics.json (no silent decisions).
+    cc_local_edges: int = 2_000_000
 
     def __post_init__(self) -> None:
         if self.bands * self.rows != self.num_perm:

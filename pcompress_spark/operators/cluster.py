@@ -12,6 +12,13 @@ shuffle is the index and min() is associative.
 Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
 Components in MapReduce and Beyond") — O(log^2 n) rounds worst case, 2-3
 rounds on dedup graphs (clusters are near-cliques with tiny diameter).
+Physical two-path strategy: edge sets small enough to fit the driver's
+broadcast budget (cfg.cc_local_edges, 16 B/edge) skip the distributed
+rounds entirely and run a vectorized numpy union-find — each distributed
+round costs several driver-synchronized jobs whose scheduling latency is
+independent of core count, i.e. pure serial fraction under N->4N scaling.
+The decision is size-gated, logged to metrics, and bit-identical in output;
+the distributed loop remains the path for web-scale edge sets.
 
 Scale-first formulation: each half-round is groupBy().min() + a join —
 NO collect_set/collect_list, so a giant component (every near-copy of one
@@ -84,13 +91,58 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _local_labels(edges: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Driver union-find over a SMALL edge set -> (id_hash, lab) labels with
+    lab = component-min id_hash. Vectorized numpy min-hooking with full path
+    compression; bit-identical labels to the distributed fixpoint.
+
+    This is the physical fast path behind ``cfg.cc_local_edges``: when the
+    verified pair list fits in the same budget a broadcast join would ship
+    through the driver anyway, running O(log n) DISTRIBUTED rounds pays
+    nothing but per-job scheduling latency — a fixed serial cost that
+    dominates the clusters stage at bench scale and is pure Amdahl fraction
+    at N->4N. The reference makes the same move in the opposite direction:
+    its index auto-switches simple->segmented only past a memory budget
+    (/root/reference/rabin/global/index.c:119-215)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = edges.toPandas()
+    u = pdf["u"].to_numpy(dtype=np.int64)
+    v = pdf["v"].to_numpy(dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    eu, ev = inv[: u.size], inv[u.size:]
+    parent = np.arange(ids.size, dtype=np.int64)
+    for _ in range(cfg.cc_max_iters):
+        pu, pv = parent[eu], parent[ev]
+        if np.array_equal(pu, pv):
+            break
+        # hook the larger root under the smaller (min-label invariant) ...
+        np.minimum.at(parent, np.maximum(pu, pv), np.minimum(pu, pv))
+        # ... then compress paths to fixpoint (np.unique sorts ids, so index
+        # order == value order and the component's root index IS its min id)
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+    else:
+        raise RuntimeError(
+            f"local union-find did not converge in {cfg.cc_max_iters} iters")
+    out = pd.DataFrame({"id_hash": ids, "lab": ids[parent]})
+    return edges.sparkSession.createDataFrame(out)
+
+
 def connected_components(
-    all_nodes: DataFrame, pairs: DataFrame, cfg: DedupConfig
+    all_nodes: DataFrame, pairs: DataFrame, cfg: DedupConfig,
+    stats: dict | None = None,
 ) -> DataFrame:
     """all_nodes: (conv_id, id_hash) for every doc, clustered or not;
     pairs: (..., ih_a, ih_b) long edge keys. Returns (conv_id, cluster_id)
     where cluster_id = min conv_id of the component (singletons map to
-    self).
+    self). ``stats`` (optional dict) receives {"n_edges", "path"} so the
+    caller can log the physical-path decision to metrics (no silent
+    strategy switches).
 
     Every CC round shuffles only 8-byte node ids (the id_hash longs), never
     conv_id strings — at 10^12 nodes the string keys would ~4x every
@@ -105,21 +157,28 @@ def connected_components(
         .cache()
     )
     prev = _edge_checksum(edges)
-    if prev[0] > 0:
-        for _ in range(cfg.cc_max_iters):
-            edges = _small_star(_large_star(edges)).localCheckpoint()
-            cur = _edge_checksum(edges)
-            if cur == prev:
-                break
-            prev = cur
-        else:
-            raise RuntimeError(f"connected components did not converge in {cfg.cc_max_iters} iters")
-    # converged: every edge is (node, component_min) over id_hash longs
-    labels = (
-        edges.select(F.greatest("u", "v").alias("id_hash"), F.least("u", "v").alias("lab"))
-        .groupBy("id_hash")
-        .agg(F.min("lab").alias("lab"))
-    )
+    local = 0 < prev[0] <= cfg.cc_local_edges
+    if stats is not None:
+        stats["n_edges"] = prev[0]
+        stats["path"] = "local_union_find" if local else "distributed_star"
+    if local:
+        labels = _local_labels(edges, cfg)
+    else:
+        if prev[0] > 0:
+            for _ in range(cfg.cc_max_iters):
+                edges = _small_star(_large_star(edges)).localCheckpoint()
+                cur = _edge_checksum(edges)
+                if cur == prev:
+                    break
+                prev = cur
+            else:
+                raise RuntimeError(f"connected components did not converge in {cfg.cc_max_iters} iters")
+        # converged: every edge is (node, component_min) over id_hash longs
+        labels = (
+            edges.select(F.greatest("u", "v").alias("id_hash"), F.least("u", "v").alias("lab"))
+            .groupBy("id_hash")
+            .agg(F.min("lab").alias("lab"))
+        )
     comp = (
         all_nodes.select("conv_id", "id_hash")
         .join(labels, "id_hash", "left")

@@ -59,6 +59,7 @@ class StageResult:
     rows: int
     seconds: float
     resumed: bool
+    construct_seconds: float = 0.0
 
 
 @dataclass
@@ -69,6 +70,7 @@ class PipelineResult:
     def metrics_rows(self) -> list[dict]:
         return [
             {"stage": s.name, "rows": s.rows, "seconds": round(s.seconds, 3),
+             "construct_seconds": round(s.construct_seconds, 3),
              "resumed": s.resumed}
             for s in self.stages
         ]
@@ -153,10 +155,20 @@ class DedupPipeline:
             )
         return self.spark.read.parquet(sd), rows, False
 
-    def _run_stage(self, name: str, df: DataFrame) -> DataFrame:
+    def _run_stage(self, name: str, build) -> DataFrame:
+        """build: () -> DataFrame. Construction is timed separately because
+        some operators run driver-synchronized jobs at build time (the CC
+        convergence loop's checksums/localCheckpoints) — a fixed,
+        core-count-independent cost that is pure Amdahl serial fraction at
+        N->4N. Keeping it visible per stage is what lets the scaling probe
+        attribute the wall-vs-stage-sum gap instead of guessing."""
         t0 = time.monotonic()
+        df = build() if callable(build) else build
+        t1 = time.monotonic()
         out, rows, resumed = self._checkpoint(name, df)
-        self._stages.append(StageResult(name, rows, time.monotonic() - t0, resumed))
+        self._stages.append(
+            StageResult(name, rows, time.monotonic() - t0, resumed,
+                        construct_seconds=t1 - t0))
         return out
 
     # ---- lineage ------------------------------------------------------
@@ -237,7 +249,7 @@ class DedupPipeline:
 
         par = self.spark.sparkContext.defaultParallelism * 2
         asm = assemble(transcripts, parallelism=par)
-        sig = self._run_stage("signatures", compute_signatures(asm, cfg))
+        sig = self._run_stage("signatures", lambda: compute_signatures(asm, cfg))
 
         if band_passes > 1:
             from .planner import band_ranges
@@ -267,13 +279,15 @@ class DedupPipeline:
         cand_rows = self._stages[-1].rows
         pairs = self._run_stage(
             "pairs",
-            verify_pairs(sig, cand, cfg,
-                         cand_rows=cand_rows if cand_rows >= 0 else None),
+            lambda: verify_pairs(sig, cand, cfg,
+                                 cand_rows=cand_rows if cand_rows >= 0 else None),
         )
 
+        cc_stats: dict = {}
         clusters = self._run_stage(
             "clusters",
-            connected_components(sig.select("conv_id", "id_hash"), pairs, cfg),
+            lambda: connected_components(
+                sig.select("conv_id", "id_hash"), pairs, cfg, stats=cc_stats),
         )
 
         tables: dict[str, DataFrame] = {
@@ -285,7 +299,7 @@ class DedupPipeline:
         sub_stats = None
         if with_substring:
             sub_df, sub_stats = substring_pairs(sig, pairs, cfg, return_stats=True)
-            tables["substring_pairs"] = self._run_stage("substring_pairs", sub_df)
+            tables["substring_pairs"] = self._run_stage("substring_pairs", sub_df)  # lazy frame, construct above
 
         if with_tiers:
             from .operators.substring import verify_substring_pairs
@@ -313,6 +327,7 @@ class DedupPipeline:
                 "config_hash": cfg.config_hash(),
                 "stages": result.metrics_rows(),
                 "lsh_buckets": bucket_row[0] if bucket_row else {},
+                "connected_components": cc_stats,
             }
             if sub_stats is not None:
                 sub_row = [r.asDict() for r in sub_stats.collect()]

@@ -108,8 +108,21 @@ def test_connected_components_long_chain(spark):
     nodes = edges.selectExpr("conv_id_a as conv_id").union(
         edges.selectExpr("conv_id_b as conv_id")).distinct().withColumn(
         "id_hash", F.xxhash64("conv_id"))
-    out = connected_components(nodes, edges, CFG).toPandas()
+    stats: dict = {}
+    out = connected_components(nodes, edges, CFG, stats=stats).toPandas()
     lab = dict(zip(out["conv_id"], out["cluster_id"]))
+    assert stats["path"] == "local_union_find"  # small edge set -> fast path
     assert all(lab[f"n{i:03d}"] == "n000" for i in range(121))
     assert all(lab[f"c{i}"] == "c0" for i in range(6))
     assert lab["z1"] == lab["z2"] == "z1"
+
+    # the distributed star loop (forced via cc_local_edges=0) must produce
+    # the bit-identical assignment — the two paths are one logical operator
+    import dataclasses
+
+    dist_cfg = dataclasses.replace(CFG, cc_local_edges=0)
+    dstats: dict = {}
+    dout = connected_components(nodes, edges, dist_cfg, stats=dstats).toPandas()
+    assert dstats["path"] == "distributed_star"
+    dlab = dict(zip(dout["conv_id"], dout["cluster_id"]))
+    assert dlab == lab
