@@ -91,10 +91,11 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _local_labels(edges: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Driver union-find over a SMALL edge set -> (id_hash, lab) labels with
-    lab = component-min id_hash. Vectorized numpy min-hooking with full path
-    compression; bit-identical labels to the distributed fixpoint.
+def _local_labels(pdf, spark, cfg: DedupConfig) -> DataFrame:
+    """Driver union-find over a SMALL collected edge frame (pandas columns
+    u, v) -> (id_hash, lab) labels with lab = component-min id_hash.
+    Vectorized numpy min-hooking with full path compression; bit-identical
+    labels to the distributed fixpoint.
 
     This is the physical fast path behind ``cfg.cc_local_edges``: when the
     verified pair list fits in the same budget a broadcast join would ship
@@ -107,7 +108,8 @@ def _local_labels(edges: DataFrame, cfg: DedupConfig) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    pdf = edges.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "id_hash long, lab long")
     u = pdf["u"].to_numpy(dtype=np.int64)
     v = pdf["v"].to_numpy(dtype=np.int64)
     ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
@@ -130,7 +132,7 @@ def _local_labels(edges: DataFrame, cfg: DedupConfig) -> DataFrame:
         raise RuntimeError(
             f"local union-find did not converge in {cfg.cc_max_iters} iters")
     out = pd.DataFrame({"id_hash": ids, "lab": ids[parent]})
-    return edges.sparkSession.createDataFrame(out)
+    return spark.createDataFrame(out)
 
 
 def connected_components(
@@ -154,16 +156,31 @@ def connected_components(
         pairs.select(F.col("ih_a").alias("u"), F.col("ih_b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .cache()
     )
-    prev = _edge_checksum(edges)
-    local = 0 < prev[0] <= cfg.cc_local_edges
-    if stats is not None:
-        stats["n_edges"] = prev[0]
-        stats["path"] = "local_union_find" if local else "distributed_star"
+    # Path dispatch in ONE driver round-trip: fetch at most budget+1 edges.
+    # If fewer than budget+1 come back, that fetch IS the whole edge set
+    # (set-equality; union-find is order-independent) and the local path
+    # proceeds with zero further jobs — no count job, no cache
+    # materialization. Only an over-budget set pays the (bounded,
+    # broadcast-sized) discarded fetch before taking the distributed loop,
+    # where one extra bounded job is noise against O(log n) shuffle rounds.
+    probe = (
+        edges.limit(cfg.cc_local_edges + 1).toPandas()
+        if cfg.cc_local_edges > 0
+        else None
+    )
+    local = probe is not None and len(probe) <= cfg.cc_local_edges
     if local:
-        labels = _local_labels(edges, cfg)
+        if stats is not None:
+            stats["n_edges"] = int(len(probe))
+            stats["path"] = "local_union_find"
+        labels = _local_labels(probe, pairs.sparkSession, cfg)
     else:
+        edges = edges.cache()
+        prev = _edge_checksum(edges)
+        if stats is not None:
+            stats["n_edges"] = prev[0]
+            stats["path"] = "distributed_star"
         if prev[0] > 0:
             for _ in range(cfg.cc_max_iters):
                 edges = _small_star(_large_star(edges)).localCheckpoint()
