@@ -136,10 +136,14 @@ class DedupPipeline:
         if sd is None:
             df = df.localCheckpoint()  # cut lineage, keep in memory
             return df, df.count(), False
+        # re-reads pass the just-constructed plan's schema explicitly: the
+        # checkpoint was (or will be) written from exactly that schema, and
+        # skipping footer inference removes one driver round-trip per stage
+        # (fixed serial cost — Amdahl fraction at N->4N)
         if self._can_resume(name):
             with open(self._manifest_path(name)) as f:
                 rows = json.load(f).get("rows", -1)
-            return self.spark.read.parquet(sd), rows, True
+            return self.spark.read.schema(df.schema).parquet(sd), rows, True
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -153,7 +157,7 @@ class DedupPipeline:
                  "rows": rows, "format": PIPELINE_FORMAT, "input": self._input_fp},
                 f,
             )
-        return self.spark.read.parquet(sd), rows, False
+        return self.spark.read.schema(df.schema).parquet(sd), rows, False
 
     def _run_stage(self, name: str, build) -> DataFrame:
         """build: () -> DataFrame. Construction is timed separately because
