@@ -147,6 +147,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.avg(ntok), 6).alias("avg_turn_tokens"),
         )
 
+    def tr_boilerplate_turns(spark, sf_dir):
+        """Cross-conversation repeated-turn suppression report (corpus
+        line-dedup transposed to transcripts): turns whose normalized text
+        occurs in >= 4 distinct conversations (operators/turns
+        .boilerplate_turns)."""
+        from pcompress_spark.operators.turns import boilerplate_turns
+        return boilerplate_turns(load_transcripts(spark, sf_dir),
+                                 min_convs=4, min_chars=16)
+
+    q["tr_boilerplate_turns"] = tr_boilerplate_turns
     q["tr_tool_profile"] = tr_tool_profile
     q["tr_turn_dedup_index"] = tr_turn_dedup_index
     q["tr_turn_dedup_stats"] = tr_turn_dedup_stats
@@ -290,6 +300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # boilerplate phrase mining: 3-grams in >= 8 distinct documents
     q["doc_boilerplate_ngrams"] = lambda s, d: curation.boilerplate_ngrams(
         load_table(s, d, "documents"), n=3, min_df=5)
+    # deterministic sequence-packing plan: xxhash64 shard route + watermark
+    # packing under a token budget (two windows, one exchange, no UDF)
+    q["doc_pack_assignments"] = lambda s, d: curation.pack_assignments(
+        load_table(s, d, "documents"), budget=2048, n_shards=8)
 
     # ---- documents: text analysis ----
     q["doc_token_stats"] = lambda s, d: text_fns.token_stats(load_table(s, d, "documents"))
@@ -872,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_decontamination"] = oq.doc_decontamination_sql(
         bench_mod=19, overlap_threshold=0.5)
     o["doc_boilerplate_ngrams"] = oq.doc_boilerplate_sql(min_df=5)
+    o["doc_pack_assignments"] = oq.doc_pack_sql(budget=2048, n_shards=8)
     o["doc_fingerprints"] = oq.doc_fingerprints_sql(k=5, keep=16)
     o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
     o["doc_incremental_pairs"] = oq.doc_incremental_pairs_sql(k=3, threshold=0.3)
@@ -891,6 +906,24 @@ def oracle_sql() -> dict[str, str]:
     o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)
     o["tr_recall_report"] = oq.tr_recall_sql(tr, CFG, truth_threshold=0.7)
     o["tr_dedup_keep_latest"] = oq.tr_keep_latest_sql(tr, CFG)
+    # cross-conversation repeated-turn suppression: sha256 over the shared
+    # normalization, count-distinct conv_ids per turn hash, df >= 4
+    o["tr_boilerplate_turns"] = f"""
+        WITH h AS (
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+                   sha256({_NORM.format(x='text')}) AS th,
+                   length({_NORM.format(x='text')}) AS n_chars
+            FROM read_parquet('{tr}')
+        ),
+        elig AS (SELECT * FROM h WHERE n_chars >= 16),
+        hot AS (
+            SELECT th, count(DISTINCT conv_id)::BIGINT AS n_convs
+            FROM elig GROUP BY th
+            HAVING count(DISTINCT conv_id) >= 4
+        )
+        SELECT e.conv_id, e.turn_idx, hot.n_convs
+        FROM elig e JOIN hot USING (th)
+    """
     o["tr_tool_profile"] = f"""
         SELECT tool,
                count(*)::BIGINT AS n_calls,

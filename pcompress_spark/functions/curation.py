@@ -129,3 +129,51 @@ def boilerplate_ngrams(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFram
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .where(F.col("df") >= int(min_df))
     )
+
+
+def pack_assignments(
+    docs: DataFrame, budget: int = 2048, n_shards: int = 8
+) -> DataFrame:
+    """Deterministic sequence-packing plan for training-shard assembly:
+    (doc_id, shard, n_tokens, pack_id).
+
+    Documents are routed to a shard by pmod(xxhash64(doc_id), n_shards)
+    (JVM-native, reproducible across runs/partitionings — the same
+    hash-route shape as stratified_sample) and packed greedily in doc_id
+    order within the shard under a token budget with WATERMARK semantics:
+    pack_id = floor(preceding_shard_tokens / budget), i.e. a pack keeps
+    accepting documents until its cumulative token count crosses the
+    budget, then closes — a document never splits, so a pack may overrun
+    by at most one document (the rule training-data packers actually use
+    when sequences must stay whole). The whole plan is two window
+    functions over one exchange, deterministic under any input order.
+
+    Scale (100 TB design point): the only shuffle is hash-partitioning by
+    shard; the in-shard ordering is a per-partition sort, so n_shards is
+    the parallelism knob — set it >> executor count and each sort stays
+    partition-bounded. No UDF, whole-stage codegen end to end. Reference
+    analog: the archive member sort that packs similar members into
+    fixed-size segments before compression
+    (/root/reference/archive/pc_archive.c:378-423, 642-700).
+    """
+    from pyspark.sql import Window
+
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.pmod(F.xxhash64("doc_id"), F.lit(int(n_shards))).cast("long").alias("shard"),
+            ntok.alias("n_tokens"),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(int(budget))
+            ).cast("long"),
+        )
+    )

@@ -173,3 +173,39 @@ def turn_dedup_stats(transcripts: DataFrame, min_chars: int = 16) -> DataFrame:
             6,
         ).alias("savings_ratio"),
     )
+
+
+def boilerplate_turns(
+    transcripts: DataFrame, min_convs: int = 4, min_chars: int = 16
+) -> DataFrame:
+    """Cross-conversation repeated-turn report: (conv_id, turn_idx,
+    n_convs) for every turn whose normalized text occurs in >= min_convs
+    DISTINCT conversations — canned greetings, templated tool preambles,
+    viral boilerplate. This is corpus-level line-dedup (the C4/RefinedWeb
+    hygiene pass) transposed to the transcript schema: suppression by
+    document frequency, a different verdict from turn_dedup_index's
+    first-occurrence backward refs (a turn repeated 100x inside ONE
+    conversation is a ref there but never boilerplate here).
+
+    Below-floor turns (< min_chars normalized chars) are exempt, same
+    floor as turn_dedup_index (reference min-block analog,
+    /root/reference/rabin/rabin_dedup.c:120-126).
+
+    Scale: the frequency agg shuffles only (turn_hash, conv_id) pairs
+    (count-distinct partial agg, membership never materialized); the
+    boilerplate key set is small by construction (df >= min_convs), so the
+    join back rides an AQE broadcast — the corpus text is scanned, hashed,
+    and never shuffled. No UDF, whole-stage codegen end to end."""
+    norm = norm_text_col(F.col("text"))
+    h = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.sha2(norm, 256).alias("th"),
+        F.length(norm).alias("n_chars"),
+    ).where(F.col("n_chars") >= int(min_chars))
+    hot = (
+        h.groupBy("th")
+        .agg(F.countDistinct("conv_id").cast("long").alias("n_convs"))
+        .where(F.col("n_convs") >= int(min_convs))
+    )
+    return h.join(hot, "th").select("conv_id", "turn_idx", "n_convs")

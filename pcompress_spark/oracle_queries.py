@@ -1477,3 +1477,27 @@ e AS (SELECT doc_id, unnest(grams) AS gram FROM g)
 SELECT gram, count(*)::BIGINT AS df FROM e GROUP BY gram
 HAVING count(*) >= {min_df}
 """
+
+
+def doc_pack_sql(budget: int = 2048, n_shards: int = 8) -> str:
+    """curation.pack_assignments twin: Spark-compatible xxhash64(doc_id)
+    shard route (xxh64_long_ctes, Spark's fixed seed 42), then watermark
+    packing — pack_id = floor(preceding shard tokens / budget) over the
+    doc_id order within each shard."""
+    return _script(f"""
+CREATE OR REPLACE TEMP TABLE pack_base AS
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+FROM documents;
+WITH {osql.xxh64_long_ctes('pk', 'pack_base', ['doc_id', 'n_tokens'],
+                           'doc_id', 'xh', seed=42)}
+SELECT doc_id,
+       pymod(tobig(xh), {int(n_shards)})::BIGINT AS shard,
+       n_tokens,
+       floor(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY pymod(tobig(xh), {int(n_shards)})
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) / {int(budget)})::BIGINT AS pack_id
+FROM pkx5
+""")

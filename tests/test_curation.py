@@ -117,3 +117,36 @@ def test_verify_pairs_broadcasts_pair_list(spark, smoke_transcripts):
     assert plan.count("BroadcastHashJoin") >= 2
     assert not re.search(r"hashpartitioning\(ih_[ab]#\d+L, \d+\)", plan), (
         "signature table exchanged on a single pair-end key")
+
+
+def test_pack_assignments_watermark_semantics(spark, docs):
+    """Every pack's exclusive-start offset is below the budget (a pack only
+    closes once it crosses it), packs are contiguous in doc_id order, and
+    the plan is deterministic under repartitioning."""
+    budget = 300
+    a = curation.pack_assignments(docs, budget=budget, n_shards=4).toPandas()
+    b = (
+        curation.pack_assignments(docs.repartition(7), budget=budget, n_shards=4)
+        .toPandas()
+    )
+    cols = ["doc_id", "shard", "n_tokens", "pack_id"]
+    assert a[cols].sort_values("doc_id").reset_index(drop=True).equals(
+        b[cols].sort_values("doc_id").reset_index(drop=True))
+    assert len(a) == docs.count()
+    for shard, grp in a.sort_values("doc_id").groupby("shard"):
+        cum = 0
+        prev_pack = 0
+        for _, r in grp.iterrows():
+            assert r.pack_id == cum // budget  # watermark rule, per row
+            assert r.pack_id >= prev_pack  # packs never reopen
+            prev_pack = r.pack_id
+            cum += r.n_tokens
+
+
+def test_pack_assignments_shard_route_is_hash(spark, docs):
+    pdf = curation.pack_assignments(docs, n_shards=8).toPandas()
+    assert set(pdf.shard.unique()) <= set(range(8))
+    # route must depend on doc_id only: same docs, different partitioning,
+    # same shard (covered above); shards should be reasonably balanced
+    sizes = pdf.groupby("shard").size()
+    assert sizes.max() <= 4 * max(1, sizes.min())

@@ -80,3 +80,25 @@ def test_transcript_recall_report_empty_truth(spark):
     assert row.n_truth == 0
     assert row.n_found == 0
     assert row.recall == 1.0
+
+
+def test_boilerplate_turns_df_threshold(spark):
+    from pcompress_spark.operators.turns import boilerplate_turns
+
+    canned = "thanks for contacting support, how can I help you today?"
+    rows = []
+    # canned greeting in 4 distinct conversations (c1 has it TWICE —
+    # within-conversation repetition must not inflate the distinct count)
+    for c in ["c1", "c2", "c3", "c4"]:
+        rows.append((c, 0, canned))
+    rows.append(("c1", 1, canned))
+    # a turn repeated across only 2 conversations: below min_convs=4
+    for c in ["c5", "c6"]:
+        rows.append((c, 0, "this pair of conversations shares this turn"))
+    # a short viral turn below the char floor: exempt
+    for c in ["c1", "c2", "c3", "c4", "c5"]:
+        rows.append((c, 9, "ok!"))
+    out = boilerplate_turns(_mk(spark, rows), min_convs=4).toPandas()
+    flagged = set(map(tuple, out[["conv_id", "turn_idx"]].values))
+    assert flagged == {("c1", 0), ("c1", 1), ("c2", 0), ("c3", 0), ("c4", 0)}
+    assert (out.n_convs == 4).all()
