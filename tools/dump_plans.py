@@ -58,6 +58,8 @@ def main() -> None:
     sample_df = entry.queries()["doc_stratified_sample"](spark, SF)
     deco_df = entry.queries()["doc_decontamination"](spark, SF)
     tr_recall_df = entry.queries()["tr_recall_report"](spark, SF)
+    pack_df = entry.queries()["doc_pack_assignments"](spark, SF)
+    boiler_df = entry.queries()["tr_boilerplate_turns"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -238,6 +240,27 @@ def main() -> None:
         and all("Cross" in ln for ln in bnlj_lines)
         and len(set(bnlj_lines)) <= 2  # plan tree + AQE re-print
         else "FAIL tr_recall_report: quadratic join stage in truth computation"
+    )
+
+    pack_plan = plan_of(pack_df)
+    n_pack_exch = pack_plan.count("Arguments: hashpartitioning")
+    checks.append(
+        f"OK doc_pack_assignments: one shard exchange ({n_pack_exch}), "
+        "JVM windows only"
+        if n_pack_exch <= 1 and "MapInPandas" not in pack_plan
+        and "BatchEvalPython" not in pack_plan
+        and "CartesianProduct" not in pack_plan
+        else "FAIL doc_pack_assignments: extra shuffles or Python UDF"
+    )
+    boiler_plan = plan_of(boiler_df)
+    checks.append(
+        "OK tr_boilerplate_turns: hash-keyed df agg + equi-join, no "
+        "cartesian, no Python UDF"
+        if "CartesianProduct" not in boiler_plan
+        and "BroadcastNestedLoopJoin" not in boiler_plan
+        and "MapInPandas" not in boiler_plan
+        and "BatchEvalPython" not in boiler_plan
+        else "FAIL tr_boilerplate_turns: quadratic stage or Python UDF"
     )
 
     out.append("## Plan-quality checks\n")
