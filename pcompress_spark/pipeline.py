@@ -136,14 +136,10 @@ class DedupPipeline:
         if sd is None:
             df = df.localCheckpoint()  # cut lineage, keep in memory
             return df, df.count(), False
-        # re-reads pass the just-constructed plan's schema explicitly: the
-        # checkpoint was (or will be) written from exactly that schema, and
+        # the re-read passes the just-written plan's schema explicitly:
         # skipping footer inference removes one driver round-trip per stage
-        # (fixed serial cost — Amdahl fraction at N->4N)
-        if self._can_resume(name):
-            with open(self._manifest_path(name)) as f:
-                rows = json.load(f).get("rows", -1)
-            return self.spark.read.schema(df.schema).parquet(sd), rows, True
+        # (fixed serial cost — Amdahl fraction at N->4N). Resume is handled
+        # before construction in _run_stage; this path always writes.
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -162,11 +158,23 @@ class DedupPipeline:
     def _run_stage(self, name: str, build) -> DataFrame:
         """build: () -> DataFrame. Construction is timed separately because
         some operators run driver-synchronized jobs at build time (the CC
-        convergence loop's checksums/localCheckpoints) — a fixed,
+        local-path probe, convergence checksums/localCheckpoints) — a fixed,
         core-count-independent cost that is pure Amdahl serial fraction at
         N->4N. Keeping it visible per stage is what lets the scaling probe
-        attribute the wall-vs-stage-sum gap instead of guessing."""
+        attribute the wall-vs-stage-sum gap instead of guessing.
+
+        Resume is checked BEFORE construction: a resumed stage must not pay
+        the operator's build-time driver jobs for output it is about to
+        discard — "skips completed stages" means skips their work, not just
+        their write."""
         t0 = time.monotonic()
+        if self._can_resume(name):
+            with open(self._manifest_path(name)) as f:
+                rows = json.load(f).get("rows", -1)
+            out = self.spark.read.parquet(self._stage_dir(name))
+            self._stages.append(
+                StageResult(name, rows, time.monotonic() - t0, True))
+            return out
         df = build() if callable(build) else build
         t1 = time.monotonic()
         out, rows, resumed = self._checkpoint(name, df)
@@ -293,6 +301,14 @@ class DedupPipeline:
             lambda: connected_components(
                 sig.select("conv_id", "id_hash"), pairs, cfg, stats=cc_stats),
         )
+        if not cc_stats and self.work_dir:
+            # clusters stage resumed -> CC never executed this run; carry the
+            # original run's path decision forward instead of erasing it
+            try:
+                with open(os.path.join(self.work_dir, "metrics.json")) as f:
+                    cc_stats = json.load(f).get("connected_components", {})
+            except (OSError, json.JSONDecodeError):
+                pass
 
         tables: dict[str, DataFrame] = {
             "signatures": sig,
