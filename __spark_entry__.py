@@ -53,6 +53,33 @@ def _tr_parquet(sf_dir: str) -> str:
     return transcripts_path(sf_dir)
 
 
+def _pii_overlay(docs: DataFrame) -> DataFrame:
+    """Deterministic PII fixture: append synthetic email/phone/IPv4/SSN
+    spans (pure functions of doc_id) to a subset of documents, so the PII
+    operators have real positives to find. The DuckDB oracle builds the
+    bit-identical overlay (oracle_queries.PII_OVERLAY_SQL)."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    parts = [
+        F.col("text"),
+        F.when(d % 7 == 0, F.concat(
+            F.lit(" contact user"), s(d), F.lit("@example.com now"))
+        ).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(
+            F.lit(" call 555-"), s(d % 900 + 100), F.lit("-"),
+            s(d % 9000 + 1000))
+        ).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.concat(
+            F.lit(" host 10."), s(d % 256), F.lit(".0."), s(d % 254 + 1))
+        ).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.concat(
+            F.lit(" ssn "), s(d % 900 + 100), F.lit("-"), s(d % 90 + 10),
+            F.lit("-"), s(d % 8000 + 2000))
+        ).otherwise(F.lit("")),
+    ]
+    return docs.withColumn("text", F.concat(*parts))
+
+
 def _pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Run (or resume from checkpoint) the dedup pipeline for this scale."""
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -304,6 +331,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # packing under a token budget (two windows, one exchange, no UDF)
     q["doc_pack_assignments"] = lambda s, d: curation.pack_assignments(
         load_table(s, d, "documents"), budget=2048, n_shards=8)
+
+    # PII census + redaction over the deterministic overlay corpus (the
+    # synthetic documents carry no digits/emails, so PII spans derived from
+    # doc_id are appended in-query — the oracle reproduces the exact same
+    # overlay, so match counts AND redacted text are value-checked)
+    q["doc_pii_report"] = lambda s, d: curation.pii_report(
+        _pii_overlay(load_table(s, d, "documents")))
+    q["doc_pii_redact"] = lambda s, d: curation.pii_redact(
+        _pii_overlay(load_table(s, d, "documents")))
+    # Gopher-style intra-document repetition signals (natural fit for the
+    # small-vocab synthetic corpus: ratios vary per doc)
+    q["doc_repetition_report"] = lambda s, d: curation.repetition_report(
+        load_table(s, d, "documents"))
+    # quality-ordered token-budget selection (distributed prefix sum —
+    # deterministic quality buckets, never a single-partition window)
+    q["doc_budget_selection"] = lambda s, d: curation.budget_selection(
+        load_table(s, d, "documents"), token_budget=10_000, n_buckets=16)
 
     # ---- documents: text analysis ----
     q["doc_token_stats"] = lambda s, d: text_fns.token_stats(load_table(s, d, "documents"))
@@ -718,6 +762,27 @@ def oracle_sql() -> dict[str, str]:
                 AS quality
         FROM ({quality_feat})""",
     )
+    o["doc_budget_selection"] = f"""
+        WITH qf AS ({quality_feat}),
+        q AS (
+            SELECT d.doc_id,
+                   round((alnum_ratio_raw + stop_ratio_raw + len_score_raw)
+                         / 3.0, 6) AS quality,
+                   len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT
+                       AS n_tokens
+            FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+        )
+        SELECT doc_id, quality, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS cum_before,
+               coalesce(sum(n_tokens) OVER (
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) < 10000 AS kept
+        FROM q
+    """
     lang_counts = ", ".join(
         f"len(list_filter(words, x -> list_contains({sw[lang]}, x)))::BIGINT AS sw_{lang}"
         for lang in text_fns.STOPWORDS
@@ -887,6 +952,10 @@ def oracle_sql() -> dict[str, str]:
         bench_mod=19, overlap_threshold=0.5)
     o["doc_boilerplate_ngrams"] = oq.doc_boilerplate_sql(min_df=5)
     o["doc_pack_assignments"] = oq.doc_pack_sql(budget=2048, n_shards=8)
+    o["doc_pii_report"] = oq.doc_pii_report_sql()
+    o["doc_pii_redact"] = oq.doc_pii_redact_sql()
+    o["doc_repetition_report"] = oq.doc_repetition_sql(
+        top_frac_max=0.2, dup_ratio_max=0.3)
     o["doc_fingerprints"] = oq.doc_fingerprints_sql(k=5, keep=16)
     o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
     o["doc_incremental_pairs"] = oq.doc_incremental_pairs_sql(k=3, threshold=0.3)

@@ -131,6 +131,227 @@ def boilerplate_ngrams(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFram
     )
 
 
+# PII classes as (name, pattern, redaction token). Patterns are the
+# conservative ASCII shapes both regex engines (Java in Spark, RE2 in the
+# DuckDB oracle) parse identically: \b, \d, {m,n} quantifiers, char classes
+# only — no lookaround, no unicode classes. Matching runs over LOWERCASED
+# text so the two engines never disagree on case folding.
+PII_PATTERNS = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def pii_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII census: (doc_id, n_email, n_phone, n_ipv4, n_ssn,
+    n_pii, has_pii) — the scrub-before-training audit pass.
+
+    Counts are non-overlapping left-to-right regex matches (identical
+    semantics in Java regexp_count and RE2 regexp_extract_all, which the
+    DuckDB twin uses). The four patterns are mutually exclusive by shape
+    (a phone's 3-3-4 digit grouping can never also parse as an SSN's 3-2-4,
+    an IPv4 needs three dots, an email needs '@'), so the total is a plain
+    sum. Reference analog: the type-specific content detectors that route
+    payloads to special handling (/root/reference/filters/analyzer/
+    analyzer.c:33-98).
+
+    Scale: map-only JVM projection, whole-stage codegen, no shuffle, no
+    Python — runs at scan speed on any corpus size."""
+    lower = F.lower(F.col(text_col))
+    counts = {
+        name: F.regexp_count(lower, F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+        total.alias("n_pii"),
+        (total > 0).alias("has_pii"),
+    )
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redacted corpus view: (doc_id, clean_text, n_redacted) with every
+    PII match replaced by its class token (<EMAIL>, <PHONE>, <IPV4>,
+    <SSN>), applied in the fixed PII_PATTERNS order over lowercased text.
+    Tokens contain no digits or '@', so a replacement can never create a
+    match for a later pattern. Map-only, no shuffle — the redacted view
+    costs one projection over the scan."""
+    lower = F.lower(F.col(text_col))
+    n = None
+    for _, pat, _ in PII_PATTERNS:
+        c = F.regexp_count(lower, F.lit(pat)).cast("long")
+        n = c if n is None else n + c
+    red = lower
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return docs.select(
+        "doc_id", red.alias("clean_text"), n.alias("n_redacted")
+    )
+
+
+def _all_ngrams_expr(n: int) -> F.Column:
+    """NON-distinct word n-gram array over a `words` column (0-based Spark
+    indexing) — repetition scoring needs occurrence counts, so this is the
+    multiset sibling of doc_dedup.ngrams_col (which deduplicates)."""
+    return F.expr(
+        f"CASE WHEN size(words) >= {n} THEN "
+        f"transform(sequence(0, size(words) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'words[i + {j}]' for j in range(n))})) "
+        f"ELSE array() END"
+    )
+
+
+def repetition_report(
+    docs: DataFrame,
+    top_frac_max: float = 0.2,
+    dup_ratio_max: float = 0.3,
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals: (doc_id, n_words,
+    dup_word_ratio, dup_2gram_ratio, dup_3gram_ratio, top_2gram_frac,
+    repetitive).
+
+    - dup_{word,2gram,3gram}_ratio = 1 - distinct/total occurrences (the
+      'fraction of duplicate n-grams' family) — computed with
+      size(array_distinct(.))/size(.), map-only.
+    - top_2gram_frac = occurrences of the document's most frequent 2-gram
+      / total 2-grams (the 'most frequent n-gram' family, counted in
+      occurrences rather than characters).
+    - repetitive = top_2gram_frac > top_frac_max OR dup_3gram_ratio >
+      dup_ratio_max — the keep/drop verdict a quality filter consumes.
+
+    Plan shape: the ratio columns are one JVM projection; only the
+    per-document mode needs an aggregation, and its shuffle key is
+    (doc_id, gram) — high cardinality, skew-free by construction (a key
+    never spans documents), with map-side partial combine. The join back
+    is doc_id-keyed and AQE-broadcastable when the repetitive tail is
+    small. Reference analog: the dedup-gain early-abort that measures how
+    self-similar a chunk is before committing to the expensive path
+    (/root/reference/rabin/rabin_dedup.c:1250-1257)."""
+    base = docs.select("doc_id", norm_words("text").alias("words")).select(
+        "doc_id",
+        "words",
+        _all_ngrams_expr(2).alias("g2"),
+        _all_ngrams_expr(3).alias("g3"),
+    )
+
+    def dup_ratio(col: str) -> F.Column:
+        n = F.size(F.col(col))
+        return F.round(
+            F.when(
+                n > 0,
+                1.0 - F.size(F.array_distinct(F.col(col))).cast("double") / n,
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    stats = base.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.size("g2").cast("long").alias("n_2grams"),
+        dup_ratio("words").alias("dup_word_ratio"),
+        dup_ratio("g2").alias("dup_2gram_ratio"),
+        dup_ratio("g3").alias("dup_3gram_ratio"),
+    )
+    top = (
+        base.select("doc_id", F.explode("g2").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").cast("long").alias("top2_n"))
+    )
+    frac = F.when(
+        F.col("n_2grams") > 0,
+        F.coalesce(F.col("top2_n"), F.lit(0)).cast("double") / F.col("n_2grams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        stats.join(top, "doc_id", "left")
+        .withColumn("top_2gram_frac", F.round(frac, 6))
+        .withColumn(
+            "repetitive",
+            (F.col("top_2gram_frac") > F.lit(float(top_frac_max)))
+            | (F.col("dup_3gram_ratio") > F.lit(float(dup_ratio_max))),
+        )
+        .select(
+            "doc_id", "n_words", "dup_word_ratio", "dup_2gram_ratio",
+            "dup_3gram_ratio", "top_2gram_frac", "repetitive",
+        )
+    )
+
+
+def budget_selection(
+    docs: DataFrame, token_budget: int = 10_000, n_buckets: int = 16
+) -> DataFrame:
+    """Greedy token-budget corpus selection: order documents by
+    (quality DESC, doc_id ASC) and keep the prefix whose preceding token
+    sum is under the budget (watermark semantics, matching
+    pack_assignments — the last kept document may overrun). Emits
+    (doc_id, quality, n_tokens, cum_before, kept).
+
+    The global running sum is a DISTRIBUTED prefix sum, never a
+    single-partition window: quality (a bounded [0,1] score) is bucketed
+    by the deterministic rule bucket = min(n_buckets-1,
+    floor((1-quality) * n_buckets)) — monotone in the sort order, a pure
+    per-row function, so no sampled range boundaries and no persist is
+    needed for determinism. Within a bucket the running sum is a
+    partition-local window; across buckets the per-bucket totals (a
+    n_buckets-row driver collect, like the IVF anchors) become broadcast
+    offsets. Skew bound: a bucket holds only documents in one quality
+    1/n_buckets-ile — raise n_buckets if the score distribution
+    concentrates. Reference analog: the memory-budgeted index that admits
+    content only while under its limit
+    (/root/reference/rabin/global/index.c:119-215)."""
+    from pyspark.sql import Window
+
+    from .text import quality_col
+
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    bucket = F.least(
+        F.lit(int(n_buckets) - 1),
+        F.floor((F.lit(1.0) - F.col("quality")) * F.lit(int(n_buckets))),
+    ).cast("long")
+    base = docs.select(
+        "doc_id", quality_col("text").alias("quality"), ntok.alias("n_tokens")
+    ).withColumn("qbucket", bucket)
+    w = (
+        Window.partitionBy("qbucket")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn("cum_incl", F.sum("n_tokens").over(w))
+    totals = {
+        r["qbucket"]: r["total"]
+        for r in base.groupBy("qbucket")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for b in range(int(n_buckets)):
+        offsets.append((b, acc))
+        acc += int(totals.get(b, 0))
+    off_df = docs.sparkSession.createDataFrame(
+        offsets, ["qbucket", "bucket_offset"]
+    )
+    cum_before = (
+        F.col("bucket_offset") + F.col("cum_incl") - F.col("n_tokens")
+    ).cast("long")
+    return (
+        local.join(F.broadcast(off_df), "qbucket")
+        .select(
+            "doc_id",
+            "quality",
+            "n_tokens",
+            cum_before.alias("cum_before"),
+            (cum_before < F.lit(int(token_budget))).alias("kept"),
+        )
+    )
+
+
 def pack_assignments(
     docs: DataFrame, budget: int = 2048, n_shards: int = 8
 ) -> DataFrame:

@@ -1479,6 +1479,127 @@ HAVING count(*) >= {min_df}
 """
 
 
+# Exact SQL twin of __spark_entry__._pii_overlay (deterministic PII fixture
+# appended to the synthetic documents, pure function of doc_id).
+PII_OVERLAY_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||"
+    " CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' ||"
+    " CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||"
+    " CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.' ||"
+    " CAST(doc_id % 256 AS VARCHAR) || '.0.' ||"
+    " CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN ' ssn ' ||"
+    " CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||"
+    " CAST(doc_id % 90 + 10 AS VARCHAR) || '-' ||"
+    " CAST(doc_id % 8000 + 2000 AS VARCHAR) ELSE '' END"
+)
+
+
+def _pii_base_stmt() -> str:
+    return f"""
+CREATE OR REPLACE TEMP TABLE pii_base AS
+SELECT doc_id, lower({PII_OVERLAY_SQL}) AS t FROM documents;
+"""
+
+
+def _pii_count_cols() -> str:
+    """Per-class non-overlapping match counts (RE2 regexp_extract_all ==
+    Java regexp_count semantics on these ASCII patterns)."""
+    from .functions.curation import PII_PATTERNS
+
+    return ",\n       ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+
+
+def doc_pii_report_sql() -> str:
+    """curation.pii_report twin over the PII overlay corpus."""
+    from .functions.curation import PII_PATTERNS
+
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+{_pii_base_stmt()}
+CREATE OR REPLACE TEMP TABLE pii_cnt AS
+SELECT doc_id,
+       {_pii_count_cols()}
+FROM pii_base;
+SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn,
+       ({total})::BIGINT AS n_pii,
+       ({total}) > 0 AS has_pii
+FROM pii_cnt
+"""
+
+
+def doc_pii_redact_sql() -> str:
+    """curation.pii_redact twin: chained global regexp_replace in the fixed
+    PII_PATTERNS order (tokens contain no digits/'@', so later patterns
+    can't match inside an earlier replacement)."""
+    from .functions.curation import PII_PATTERNS
+
+    red = "t"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    total = " + ".join(
+        f"len(regexp_extract_all(t, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+{_pii_base_stmt()}
+SELECT doc_id,
+       {red} AS clean_text,
+       ({total})::BIGINT AS n_redacted
+FROM pii_base
+"""
+
+
+def doc_repetition_sql(top_frac_max: float = 0.2,
+                       dup_ratio_max: float = 0.3) -> str:
+    """curation.repetition_report twin: multiset n-gram lists (1-based
+    DuckDB indexing, end-exclusive range) + per-doc 2-gram mode via
+    unnest/group-by; the repetitive verdict compares the ROUNDED columns,
+    matching the Spark query."""
+    w = _WORDS.format(x="text")
+    g2 = ("CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), "
+          "i -> w[i] || ' ' || w[i+1]) ELSE [] END")
+    g3 = ("CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), "
+          "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END")
+
+    def dup(col: str) -> str:
+        return (f"round(CASE WHEN len({col}) > 0 THEN 1.0 - "
+                f"len(list_distinct({col}))::DOUBLE / len({col}) "
+                f"ELSE 0.0 END, 6)")
+
+    return f"""
+CREATE OR REPLACE TEMP TABLE rep_g AS
+SELECT doc_id, w, {g2} AS g2, {g3} AS g3
+FROM (SELECT doc_id, {w} AS w FROM documents);
+CREATE OR REPLACE TEMP TABLE rep_top AS
+SELECT doc_id, max(cnt)::BIGINT AS top2_n
+FROM (SELECT doc_id, gram, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(g2) AS gram FROM rep_g)
+      GROUP BY doc_id, gram)
+GROUP BY doc_id;
+CREATE OR REPLACE TEMP TABLE rep_stats AS
+SELECT b.doc_id,
+       len(b.w)::BIGINT AS n_words,
+       {dup('b.w')} AS dup_word_ratio,
+       {dup('b.g2')} AS dup_2gram_ratio,
+       {dup('b.g3')} AS dup_3gram_ratio,
+       round(CASE WHEN len(b.g2) > 0
+             THEN coalesce(t.top2_n, 0)::DOUBLE / len(b.g2)
+             ELSE 0.0 END, 6) AS top_2gram_frac
+FROM rep_g b LEFT JOIN rep_top t USING (doc_id);
+SELECT doc_id, n_words, dup_word_ratio, dup_2gram_ratio, dup_3gram_ratio,
+       top_2gram_frac,
+       (top_2gram_frac > {float(top_frac_max)}
+        OR dup_3gram_ratio > {float(dup_ratio_max)}) AS repetitive
+FROM rep_stats
+"""
+
+
 def doc_pack_sql(budget: int = 2048, n_shards: int = 8) -> str:
     """curation.pack_assignments twin: Spark-compatible xxhash64(doc_id)
     shard route (xxh64_long_ctes, Spark's fixed seed 42), then watermark

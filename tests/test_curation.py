@@ -150,3 +150,120 @@ def test_pack_assignments_shard_route_is_hash(spark, docs):
     # same shard (covered above); shards should be reasonably balanced
     sizes = pdf.groupby("shard").size()
     assert sizes.max() <= 4 * max(1, sizes.min())
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "mail me at Alice.Smith+work@Example.COM or bob@test.org thanks"),
+        (2, "call 555-123-4567 or 555.987.6543 today"),
+        (3, "server at 192.168.1.100 and 10.0.0.1 are up"),
+        (4, "ssn is 123-45-6789 do not share"),
+        (5, "plain text with no pii at all"),
+        (6, ""),
+        (7, "edge 999-99-9999 and 111-222-3333 and x@y.io"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_pii_report_counts(spark, pii_docs):
+    rep = curation.pii_report(pii_docs).toPandas().set_index("doc_id")
+    assert rep.loc[1].n_email == 2  # case-folded before matching
+    assert rep.loc[2].n_phone == 2  # dash and dot separators
+    assert rep.loc[3].n_ipv4 == 2
+    assert rep.loc[4].n_ssn == 1
+    assert rep.loc[5].n_pii == 0 and not rep.loc[5].has_pii
+    assert rep.loc[6].n_pii == 0
+    # 3-2-4 is an SSN, 3-3-4 is a phone — the shapes never cross-match
+    assert rep.loc[7].n_ssn == 1 and rep.loc[7].n_phone == 1
+    assert rep.loc[7].n_email == 1
+    assert (rep.n_pii == rep[["n_email", "n_phone", "n_ipv4", "n_ssn"]]
+            .sum(axis=1)).all()
+    assert ((rep.n_pii > 0) == rep.has_pii).all()
+
+
+def test_pii_redact_replaces_every_match(spark, pii_docs):
+    red = curation.pii_redact(pii_docs).toPandas().set_index("doc_id")
+    assert red.loc[1].clean_text == (
+        "mail me at <EMAIL> or <EMAIL> thanks")
+    assert red.loc[2].clean_text == "call <PHONE> or <PHONE> today"
+    assert red.loc[3].clean_text == "server at <IPV4> and <IPV4> are up"
+    assert red.loc[4].clean_text == "ssn is <SSN> do not share"
+    assert red.loc[5].clean_text == "plain text with no pii at all"
+    rep = curation.pii_report(pii_docs).toPandas().set_index("doc_id")
+    assert (red.n_redacted == rep.n_pii).all()
+    # nothing PII-shaped survives redaction
+    for pat in [p for _, p, _ in curation.PII_PATTERNS]:
+        assert not red.clean_text.str.contains(pat, regex=True).any()
+
+
+def test_pii_ops_map_only_plan(spark, pii_docs):
+    for df in (curation.pii_report(pii_docs), curation.pii_redact(pii_docs)):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, "PII ops must be map-only"
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_repetition_report_known_values(spark):
+    rows = [
+        (1, "a b a b a b a b"),          # one 2-gram dominates
+        (2, "one two three four five six seven eight"),  # all distinct
+        (3, "x"),                        # no 2-grams
+        (4, ""),                         # empty
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    rep = curation.repetition_report(docs).toPandas().set_index("doc_id")
+    # doc 1: words=8, 2 distinct -> dup_word=0.75; 2-grams: 7 total,
+    # 2 distinct ('a b' x4, 'b a' x3) -> dup=5/7; top frac 4/7
+    assert rep.loc[1].n_words == 8
+    assert abs(rep.loc[1].dup_word_ratio - 0.75) < 1e-9
+    assert abs(rep.loc[1].dup_2gram_ratio - round(5 / 7, 6)) < 1e-9
+    assert abs(rep.loc[1].top_2gram_frac - round(4 / 7, 6)) < 1e-9
+    assert bool(rep.loc[1].repetitive)
+    assert rep.loc[2].dup_2gram_ratio == 0.0
+    assert not bool(rep.loc[2].repetitive)
+    assert rep.loc[3].top_2gram_frac == 0.0
+    assert rep.loc[4].n_words == 0 and rep.loc[4].top_2gram_frac == 0.0
+    assert not bool(rep.loc[4].repetitive)
+
+
+def test_budget_selection_prefix_sum_exact(spark, docs):
+    """The distributed (bucketed) prefix sum must equal the global running
+    sum over (quality DESC, doc_id), and kept must be the watermark
+    predicate on it."""
+    budget = 2000
+    out = curation.budget_selection(docs, token_budget=budget, n_buckets=16)
+    pdf = out.toPandas().sort_values(
+        ["quality", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    assert len(pdf) == docs.count()
+    expect = pdf.n_tokens.cumsum().shift(1).fillna(0).astype(int)
+    assert (pdf.cum_before == expect).all()
+    assert ((pdf.cum_before < budget) == pdf.kept).all()
+    # kept is a prefix of the quality ordering
+    kept_flags = pdf.kept.tolist()
+    assert kept_flags == sorted(kept_flags, reverse=True)
+    # deterministic under input repartitioning
+    pdf2 = curation.budget_selection(
+        docs.repartition(7), token_budget=budget, n_buckets=16
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert pdf.sort_values("doc_id").reset_index(drop=True).equals(pdf2)
+
+
+def test_budget_selection_no_single_partition_window(spark, docs):
+    plan_buf = io.StringIO()
+    with redirect_stdout(plan_buf):
+        curation.budget_selection(docs).explain("formatted")
+    plan = plan_buf.getvalue()
+    assert "SinglePartition" not in plan, (
+        "global running sum must be bucket-decomposed, not one partition")
+
+
+def test_repetition_report_covers_corpus(spark, docs):
+    rep = curation.repetition_report(docs).toPandas()
+    assert len(rep) == docs.count()
+    assert ((rep.dup_word_ratio >= 0) & (rep.dup_word_ratio < 1)).all()
+    assert ((rep.top_2gram_frac >= 0) & (rep.top_2gram_frac <= 1)).all()

@@ -60,6 +60,9 @@ def main() -> None:
     tr_recall_df = entry.queries()["tr_recall_report"](spark, SF)
     pack_df = entry.queries()["doc_pack_assignments"](spark, SF)
     boiler_df = entry.queries()["tr_boilerplate_turns"](spark, SF)
+    pii_df = entry.queries()["doc_pii_redact"](spark, SF)
+    rep_df = entry.queries()["doc_repetition_report"](spark, SF)
+    budget_df = entry.queries()["doc_budget_selection"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -95,6 +98,11 @@ def main() -> None:
             deco_df,
         "transcript recall report (shingle-row equi-join truth, no all-pairs stage)":
             tr_recall_df,
+        "PII redaction (map-only JVM regex projection, no shuffle)": pii_df,
+        "repetition report (map-only ratios + (doc_id,gram)-keyed mode agg)":
+            rep_df,
+        "budget selection (bucketed distributed prefix sum, broadcast offsets)":
+            budget_df,
     }
 
     checks: list[str] = []
@@ -261,6 +269,33 @@ def main() -> None:
         and "MapInPandas" not in boiler_plan
         and "BatchEvalPython" not in boiler_plan
         else "FAIL tr_boilerplate_turns: quadratic stage or Python UDF"
+    )
+
+    pii_plan = plan_of(pii_df)
+    checks.append(
+        "OK doc_pii_redact: map-only (no exchange, no Python UDF)"
+        if "Exchange" not in pii_plan and "MapInPandas" not in pii_plan
+        and "BatchEvalPython" not in pii_plan
+        else "FAIL doc_pii_redact: shuffle or Python UDF in a map-only op"
+    )
+    rep_plan = plan_of(rep_df)
+    checks.append(
+        "OK doc_repetition_report: (doc_id,gram)-keyed agg, no cartesian, "
+        "no Python UDF"
+        if "CartesianProduct" not in rep_plan
+        and "BroadcastNestedLoopJoin" not in rep_plan
+        and "MapInPandas" not in rep_plan and "BatchEvalPython" not in rep_plan
+        else "FAIL doc_repetition_report: quadratic stage or Python UDF"
+    )
+    budget_plan = plan_of(budget_df)
+    checks.append(
+        "OK doc_budget_selection: bucketed prefix sum (no single-partition "
+        "window), offsets broadcast"
+        if "SinglePartition" not in budget_plan
+        and "BroadcastHashJoin" in budget_plan
+        and "MapInPandas" not in budget_plan
+        else "FAIL doc_budget_selection: single-partition window or missing "
+        "broadcast"
     )
 
     out.append("## Plan-quality checks\n")
