@@ -125,6 +125,8 @@ def main() -> None:
     timings["dedup_pipeline"] = round(pipeline_sec, 3)
 
     # ---- per-operator headline queries on the driver tables ----
+    from pcompress_spark.cache import release_persisted
+
     qs = entry.queries()
     for name in ["q1_pricing_summary", "q5_nation_revenue", "events_sessionize",
                  "doc_minhash_lsh_pairs", "doc_token_stats", "doc_admission",
@@ -132,6 +134,7 @@ def main() -> None:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
+        release_persisted()  # one query's caches must not skew the next
 
     # turn-level dedup on the FULL bench corpus (3.3M turns) — the JVM-only
     # block-granularity channel, timed at the same scale as the pipeline

@@ -26,7 +26,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .doc_dedup import ngrams_col
@@ -144,26 +144,37 @@ PII_PATTERNS = [
 ]
 
 
+def _pii_progressive(lower: Column) -> tuple[dict[str, Column], Column]:
+    """(per-class count columns, fully-redacted text) computed
+    SEQUENTIALLY: each class is counted on the text with all EARLIER
+    classes already replaced by their tokens, then replaced itself. The
+    classes are therefore counted over DISJOINT spans even when patterns
+    overlap textually (an email whose local part is phone-shaped, an IPv4
+    inside an email domain): whichever class comes first in PII_PATTERNS
+    owns the span, sum(counts) == number of replacements performed, and
+    has_pii/n_redacted can never disagree with the redacted output.
+    Non-overlapping match semantics are identical in Java regexp_count and
+    RE2 regexp_extract_all (the DuckDB twin)."""
+    counts: dict[str, Column] = {}
+    red = lower
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = F.regexp_count(red, F.lit(pat)).cast("long")
+        red = F.regexp_replace(red, pat, token)
+    return counts, red
+
+
 def pii_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document PII census: (doc_id, n_email, n_phone, n_ipv4, n_ssn,
-    n_pii, has_pii) — the scrub-before-training audit pass.
-
-    Counts are non-overlapping left-to-right regex matches (identical
-    semantics in Java regexp_count and RE2 regexp_extract_all, which the
-    DuckDB twin uses). The four patterns are mutually exclusive by shape
-    (a phone's 3-3-4 digit grouping can never also parse as an SSN's 3-2-4,
-    an IPv4 needs three dots, an email needs '@'), so the total is a plain
-    sum. Reference analog: the type-specific content detectors that route
-    payloads to special handling (/root/reference/filters/analyzer/
-    analyzer.c:33-98).
+    n_pii, has_pii) — the scrub-before-training audit pass. Counting is
+    sequential over progressively-redacted text (_pii_progressive), so a
+    span never double-counts across classes and n_pii is exactly the
+    number of replacements pii_redact would perform. Reference analog: the
+    type-specific content detectors that route payloads to special
+    handling (/root/reference/filters/analyzer/analyzer.c:33-98).
 
     Scale: map-only JVM projection, whole-stage codegen, no shuffle, no
     Python — runs at scan speed on any corpus size."""
-    lower = F.lower(F.col(text_col))
-    counts = {
-        name: F.regexp_count(lower, F.lit(pat)).cast("long")
-        for name, pat, _ in PII_PATTERNS
-    }
+    counts, _ = _pii_progressive(F.lower(F.col(text_col)))
     total = None
     for c in counts.values():
         total = c if total is None else total + c
@@ -180,16 +191,14 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     PII match replaced by its class token (<EMAIL>, <PHONE>, <IPV4>,
     <SSN>), applied in the fixed PII_PATTERNS order over lowercased text.
     Tokens contain no digits or '@', so a replacement can never create a
-    match for a later pattern. Map-only, no shuffle — the redacted view
-    costs one projection over the scan."""
-    lower = F.lower(F.col(text_col))
+    match for a later pattern; n_redacted counts sequentially
+    (_pii_progressive) and equals the replacements actually performed.
+    Map-only, no shuffle — the redacted view costs one projection over
+    the scan."""
+    counts, red = _pii_progressive(F.lower(F.col(text_col)))
     n = None
-    for _, pat, _ in PII_PATTERNS:
-        c = F.regexp_count(lower, F.lit(pat)).cast("long")
+    for c in counts.values():
         n = c if n is None else n + c
-    red = lower
-    for _, pat, token in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, token)
     return docs.select(
         "doc_id", red.alias("clean_text"), n.alias("n_redacted")
     )

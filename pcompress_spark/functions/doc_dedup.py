@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import cache
 from ..config import DedupConfig
 from ..kernels import signatures_for_texts, splitmix64, trim_after
 from .text import norm_words
@@ -233,7 +234,7 @@ def minhash_lsh_pairs(
     # signatures to parquet (pipeline.py); the ad-hoc doc path caches
     # in-memory instead (MEMORY_AND_DISK, LRU-evicted — at corpus scale,
     # point this at a stage table the same way the pipeline does).
-    sig = doc_signatures(docs, cfg).persist()
+    sig = cache.persist(doc_signatures(docs, cfg))
     banded = doc_band_explode(sig, cfg)
     buckets, stats = bucket_members(
         banded, cfg, id_col="doc_id", salt_col="id_hash", persist_sizes=with_stats
@@ -362,9 +363,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
     cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False)
     # persisted for the same three-way fan-out as minhash_lsh_pairs: the
     # signature UDF must run once per query, not once per reference
-    sig = doc_signatures(docs, cfg).select(
+    sig = cache.persist(doc_signatures(docs, cfg).select(
         "doc_id", "id_hash", "simhash"
-    ).persist()
+    ))
     bands = simhash_band_expr("simhash", n_segs)
     banded = sig.select(
         "doc_id", "id_hash", F.explode(bands).alias("band")
@@ -489,7 +490,7 @@ def recall_report(docs: DataFrame, cfg: DedupConfig | None = None,
     here the statistic is pinned to an exact ground truth instead."""
     cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
                              jaccard_threshold=design_threshold)
-    sig = doc_signatures(docs, cfg).persist()
+    sig = cache.persist(doc_signatures(docs, cfg))
     lang = docs.select("doc_id", "lang")
     side = (
         sig.join(lang, "doc_id")

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..config import DedupConfig
 from ..operators.candidates import bucket_members, bucket_pairs
 from .doc_dedup import doc_band_explode, doc_signatures
@@ -76,9 +77,9 @@ def incremental_lsh_pairs(
     callers at scale MUST pass them (module docstring)."""
     cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
                              jaccard_threshold=threshold)
-    csig = (corpus_sig if corpus_sig is not None
-            else doc_signatures(corpus, cfg)).persist()
-    dsig = doc_signatures(delta, cfg).persist()
+    csig = cache.persist(corpus_sig if corpus_sig is not None
+                         else doc_signatures(corpus, cfg))
+    dsig = cache.persist(doc_signatures(delta, cfg))
     cbands = (corpus_bands if corpus_bands is not None
               else doc_band_explode(csig, cfg))
     dbands = doc_band_explode(dsig, cfg)
@@ -95,15 +96,23 @@ def incremental_lsh_pairs(
     all_sig = csig.select("doc_id", "shingles").unionByName(
         dsig.select("doc_id", "shingles")
     )
+    # verify shape (same rule as operators/verify.near_pairs): BROADCAST the
+    # bare pair list to BOTH probe joins and join the enriched sides on the
+    # composite pair key — a chained cand ⋈ a ⋈ b plan would shuffle+sort
+    # the corpus-wide shingle-ARRAY table on the second join key (the
+    # O(corpus) exchange this architecture forbids). The pair list is
+    # delta-endpoint-bounded by construction (a daily batch), so it always
+    # broadcasts.
+    bare = F.broadcast(cand.select("doc_id_a", "doc_id_b"))
     a = all_sig.select(F.col("doc_id").alias("doc_id_a"),
-                       F.col("shingles").alias("sh_a"))
+                       F.col("shingles").alias("sh_a")).join(bare, "doc_id_a")
     b = all_sig.select(F.col("doc_id").alias("doc_id_b"),
-                       F.col("shingles").alias("sh_b"))
+                       F.col("shingles").alias("sh_b")).join(bare, "doc_id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
     return (
-        cand.join(a, "doc_id_a").join(b, "doc_id_b")
+        a.join(b, ["doc_id_a", "doc_id_b"])
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

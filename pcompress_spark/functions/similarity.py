@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .. import kernels
+from .. import cache, kernels
 from ..kernels import splitmix64
 
 
@@ -155,7 +155,7 @@ def ivf_topk(
     # persisted: referenced three times (anchor collect, corpus cell
     # assignment, probe side) — without it the prep UDF re-scans the corpus
     # per reference, the same fan-out lesson as doc_dedup's signatures
-    prepped = _prep(emb).persist()
+    prepped = cache.persist(_prep(emb))
     # deterministic anchors: the n_cells corpus vectors with smallest
     # xxhash64(vec_id) — content-independent, seed-stable sample
     anchor_rows = (
@@ -287,7 +287,7 @@ def embedding_lsh_pairs(
     cfg = cfg or DedupConfig()
     planes = _hyperplanes(n_tables, n_planes, dim, seed)
     # persisted: referenced three times (banding + both exact-score sides)
-    prepped = _prep(emb, planes=planes).persist()
+    prepped = cache.persist(_prep(emb, planes=planes))
     banded = prepped.select(
         "vec_id", F.posexplode("buckets").alias("band_idx", "band_hash")
     )
@@ -450,10 +450,9 @@ def ann_recall_report(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFra
     one corpus pass per method plus two tiny joins, never a second
     quadratic pass.
     """
-    truth = (
+    truth = cache.persist(
         cosine_topk_bruteforce(emb, queries, k=k)
         .select("query_id", "neighbor_id")
-        .persist()
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
 

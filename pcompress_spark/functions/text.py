@@ -122,17 +122,14 @@ def lang_guess_col(col: str | Column = "text") -> Column:
 
 
 def lang_guess(docs: DataFrame) -> DataFrame:
-    """Stopword-ratio language ID over fixed lists; deterministic argmax
-    (ties broken by fixed language order en,es,de,fr; 'und' if no hit)."""
+    """Stopword-ratio language ID over fixed lists; the guess column IS
+    lang_guess_col (one cascade, shared with corpus_admission — a tweak to
+    the tie-break or 'und' rule can't silently diverge the two)."""
     counts = _lang_counts("text")
-    best = F.greatest(*counts.values())
-    guess = F.when(best <= 0, F.lit("und"))
-    for lang in STOPWORDS:  # first max wins (insertion order = fixed)
-        guess = guess.when(counts[lang] == best, F.lit(lang))
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
-        guess.alias("lang_guess"),
+        lang_guess_col("text").alias("lang_guess"),
         *[counts[lang].cast("long").alias(f"sw_{lang}") for lang in STOPWORDS],
     )
 

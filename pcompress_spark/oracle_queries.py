@@ -1498,21 +1498,36 @@ PII_OVERLAY_SQL = (
 )
 
 
-def _pii_base_stmt() -> str:
-    return f"""
-CREATE OR REPLACE TEMP TABLE pii_base AS
-SELECT doc_id, lower({PII_OVERLAY_SQL}) AS t FROM documents;
-"""
+def _pii_steps_stmt() -> str:
+    """Staged progressive redaction, the exact twin of
+    curation._pii_progressive: pii_steps carries t0 (lowered overlay text)
+    and t1..tK with classes 1..K already replaced, so class k's count
+    (n_<class>) is taken on t{k-1} — sequential-disjoint, per-class counts
+    sum to the replacements performed. One chained temp table per step
+    (plain CTEs would re-expand the regexp chain per reference)."""
+    from .functions.curation import PII_PATTERNS
+
+    stmts = [f"""
+CREATE OR REPLACE TEMP TABLE pii_s0 AS
+SELECT doc_id, lower({PII_OVERLAY_SQL}) AS t0 FROM documents;
+"""]
+    for i, (_, pat, token) in enumerate(PII_PATTERNS):
+        stmts.append(f"""
+CREATE OR REPLACE TEMP TABLE pii_s{i + 1} AS
+SELECT *, regexp_replace(t{i}, '{pat}', '{token}', 'g') AS t{i + 1}
+FROM pii_s{i};
+""")
+    return "".join(stmts)
 
 
 def _pii_count_cols() -> str:
-    """Per-class non-overlapping match counts (RE2 regexp_extract_all ==
-    Java regexp_count semantics on these ASCII patterns)."""
+    """Per-class counts on the progressive text (RE2 regexp_extract_all ==
+    Java regexp_count non-overlapping semantics on these ASCII patterns)."""
     from .functions.curation import PII_PATTERNS
 
     return ",\n       ".join(
-        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
+        f"len(regexp_extract_all(t{i}, '{pat}'))::BIGINT AS n_{name}"
+        for i, (name, pat, _) in enumerate(PII_PATTERNS)
     )
 
 
@@ -1521,12 +1536,13 @@ def doc_pii_report_sql() -> str:
     from .functions.curation import PII_PATTERNS
 
     total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    last = len(PII_PATTERNS)
     return f"""
-{_pii_base_stmt()}
+{_pii_steps_stmt()}
 CREATE OR REPLACE TEMP TABLE pii_cnt AS
 SELECT doc_id,
        {_pii_count_cols()}
-FROM pii_base;
+FROM pii_s{last};
 SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn,
        ({total})::BIGINT AS n_pii,
        ({total}) > 0 AS has_pii
@@ -1535,23 +1551,21 @@ FROM pii_cnt
 
 
 def doc_pii_redact_sql() -> str:
-    """curation.pii_redact twin: chained global regexp_replace in the fixed
-    PII_PATTERNS order (tokens contain no digits/'@', so later patterns
-    can't match inside an earlier replacement)."""
+    """curation.pii_redact twin: the staged progressive redaction's final
+    text plus the sequential counts."""
     from .functions.curation import PII_PATTERNS
 
-    red = "t"
-    for _, pat, token in PII_PATTERNS:
-        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
     total = " + ".join(
-        f"len(regexp_extract_all(t, '{pat}'))" for _, pat, _ in PII_PATTERNS
+        f"len(regexp_extract_all(t{i}, '{pat}'))"
+        for i, (_, pat, _) in enumerate(PII_PATTERNS)
     )
+    last = len(PII_PATTERNS)
     return f"""
-{_pii_base_stmt()}
+{_pii_steps_stmt()}
 SELECT doc_id,
-       {red} AS clean_text,
+       t{last} AS clean_text,
        ({total})::BIGINT AS n_redacted
-FROM pii_base
+FROM pii_s{last}
 """
 
 

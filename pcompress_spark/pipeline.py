@@ -236,6 +236,16 @@ class DedupPipeline:
         self._stages = []
         self._input_fp = self._input_fingerprint(transcripts) if self.work_dir else None
         with_substring = cfg.substring_enabled if with_substring is None else with_substring
+        # the PRIOR run's metrics (if any): resumed stages reuse their
+        # recorded bucket/CC stats instead of re-running the stats jobs —
+        # resume must skip a stage's WORK, including its metrics collects
+        prior_metrics: dict = {}
+        if self.work_dir:
+            try:
+                with open(os.path.join(self.work_dir, "metrics.json")) as f:
+                    prior_metrics = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass
 
         band_passes = 1
         if self.auto_plan:
@@ -266,23 +276,45 @@ class DedupPipeline:
         if band_passes > 1:
             from .planner import band_ranges
 
-            parts = [candidate_pairs(sig, cfg, band_range=r)
-                     for r in band_ranges(cfg.bands, band_passes)]
-            cand_df = parts[0][0]
-            for p, _ in parts[1:]:
+            # each pass is MATERIALIZED (stage checkpoint / eager
+            # localCheckpoint) before the next is constructed — a lazy
+            # union would fuse all passes into one job whose in-flight
+            # exploded-band footprint is the single-pass total, defeating
+            # the very budget band_passes was derived to enforce. The
+            # final candidates stage unions the materialized pass outputs
+            # (pair rows only) and combines n_bands.
+            pass_frames, pass_stats = [], []
+            for i, rng in enumerate(band_ranges(cfg.bands, band_passes)):
+                holder: dict = {}
+
+                def _build(rng=rng, holder=holder):
+                    df, st = candidate_pairs(sig, cfg, band_range=rng)
+                    holder["stats"] = st
+                    return df
+
+                pass_frames.append(
+                    self._run_stage(f"candidates_p{i}", _build))
+                pass_stats.append(holder.get("stats"))
+            cand_df = pass_frames[0]
+            for p in pass_frames[1:]:
                 cand_df = cand_df.unionByName(p)
             cand_df = cand_df.groupBy("ih_a", "ih_b").agg(
                 F.sum("n_bands").cast("int").alias("n_bands")
             )
-            all_stats = parts[0][1]
-            for _, s in parts[1:]:
-                all_stats = all_stats.unionByName(s)
-            bucket_stats = all_stats.select(
-                F.sum("n_buckets").alias("n_buckets"),
-                F.sum("n_hot_buckets").alias("n_hot_buckets"),
-                F.sum("hot_member_rows").alias("hot_member_rows"),
-                F.max("max_bucket_size").alias("max_bucket_size"),
-            )
+            if all(s is not None for s in pass_stats):
+                all_stats = pass_stats[0]
+                for s in pass_stats[1:]:
+                    all_stats = all_stats.unionByName(s)
+                bucket_stats = all_stats.select(
+                    F.sum("n_buckets").alias("n_buckets"),
+                    F.sum("n_hot_buckets").alias("n_hot_buckets"),
+                    F.sum("hot_member_rows").alias("hot_member_rows"),
+                    F.max("max_bucket_size").alias("max_bucket_size"),
+                )
+            else:
+                # >= 1 pass resumed: its stats frame was never built; the
+                # prior run's recorded stats stand (finalize falls back)
+                bucket_stats = None
         else:
             cand_df, bucket_stats = candidate_pairs(sig, cfg)
         cand = self._run_stage("candidates", cand_df)
@@ -301,14 +333,10 @@ class DedupPipeline:
             lambda: connected_components(
                 sig.select("conv_id", "id_hash"), pairs, cfg, stats=cc_stats),
         )
-        if not cc_stats and self.work_dir:
+        if not cc_stats:
             # clusters stage resumed -> CC never executed this run; carry the
             # original run's path decision forward instead of erasing it
-            try:
-                with open(os.path.join(self.work_dir, "metrics.json")) as f:
-                    cc_stats = json.load(f).get("connected_components", {})
-            except (OSError, json.JSONDecodeError):
-                pass
+            cc_stats = prior_metrics.get("connected_components", {})
 
         tables: dict[str, DataFrame] = {
             "signatures": sig,
@@ -341,17 +369,33 @@ class DedupPipeline:
         result = PipelineResult(tables, list(self._stages))
         if self.work_dir:
             t_fin = time.monotonic()
-            bucket_row = [r.asDict() for r in bucket_stats.collect()]
+            resumed = {s.name: s.resumed for s in self._stages}
+            # stats collects are part of a stage's WORK: a resumed stage
+            # reuses its recorded stats instead of re-running banding jobs
+            # for numbers the prior run already wrote
+            if resumed.get("candidates") and "lsh_buckets" in prior_metrics:
+                lsh_buckets = prior_metrics["lsh_buckets"]
+            elif bucket_stats is not None:
+                bucket_row = [r.asDict() for r in bucket_stats.collect()]
+                lsh_buckets = bucket_row[0] if bucket_row else {}
+            else:
+                lsh_buckets = prior_metrics.get("lsh_buckets", {})
             t_bucket = time.monotonic()
             metrics = {
                 "config_hash": cfg.config_hash(),
                 "stages": result.metrics_rows(),
-                "lsh_buckets": bucket_row[0] if bucket_row else {},
+                "lsh_buckets": lsh_buckets,
                 "connected_components": cc_stats,
             }
             if sub_stats is not None:
-                sub_row = [r.asDict() for r in sub_stats.collect()]
-                metrics["substring_buckets"] = sub_row[0] if sub_row else {}
+                if (resumed.get("substring_pairs")
+                        and "substring_buckets" in prior_metrics):
+                    metrics["substring_buckets"] = (
+                        prior_metrics["substring_buckets"])
+                else:
+                    sub_row = [r.asDict() for r in sub_stats.collect()]
+                    metrics["substring_buckets"] = (
+                        sub_row[0] if sub_row else {})
             if "tiers" in tables:
                 metrics["tiers"] = {
                     r["tier"]: r["n"]

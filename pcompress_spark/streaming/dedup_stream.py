@@ -160,17 +160,55 @@ def _store_listing(spark, root: str):
     """(fs, root Path, [(dir name, dir path str)]) of batch=* subdirs under
     root, via the Hadoop FileSystem API so work_dir may live on HDFS/S3
     (the spark-submit deployment target), not only the driver's local
-    disk."""
+    disk. Completes (or aborts) an interrupted compaction first, so no
+    caller can ever observe the delete/rename window's intermediate
+    state."""
     jvm = spark._jvm
     root_path = jvm.org.apache.hadoop.fs.Path(root)
     fs = root_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = []
-    if fs.exists(root_path):
-        for status in fs.listStatus(root_path):
-            name = status.getPath().getName()
-            if name.startswith("batch="):
-                out.append((name, str(status.getPath())))
-    return fs, root_path, out
+
+    def scan():
+        batch_dirs, tmp_dirs = [], []
+        if fs.exists(root_path):
+            for status in fs.listStatus(root_path):
+                name = status.getPath().getName()
+                if name.startswith("batch="):
+                    batch_dirs.append((name, str(status.getPath())))
+                elif name.startswith(_COMPACT_TMP_PREFIX):
+                    tmp_dirs.append((name, str(status.getPath())))
+        return batch_dirs, tmp_dirs
+
+    batch_dirs, tmp_dirs = scan()
+    if tmp_dirs:
+        _recover_compaction(spark, fs, root, batch_dirs, tmp_dirs)
+        batch_dirs, _ = scan()
+    return fs, root_path, batch_dirs
+
+
+_COMPACT_TMP_PREFIX = "_compact_tmp_c"
+
+
+def _recover_compaction(spark, fs, root: str, batch_dirs, tmp_dirs) -> None:
+    """Finish or abort a compaction interrupted between its tmp write and
+    the final rename. A COMPLETE tmp (parquet _SUCCESS marker present)
+    holds the full merge of every batch id <= its c<N> tag, so recovery is:
+    delete any surviving originals with id <= N, then rename tmp ->
+    batch=c<N>. An incomplete tmp (no _SUCCESS — the crash hit mid-write)
+    is discarded and the untouched originals stand. Either way the store
+    is never observable in a half-compacted state."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    for name, p in tmp_dirs:
+        tag = int(name[len(_COMPACT_TMP_PREFIX):])
+        if not fs.exists(hpath(p + "/_SUCCESS")):
+            fs.delete(hpath(p), True)
+            continue
+        for bname, bp in batch_dirs:
+            bid = int(bname.split("=", 1)[1].lstrip("c"))
+            if bid <= tag:
+                fs.delete(hpath(bp), True)
+        if not fs.rename(hpath(p), hpath(root + f"/batch=c{tag}")):
+            raise IOError(
+                f"compaction recovery rename failed: {p} -> batch=c{tag}")
 
 
 def _prior_batch_dirs(spark, root: str, batch_id: int) -> list[str]:
@@ -219,11 +257,13 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
 
     Writes are keyed by batch_id and overwritten on replay; store reads
     EXCLUDE this batch's own subdirs, so a replayed batch joins against
-    exactly the state it saw first. If the store was compacted past this
-    batch (batch_id <= the c<N> watermark — possible only when
+    exactly the state it saw first. If a store was compacted past this
+    batch (batch_id <= that store's c<N> watermark — possible only when
     compact_near_dup_store ran against a stream stopped MID-batch), the
     batch's own rows hide inside the merged dir, so they are anti-joined
-    back out by id_hash before probing."""
+    back out by id_hash before probing and the batch=<id> rewrite is
+    skipped — decided PER STORE, because a mid-batch crash can leave the
+    batch committed to the signature store but not the band store."""
     import os
 
     from ..operators.candidates import band_explode, bucket_members, bucket_pairs
@@ -237,17 +277,23 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
             return
         prior_sig = _prior_batch_dirs(spark, store, batch_id)
         prior_band = _prior_batch_dirs(spark, band_store, batch_id)
-        replay_into_compacted = batch_id <= max(
-            _compacted_through(spark, store),
-            _compacted_through(spark, band_store),
+        # per-STORE replay watermarks: a crash between the two store writes
+        # followed by a quiesced compaction leaves this batch inside one
+        # compacted store but absent from the other — the skip-rewrite and
+        # the own-row anti-join must each follow their own store's state,
+        # or the missing store never receives this batch's rows
+        own_in_sig = batch_id <= _compacted_through(spark, store)
+        own_in_band = batch_id <= _compacted_through(spark, band_store)
+        own_ihs = (
+            batch_df.select("id_hash").distinct()
+            if (own_in_sig or own_in_band) else None
         )
-        own_ihs = batch_df.select("id_hash").distinct() if replay_into_compacted else None
 
         batch_bands = band_explode(batch_df, cfg)
         new_buckets = batch_bands.select("band_idx", "band_hash").distinct()
         if prior_band:
             store_bands = spark.read.parquet(*prior_band)
-            if own_ihs is not None:
+            if own_in_band:
                 store_bands = store_bands.join(
                     F.broadcast(own_ihs), "id_hash", "left_anti"
                 )
@@ -277,7 +323,7 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
 
         if prior_sig:
             store_sigs = spark.read.parquet(*prior_sig)
-            if own_ihs is not None:
+            if own_in_sig:
                 store_sigs = store_sigs.join(
                     F.broadcast(own_ihs), "id_hash", "left_anti"
                 )
@@ -297,15 +343,17 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
         )
         incremental.write.mode("overwrite").parquet(
             os.path.join(pairs_out, f"batch={batch_id}"))
-        if own_ihs is None:
+        if not own_in_sig:
             batch_df.write.mode("overwrite").parquet(
                 os.path.join(store, f"batch={batch_id}"))
+        if not own_in_band:
             batch_bands.write.mode("overwrite").parquet(
                 os.path.join(band_store, f"batch={batch_id}"))
-        # else: this batch's rows already live inside the compacted
-        # batch=c<N> dir — rewriting batch=<id> would duplicate them for
-        # every future probe (compaction is documented quiesced-only, so
-        # the compacted copy is the complete one)
+        # a store whose c<N> watermark already covers this batch holds its
+        # rows inside the compacted dir — rewriting batch=<id> there would
+        # duplicate them for every future probe; the OTHER store may still
+        # be missing the batch (crash between the two writes), hence the
+        # per-store decision
     finally:
         batch_df.unpersist()
 
@@ -412,6 +460,7 @@ def compact_near_dup_store(spark, work_dir: str,
     case), so replay idempotence survives compaction."""
     for sub in ("sig_store", "sig_store_bands"):
         root = work_dir.rstrip("/") + "/" + sub
+        # _store_listing completes/aborts any interrupted prior compaction
         fs, root_path, listing = _store_listing(spark, root)
         dirs = [
             (name, p) for name, p in listing
@@ -421,13 +470,22 @@ def compact_near_dup_store(spark, work_dir: str,
             continue
         tag = max(int(name.split("=", 1)[1].lstrip("c")) for name, _ in dirs)
         hpath = spark._jvm.org.apache.hadoop.fs.Path
-        tmp = root + f"/_compact_tmp_{tag}"
+        # crash-safe protocol: (1) write the FULL merge to a tagged tmp dir
+        # (parquet _SUCCESS marks completeness), (2) delete originals,
+        # (3) rename tmp -> batch=c<tag>. A crash anywhere in (2)/(3) is
+        # repaired by _recover_compaction on the next listing — the tmp
+        # holds everything <= tag, so finishing is always correct; a crash
+        # during (1) leaves an unmarked tmp that recovery discards with the
+        # originals untouched.
+        tmp = root + f"/{_COMPACT_TMP_PREFIX}{tag}"
         spark.read.parquet(*[p for _, p in dirs]).write.mode(
             "overwrite"
         ).parquet(tmp)
         for _, p in dirs:
             fs.delete(hpath(p), True)
-        fs.rename(hpath(tmp), hpath(root + f"/batch=c{tag}"))
+        if not fs.rename(hpath(tmp), hpath(root + f"/batch=c{tag}")):
+            raise IOError(
+                f"compaction rename failed: {tmp} -> batch=c{tag}")
 
 
 def streaming_exact_dedup(stream: DataFrame, cfg: DedupConfig | None = None,

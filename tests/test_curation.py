@@ -197,6 +197,26 @@ def test_pii_redact_replaces_every_match(spark, pii_docs):
         assert not red.clean_text.str.contains(pat, regex=True).any()
 
 
+def test_pii_sequential_ownership_on_overlaps(spark):
+    """Textually-overlapping classes must not double-count: counting is
+    sequential over progressively-redacted text, so the first class in
+    PII_PATTERNS owns the span and n_redacted equals the replacements
+    actually performed."""
+    rows = [
+        (1, "reach 123-456-7890@x.co today"),  # phone-shaped email local part
+        (2, "at user@1.2.3.4.co now"),         # ipv4 inside the email domain
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    rep = curation.pii_report(docs).toPandas().set_index("doc_id")
+    assert rep.loc[1].n_email == 1 and rep.loc[1].n_phone == 0
+    assert rep.loc[1].n_pii == 1
+    assert rep.loc[2].n_email == 1 and rep.loc[2].n_ipv4 == 0
+    red = curation.pii_redact(docs).toPandas().set_index("doc_id")
+    assert red.loc[1].clean_text == "reach <EMAIL> today"
+    assert red.loc[2].clean_text == "at <EMAIL> now"
+    assert (red.n_redacted == rep.n_pii).all()
+
+
 def test_pii_ops_map_only_plan(spark, pii_docs):
     for df in (curation.pii_report(pii_docs), curation.pii_redact(pii_docs)):
         buf = io.StringIO()

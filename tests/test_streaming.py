@@ -246,6 +246,79 @@ def test_compact_near_dup_store(spark, timed_transcripts, tmp_path):
     assert spark.read.parquet(store).count() == len(after_sig) + 5
 
 
+def test_compaction_crash_recovery(spark, timed_transcripts, tmp_path):
+    """A crash between compaction's delete loop and its final rename must
+    not lose the store: the next listing finishes the rename (complete tmp)
+    or discards an unmarked tmp with the originals untouched."""
+    import shutil
+
+    from pcompress_spark.streaming.dedup_stream import (
+        _COMPACT_TMP_PREFIX, _near_dup_process, _prior_batch_dirs)
+
+    batch_df = spark.createDataFrame(timed_transcripts)
+    sig = compute_signatures(assemble(batch_df), CFG)
+    half_a = sig.where(F.hash("conv_id") % 2 == 0).cache()
+    half_b = sig.subtract(half_a).cache()
+    wd = tmp_path / "wd_crash"
+    store, pairs = str(wd / "sig_store"), str(wd / "pairs")
+    _near_dup_process(half_a, 0, store=store, pairs_out=pairs, cfg=CFG)
+    _near_dup_process(half_b, 1, store=store, pairs_out=pairs, cfg=CFG)
+    n_store = spark.read.parquet(store).count()
+
+    # simulate the crash window: full merge written to the tagged tmp
+    # (with _SUCCESS), one original already deleted, rename never ran
+    tmp = f"{store}/{_COMPACT_TMP_PREFIX}1"
+    spark.read.parquet(f"{store}/batch=0", f"{store}/batch=1").write.parquet(tmp)
+    shutil.rmtree(f"{store}/batch=0")
+    # recovery runs inside the next listing: finishes delete + rename
+    dirs = _prior_batch_dirs(spark, store, batch_id=99)
+    assert [os.path.basename(d) for d in dirs] == ["batch=c1"]
+    assert spark.read.parquet(store).count() == n_store, "rows lost"
+
+    # an UNMARKED tmp (crash mid-write) is discarded, originals untouched
+    band_store = store + "_bands"
+    n_bands = spark.read.parquet(band_store).count()
+    os.makedirs(f"{band_store}/{_COMPACT_TMP_PREFIX}1")
+    dirs = _prior_batch_dirs(spark, band_store, batch_id=99)
+    assert sorted(os.path.basename(d) for d in dirs) == ["batch=0", "batch=1"]
+    assert not os.path.exists(f"{band_store}/{_COMPACT_TMP_PREFIX}1")
+    assert spark.read.parquet(band_store).count() == n_bands
+
+
+def test_per_store_replay_watermark(spark, timed_transcripts, tmp_path):
+    """A crash between the sig-store and band-store writes followed by a
+    quiesced compaction leaves the batch inside sig_store's c<N> but absent
+    from the band store — the replay must rewrite ONLY the missing store
+    (band) and not duplicate the present one (sig)."""
+    from pcompress_spark.operators.candidates import band_explode
+    from pcompress_spark.streaming.dedup_stream import (
+        _compacted_through, _near_dup_process, compact_near_dup_store)
+
+    batch_df = spark.createDataFrame(timed_transcripts)
+    sig = compute_signatures(assemble(batch_df), CFG)
+    half_a = sig.where(F.hash("conv_id") % 2 == 0).cache()
+    half_b = sig.subtract(half_a).cache()
+    extra = half_b.limit(5).withColumn(
+        "conv_id", F.concat(F.lit("x_"), "conv_id")
+    ).withColumn("id_hash", F.xxhash64("conv_id")).cache()
+    wd = tmp_path / "wd_split"
+    store, pairs = str(wd / "sig_store"), str(wd / "pairs")
+    _near_dup_process(half_a, 0, store=store, pairs_out=pairs, cfg=CFG)
+    _near_dup_process(half_b, 1, store=store, pairs_out=pairs, cfg=CFG)
+    # batch 2 "crashes" after the sig-store write, before the band write
+    extra.write.parquet(f"{store}/batch=2")
+    compact_near_dup_store(spark, str(wd))
+    assert _compacted_through(spark, store) == 2
+    assert _compacted_through(spark, store + "_bands") == 1
+    n_sig = spark.read.parquet(store).count()
+
+    _near_dup_process(extra, 2, store=store, pairs_out=pairs, cfg=CFG)
+    assert spark.read.parquet(store).count() == n_sig, "sig rows duplicated"
+    got = spark.read.parquet(f"{store}_bands/batch=2").count()
+    assert got == band_explode(extra, CFG).count(), (
+        "band store missing the replayed batch's bands")
+
+
 def test_compact_file_uri_and_replay_watermark(spark, timed_transcripts, tmp_path):
     """Compaction must run through the Hadoop FileSystem API (here via an
     explicit file: URI — the same code path as HDFS/S3A), and a batch

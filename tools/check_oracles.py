@@ -49,6 +49,8 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    from pcompress_spark.cache import release_persisted
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -58,6 +60,10 @@ def main() -> int:
             failures.append(name)
             print(f"✗ {name}: SPARK ERROR {str(e)[:300]}")
             continue
+        finally:
+            # result fully consumed by toPandas — drop the query's tracked
+            # persists so 70 queries don't accumulate 70 cache entries
+            release_persisted()
         if name not in oracles:
             print(f"· {name}: rows-only check, {len(spark_pdf)} rows "
                   f"cols={list(spark_pdf.columns)}")

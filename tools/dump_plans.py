@@ -174,11 +174,16 @@ def main() -> None:
 
     inc_plan = plan_of(inc_pairs_df)
     n_semi_bcast = inc_plan.count("BroadcastHashJoin")
+    bad_inc_exchange = re.search(
+        r"hashpartitioning\(doc_id_[ab]#\d+L, \d+\)", inc_plan)
     checks.append(
         f"OK incremental: {n_semi_bcast} broadcast joins (touched-bucket "
-        "semi-join + delta-endpoint filters all broadcast)"
+        "semi-join + delta-endpoint filters + pair-list probes all "
+        "broadcast; no corpus-keyed array exchange)"
         if "LeftSemi" in inc_plan and n_semi_bcast >= 3
-        else "FAIL incremental: touched-bucket/delta semi-joins not broadcast"
+        and not bad_inc_exchange
+        else "FAIL incremental: semi-joins not broadcast or shingle table "
+        "exchanged on a single pair-end key"
     )
     for name, df in (("simhash_pairs", doc_dedup.simhash_pairs(docs)),
                      ("routed_lsh_pairs", doc_dedup.routed_lsh_pairs(docs)),
