@@ -85,6 +85,12 @@ class DedupConfig:
             raise ValueError("shingle_k and num_perm must be >= 1")
         if self.minhash_scheme not in ("oph", "perm"):
             raise ValueError(f"unknown minhash_scheme {self.minhash_scheme!r}")
+        if self.simhash_bits != 64:
+            # the nibble-lane kernel, the uint64 column, the C(8,2)
+            # segment-pair banding, and the oracle twins are all 64-wide;
+            # accepting another width here would silently mis-configure
+            # every downstream geometry
+            raise ValueError("simhash_bits must be 64 (only width implemented)")
         if self.substring_enabled and self.substring_window % self.shingle_k:
             raise ValueError("substring_window must be a multiple of shingle_k")
 

@@ -163,13 +163,16 @@ def normalize_texts(texts: pd.Series) -> pd.Series:
     return pd.Series([normalize_one(t) for t in s], index=s.index, dtype=object)
 
 
-def hash_tokens(tokens: np.ndarray, max_token_chars: int = 64) -> np.ndarray:
+def hash_tokens(tokens: np.ndarray, max_token_chars: int | None = 64) -> np.ndarray:
     """FNV-1a-style 64-bit hash of each token, vectorized across the batch.
 
     Tokens are loaded into a fixed-width UCS4 matrix (numpy '<U' dtype) and
     hashed column-by-column with a mask — O(max_len) vector ops total, no
     per-token Python loop. Tokens are truncated to ``max_token_chars`` first
-    (shared semantics with the oracle).
+    (shared semantics with the oracle). Pass ``None`` to hash the FULL
+    string — required for IDENTIFIER hashing (conv_id -> id_hash), where
+    truncation would deterministically collide ids sharing a long prefix
+    and silently merge distinct conversations.
     """
     n = len(tokens)
     if n == 0:
@@ -179,7 +182,7 @@ def hash_tokens(tokens: np.ndarray, max_token_chars: int = 64) -> np.ndarray:
     if itemsize == 0:  # all-empty tokens
         return np.full(n, splitmix64(_FNV_OFFSET), dtype=np.uint64)
     width = itemsize // 4
-    if width > max_token_chars:
+    if max_token_chars is not None and width > max_token_chars:
         arr = arr.astype(f"<U{max_token_chars}")
         width = max_token_chars
     # transpose once so each per-character pass streams a contiguous row —
@@ -666,7 +669,10 @@ def simhash_flat(
 ) -> np.ndarray:
     """SimHash fingerprint per doc from its (distinct) shingle hashes:
     majority vote per bit. Returns (n_docs,) uint64. Empty docs -> simhash of
-    the sentinel shingle.
+    the sentinel shingle. Only ``bits == 64`` is implemented (the nibble-lane
+    kernel, the uint64 output, and the oracle twin are all 64-wide); any
+    other value raises rather than silently emitting a 64-bit fingerprint
+    under a differently-configured banding geometry.
 
     Vectorization: nibble-lane vertical counting. The hashes are scattered
     into doc-aligned chunks of 15 rows (zero-padded — a zero row adds
@@ -686,6 +692,8 @@ def simhash_flat(
     bottom-k — a content-stable deterministic sample, the same KMV idea as
     the reference's sketch). Caps memory traffic per doc; 512 samples give
     a per-bit majority standard error of ~2%."""
+    if bits != 64:
+        raise ValueError(f"simhash_flat implements bits=64 only, got {bits}")
     n_docs = len(starts) - 1
     lens = np.diff(starts)
     if sample_cap and (lens > sample_cap).any():

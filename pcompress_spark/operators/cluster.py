@@ -176,7 +176,7 @@ def connected_components(
             stats["path"] = "local_union_find"
         labels = _local_labels(probe, pairs.sparkSession, cfg)
     else:
-        edges = edges.cache()
+        edges = cached = edges.cache()
         prev = _edge_checksum(edges)
         if stats is not None:
             stats["n_edges"] = prev[0]
@@ -190,6 +190,11 @@ def connected_components(
                 prev = cur
             else:
                 raise RuntimeError(f"connected components did not converge in {cfg.cc_max_iters} iters")
+        # the loop's localCheckpoints carry the converged edge set from here
+        # on; the input cache would otherwise outlive this call for the
+        # whole session (Spark's cache holds strong references — a
+        # corpus-scale leak per connected_components invocation)
+        cached.unpersist()
         # converged: every edge is (node, component_min) over id_hash longs
         labels = (
             edges.select(F.greatest("u", "v").alias("id_hash"), F.least("u", "v").alias("lab"))

@@ -74,8 +74,11 @@ def compute_signatures(
                     "conv_id": pdf["conv_id"].values,
                     # deterministic 64-bit id hash (shared kernel) — used for
                     # hot-bucket salting; reproducible in the oracle.
+                    # max_token_chars=None: identifiers hash FULL-length —
+                    # the 64-char token truncation would deterministically
+                    # collide conv_ids sharing a long prefix.
                     "id_hash": hash_tokens(
-                        pdf["conv_id"].to_numpy(dtype=np.str_)
+                        pdf["conv_id"].to_numpy(dtype=np.str_), None
                     ).view(np.int64),
                     "n_turns": pdf["n_turns"].values,
                     "n_tokens": sig["n_tokens"].values,

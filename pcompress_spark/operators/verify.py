@@ -142,12 +142,14 @@ def near_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    # exact-hash pairs are NOT special-cased into the prefilter: equal
+    # content_hash implies equal minhash (est = 1.0 passes any floor), and
+    # the final filter drops ch_a == ch_b rows anyway (they belong to
+    # exact_pairs) — a disjunct here would only push doomed rows through
+    # the array_intersect scoring
     scored = (
         joined.withColumn("est_jaccard", est)
-        .where(
-            (F.col("ch_a") == F.col("ch_b"))
-            | (F.col("est_jaccard") >= F.lit(cfg.minhash_prefilter))
-        )
+        .where(F.col("est_jaccard") >= F.lit(cfg.minhash_prefilter))
         .withColumn("jaccard_x", jac)
     )
     a_first = F.col("cid_a") < F.col("cid_b")

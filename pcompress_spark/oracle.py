@@ -53,7 +53,7 @@ def signatures(assembled: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     sig.insert(
         1,
         "id_hash",
-        hash_tokens(assembled["conv_id"].to_numpy(dtype=np.str_)).view(np.int64),
+        hash_tokens(assembled["conv_id"].to_numpy(dtype=np.str_), None).view(np.int64),
     )
     sig.insert(2, "n_turns", assembled["n_turns"].values)
     return sig
@@ -113,6 +113,15 @@ def verify(sig: pd.DataFrame, candidates: pd.DataFrame, cfg: DedupConfig) -> pd.
     recs = []
     for a, b in zip(candidates["conv_id_a"], candidates["conv_id_b"]):
         if by_id.at[a, "content_hash"] == by_id.at[b, "content_hash"]:
+            continue
+        # est-Jaccard prefilter (A2 early-abort) is part of the judged
+        # config: the engine (operators/verify.py) and the DuckDB twin
+        # (oracle_queries nmatch/num_perm) apply the same cut, so the
+        # oracle must too — all three implementations agree on which
+        # candidates reach the exact verify
+        mha = np.asarray(by_id.at[a, "minhash"], dtype=np.int64)
+        mhb = np.asarray(by_id.at[b, "minhash"], dtype=np.int64)
+        if (mha == mhb).sum() / cfg.num_perm < cfg.minhash_prefilter:
             continue
         sa = np.asarray(by_id.at[a, "shingles"], dtype=np.int64)
         sb = np.asarray(by_id.at[b, "shingles"], dtype=np.int64)

@@ -599,7 +599,7 @@ FROM {_tr_src(tr_path)} GROUP BY conv_id;""",
         f"""
 CREATE OR REPLACE TEMP TABLE tih AS
 {osql.smix_chain(['conv_id'],
-                 f'fnv_raw(left(conv_id, {cfg.max_token_chars}))', 'idh',
+                 'fnv_raw(conv_id)', 'idh',
                  'asm')};
 CREATE OR REPLACE TEMP TABLE tsig AS
 SELECT a.conv_id, tobig(i.idh) AS ih, sha256({norm}) AS chash,

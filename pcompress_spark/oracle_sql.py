@@ -157,9 +157,10 @@ def _horner_lead_stmts(p: str, src_table: str, val_col: str, step: int,
     leads = ", ".join(
         f"lead({val_col}, {j * step}) OVER {p}win AS t{j}" for j in range(1, n_terms)
     )
+    lead_sel = f", {leads}" if leads else ""  # n_terms == 1: no lead terms
     stmts = [f"""
 CREATE OR REPLACE TEMP TABLE {p}l0 AS
-SELECT sid, pos, {val_col} AS h0, {leads} FROM {src_table}
+SELECT sid, pos, {val_col} AS h0{lead_sel} FROM {src_table}
 WINDOW {p}win AS (PARTITION BY sid ORDER BY pos);"""]
     for j in range(1, n_terms):
         rest = ", ".join(f"t{i}" for i in range(j + 1, n_terms))
@@ -414,12 +415,15 @@ def window_ctes(p: str, src_shp: str, k: int, window: int, stride: int) -> str:
     {p}win AS (SELECT DISTINCT sid, wh FROM {p}qs3 WHERE wh % {stride} = 0)"""
 
 
-def _pow_stage_ctes(p: str, src: str, n_stages: int = 20) -> str:
+def _pow_stage_ctes(p: str, src: str, n_stages: int = 40) -> str:
     """Powers table (i -> GOLD^i, GOLD^-i mod 2**64) over the row set
     ``{src}`` (must provide column i), via binary decomposition of the
     exponent staged one bit per projection — fully vectorized, no recursion
     (a recursive CTE re-evaluates its bound subquery per iteration).
-    Covers i < 2**n_stages. Final CTE: ``{p}pw`` (i, pp, ip)."""
+    Covers i < 2**n_stages (default 2**40 ~ 1.1e12 — beyond any single
+    document's token count); exponents past the bound RAISE via error()
+    in the final CTE instead of silently truncating bits (the repo's
+    no-silent-caps rule). Final CTE: ``{p}pw`` (i, pp, ip)."""
     ctes = [f"{p}pwa0 AS (SELECT i, "
             f"CASE WHEN i % 2 = 1 THEN {GOLD}{_H} ELSE 1{_H} END AS pp, "
             f"CASE WHEN i % 2 = 1 THEN {INV_GOLD}{_H} ELSE 1{_H} END AS ip "
@@ -432,7 +436,14 @@ def _pow_stage_ctes(p: str, src: str, n_stages: int = 20) -> str:
             f"mulmod(pp, CASE WHEN (i // {1 << b}) % 2 = 1 THEN {gp}{_H} ELSE 1{_H} END) AS pp, "
             f"mulmod(ip, CASE WHEN (i // {1 << b}) % 2 = 1 THEN {gi}{_H} ELSE 1{_H} END) AS ip "
             f"FROM {p}pwa{b - 1})")
-    ctes.append(f"{p}pw AS (SELECT i, pp, ip FROM {p}pwa{n_stages - 1})")
+    bound = 1 << n_stages
+    ctes.append(
+        f"{p}pw AS (SELECT i, "
+        f"CASE WHEN i >= {bound} THEN CAST(error('pow stage overflow: "
+        f"exponent >= 2^{n_stages}') AS HUGEINT) ELSE pp END AS pp, "
+        f"CASE WHEN i >= {bound} THEN CAST(error('pow stage overflow: "
+        f"exponent >= 2^{n_stages}') AS HUGEINT) ELSE ip END AS ip "
+        f"FROM {p}pwa{n_stages - 1})")
     return ",\n    ".join(ctes)
 
 

@@ -335,3 +335,35 @@ def test_oph_signature_unchanged_golden():
     # single-shingle doc: every bin must equal that shingle's value hash
     v = K.splitmix64(docs[2] + np.uint64(CFG.seed) * np.uint64(0x9E3779B1))[0]
     assert (sig[2] == v).all()
+
+
+def test_hash_tokens_identifiers_full_length():
+    """Identifier hashing (max_token_chars=None) must distinguish ids that
+    share a 64+ char prefix; TOKEN hashing keeps the 64-char truncation
+    (shared oracle semantics)."""
+    import numpy as np
+
+    from pcompress_spark.kernels import hash_tokens
+
+    a, b = "x" * 70 + "1", "x" * 70 + "2"
+    ids = hash_tokens(np.array([a, b], dtype=np.str_), None)
+    assert ids[0] != ids[1], "full-length id hash collided on a long prefix"
+    toks = hash_tokens(np.array([a, b], dtype=np.str_))
+    assert toks[0] == toks[1]  # 64-char token truncation unchanged
+    # short ids are unaffected by the None mode (same values either way)
+    short = np.array(["conv-1", "conv-2"], dtype=np.str_)
+    assert (hash_tokens(short, None) == hash_tokens(short)).all()
+
+
+def test_simhash_bits_must_be_64():
+    import numpy as np
+    import pytest as _pytest
+
+    from pcompress_spark.config import DedupConfig
+    from pcompress_spark.kernels import simhash_flat
+
+    with _pytest.raises(ValueError):
+        DedupConfig(simhash_bits=32)
+    with _pytest.raises(ValueError):
+        simhash_flat(np.array([1], dtype=np.uint64),
+                     np.array([0, 1], dtype=np.int64), bits=32)

@@ -193,3 +193,36 @@ def test_xxh64_long_matches_spark(spark, con):
         SELECT v, tobig(xh) FROM xx5""").fetchall()
     for v, h in got:
         assert int(h) == want[v], v
+
+
+def test_horner_lead_stmts_k1_valid_sql():
+    """n_terms=1 (shingle_k=1) renders no lead terms — the generated SQL
+    must stay valid and equal smix(val) per row."""
+    c = duckdb.connect()
+    c.execute(osql.PRELUDE)
+    c.execute("CREATE OR REPLACE TEMP TABLE k1src AS "
+              "SELECT 1 AS sid, i AS pos, (i + 7)::HUGEINT AS th "
+              "FROM range(5) t(i)")
+    c.execute(osql._horner_lead_stmts("k1", "k1src", "th", 1, 1,
+                                      "k1out", "sh"))
+    got = c.execute("SELECT sh FROM k1out ORDER BY pos").fetchall()
+    assert len(got) == 5
+    want = kernels.splitmix64(np.arange(7, 12, dtype=np.uint64))
+    assert [int(v) & ((1 << 64) - 1) for (v,) in got] == [int(w) for w in want]
+
+
+def test_pow_stage_ctes_raises_past_bound():
+    """Exponents >= 2^n_stages must RAISE (no silent bit truncation)."""
+    c = duckdb.connect()
+    c.execute(osql.PRELUDE)
+    sql = ("WITH src AS (SELECT 1025 AS i), "
+           + osql._pow_stage_ctes("p", "src", n_stages=10)
+           + " SELECT * FROM ppw")
+    with pytest.raises(Exception, match="pow stage overflow"):
+        c.execute(sql).fetchall()
+    # in-bound exponents still compute GOLD^i exactly
+    sql_ok = ("WITH src AS (SELECT 1023 AS i), "
+              + osql._pow_stage_ctes("p", "src", n_stages=10)
+              + " SELECT pp FROM ppw")
+    got = int(c.execute(sql_ok).fetchone()[0]) & ((1 << 64) - 1)
+    assert got == pow(osql.GOLD, 1023, 1 << 64)
