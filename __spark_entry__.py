@@ -213,7 +213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pcompress_spark.operators.verify import verify_pairs
 
         t = load_transcripts(spark, sf_dir).where(F.col("role") == "assistant")
-        sig = compute_signatures(assemble(t, parallelism=8), CFG).persist()
+        from pcompress_spark import cache
+        sig = cache.persist(compute_signatures(assemble(t, parallelism=8), CFG))
         cand, _ = candidate_pairs(sig, CFG)
         pairs = verify_pairs(sig, cand, CFG)
         return pairs.select(
@@ -324,7 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             overlap_threshold=0.5)
 
     q["doc_decontamination"] = doc_decontamination
-    # boilerplate phrase mining: 3-grams in >= 8 distinct documents
+    # boilerplate phrase mining: 3-grams in >= 5 distinct documents
     q["doc_boilerplate_ngrams"] = lambda s, d: curation.boilerplate_ngrams(
         load_table(s, d, "documents"), n=3, min_df=5)
     # deterministic sequence-packing plan: xxhash64 shard route + watermark

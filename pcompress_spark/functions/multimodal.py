@@ -235,7 +235,12 @@ def decode_mp4_header(payload: bytes | None) -> tuple[int, int, int] | None:
         for ctype, cbody, cend in boxes(body, end):
             if ctype == b"mvhd" and cend - cbody >= 20:
                 ver = payload[cbody]
-                if ver == 1 and cend - cbody >= 32:
+                if ver == 1:
+                    # a version-1 box shorter than its v1 layout is
+                    # malformed — reading it at v0 offsets would return
+                    # garbage halves of the 64-bit timestamps as duration
+                    if cend - cbody < 32:
+                        continue
                     scale = int.from_bytes(payload[cbody + 20:cbody + 24], "big")
                     dur = int.from_bytes(payload[cbody + 24:cbody + 32], "big")
                 else:
@@ -246,6 +251,8 @@ def decode_mp4_header(payload: bytes | None) -> tuple[int, int, int] | None:
             elif ctype == b"trak":
                 for ttype, tbody, tend in boxes(cbody, cend):
                     if ttype != b"tkhd":
+                        continue
+                    if tend - tbody < 1:  # header-only box at payload end
                         continue
                     ver = payload[tbody]
                     off = 88 if ver == 1 else 76  # width offset in payload

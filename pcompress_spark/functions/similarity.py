@@ -413,26 +413,46 @@ def hyperplane_lsh_topk(
 
     Hyperplanes are derived deterministically from the seed via splitmix64
     -> uniform(-1,1) — identical across runs/partitions.
+
+    Plan shape: the bucket join moves ONLY (id, table_id, bucket) triples —
+    carrying the full vector through the n_tables posexplode would
+    duplicate every corpus vector n_tables times through the exchange, and
+    a degenerate bucket (a spike of identical vectors) would multiply that
+    again by its co-bucketed query count. Candidate IDs are deduplicated
+    first; the vectors join back once per unique (query, neighbor) pair —
+    the candidate side is query-bounded (AQE broadcasts it), so the corpus
+    vector table is scanned, never shuffled.
     """
     planes = _hyperplanes(n_tables, n_planes, dim, seed)
+    prepped_c = cache.persist(_prep(emb, planes=planes))
+    prepped_q = cache.persist(_prep(queries, planes=planes))
 
-    def banded(df: DataFrame, id_alias: str, v_alias: str, n_alias: str) -> DataFrame:
-        return (
-            _prep(df, planes=planes)
-            .select(
-                F.col("vec_id").alias(id_alias), F.col("v").alias(v_alias),
-                F.col("norm").alias(n_alias),
-                F.posexplode("buckets").alias("table_id", "bucket"),
-            )
+    def banded(prepped: DataFrame, id_alias: str) -> DataFrame:
+        return prepped.select(
+            F.col("vec_id").alias(id_alias),
+            F.posexplode("buckets").alias("table_id", "bucket"),
         )
 
-    c_b = banded(emb, "neighbor_id", "vc", "nc")
-    q_b = banded(queries, "query_id", "vq", "nq")
-    cand = (
-        c_b.join(F.broadcast(q_b), ["table_id", "bucket"])
+    pair_ids = (
+        banded(prepped_c, "neighbor_id")
+        .join(F.broadcast(banded(prepped_q, "query_id")),
+              ["table_id", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "vq", "nq", "vc", "nc")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cand = pair_ids.join(
+        prepped_c.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("vc"), F.col("norm").alias("nc"),
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(prepped_q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("vq"), F.col("norm").alias("nq"),
+        )),
+        "query_id",
     )
     scored = _score_pairs(cand).withColumn("cosine", F.round("cosine", 6))
     return _topk(scored, k)

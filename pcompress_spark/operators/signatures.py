@@ -50,7 +50,8 @@ SIGNATURE_SCHEMA = T.StructType(
 
 
 def compute_signatures(
-    assembled: DataFrame, cfg: DedupConfig, parallelism: int | None = None
+    assembled: DataFrame, cfg: DedupConfig, parallelism: int | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(conv_id, n_turns, doc_text) -> signature rows (schema above).
 
@@ -59,9 +60,19 @@ def compute_signatures(
     too few tasks for numpy work). Callers should pass an
     assemble(..., parallelism=N)-partitioned input (no extra exchange); the
     optional ``parallelism`` here forces a repartition only when the input
-    isn't already pinned."""
+    isn't already pinned.
+
+    ``passthrough``: extra input columns copied verbatim onto the output
+    (appended after the signature columns, keeping their input types).
+    Streaming callers use it to carry the event-time column through the
+    mapInPandas boundary — the watermark tag itself does not survive a
+    Python map, so they re-apply withWatermark on the passed-through
+    column."""
     if parallelism:
         assembled = assembled.repartition(parallelism, "conv_id")
+    schema = SIGNATURE_SCHEMA
+    for name in passthrough:
+        schema = schema.add(assembled.schema[name])
 
     def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,13 +99,14 @@ def compute_signatures(
                     "simhash": sig["simhash"].values,
                     "win_hashes": sig["win_hashes"].values,
                     "win_positions": sig["win_positions"].values,
+                    **{name: pdf[name].values for name in passthrough},
                 }
             )
             yield out
 
     # trim_after: workers release arena RSS once their partition is done, so
     # idle (reused) Python workers don't starve the following shuffle stage
-    out = assembled.mapInPandas(trim_after(_sign), schema=SIGNATURE_SCHEMA)
+    out = assembled.mapInPandas(trim_after(_sign), schema=schema)
     # Precompute the LSH band keys as a compact column (bands x 8B vs the
     # num_perm x 8B minhash array): the candidates stage scans the
     # signature table TWICE (bucket sizes + salted membership), and reading

@@ -253,7 +253,10 @@ class DedupPipeline:
 
             from .planner import derive_exec_plan
 
-            plan = derive_exec_plan(self.spark, transcripts, cfg.bands)
+            # unit_col: transcripts is TURN-level; plan budgets are per
+            # conversation (the row the UDF/banding stages actually see)
+            plan = derive_exec_plan(self.spark, transcripts, cfg.bands,
+                                    unit_col="conv_id")
             self.exec_plan = plan
             cfg = dataclasses.replace(
                 cfg,
@@ -397,20 +400,32 @@ class DedupPipeline:
                     metrics["substring_buckets"] = (
                         sub_row[0] if sub_row else {})
             if "tiers" in tables:
-                metrics["tiers"] = {
-                    r["tier"]: r["n"]
-                    for r in tables["tiers"]
-                    .groupBy("tier")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
+                if resumed.get("tiers") and "tiers" in prior_metrics:
+                    metrics["tiers"] = prior_metrics["tiers"]
+                else:
+                    metrics["tiers"] = {
+                        r["tier"]: r["n"]
+                        for r in tables["tiers"]
+                        .groupBy("tier")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
             if self.exec_plan is not None:
                 metrics["exec_plan"] = self.exec_plan.as_dict()
             t_stats = time.monotonic()
-            lineage = self.lineage("signatures", sig, ["conv_id", "content_hash"]).unionByName(
-                self.lineage("clusters", clusters, ["conv_id", "cluster_id"])
-            )
-            lineage.write.mode("overwrite").parquet(os.path.join(self.work_dir, "lineage"))
+            # lineage derives purely from the signatures/clusters stage
+            # outputs: when BOTH resumed (same config + input fingerprint),
+            # the prior run's lineage parquet is bit-identical — rewriting
+            # it would re-run two aggregation jobs per resumed invocation
+            lineage_path = os.path.join(self.work_dir, "lineage")
+            if not (resumed.get("signatures") and resumed.get("clusters")
+                    and os.path.exists(lineage_path)):
+                lineage = self.lineage(
+                    "signatures", sig, ["conv_id", "content_hash"]
+                ).unionByName(
+                    self.lineage("clusters", clusters, ["conv_id", "cluster_id"])
+                )
+                lineage.write.mode("overwrite").parquet(lineage_path)
             # serial driver overhead is Amdahl fraction at N->4N; keep it
             # visible so regressions show up in metrics, not just wall clock
             metrics["finalize_seconds"] = {

@@ -41,6 +41,7 @@ TARGET_ARROW_BATCH_BYTES = 32 << 20         # UDF batch working set
 PARQUET_EXPANSION = 3.0                     # decoded-text vs parquet bytes
 BAND_ROW_BYTES = 24                         # (id_hash, band_idx, band_hash)
 DEFAULT_INFLIGHT_BUDGET = 8 << 30           # banding rows in flight per pass
+BUCKET_CAP_KNEES = (50_000, 50_000_000)     # unit-count knees for the cap
 
 
 @dataclass(frozen=True)
@@ -87,16 +88,39 @@ def derive_exec_plan(
     bands: int,
     cores: int | None = None,
     inflight_budget_bytes: int = DEFAULT_INFLIGHT_BUDGET,
+    unit_col: str | None = None,
 ) -> ExecPlan:
     """Derive execution parameters for a dedup run over ``docs``.
 
-    ``docs`` is the conversation-level input (one row per doc/conv); rows
-    are counted once (Parquet answers from footers). All rules are simple
-    monotone functions so two corpora of different scales verifiably pick
-    different parameters (the test pins this).
+    Every budget below is per PLANNING UNIT — the row the signature UDF
+    and the banding explode actually see (one conversation/document). When
+    ``docs`` is already unit-level (one row per doc), leave ``unit_col``
+    None and rows are counted once (Parquet answers from footers). When
+    ``docs`` is finer-grained (the raw TURN-level transcript table),
+    pass ``unit_col="conv_id"``: units are then approx-count-distinct of
+    that column (one pass, partial aggs, deterministic HLL) — counting
+    turns as units would size Arrow batches ~turns-per-conv times past the
+    working-set budget and split banding into that many needless passes.
+    All rules are simple monotone functions so two corpora of different
+    scales verifiably pick different parameters (the test pins this).
     """
     cores = cores or spark.sparkContext.defaultParallelism
-    rows = docs.count()
+    if unit_col is None:
+        rows = docs.count()
+    else:
+        from pyspark.sql import functions as F
+
+        # rsd=0.01: ~10k HLL registers — still trivial driver memory, and
+        # the unit count stays within ~1-2% (planning thresholds are
+        # order-of-magnitude, but the logged stat should read true)
+        rows = max(
+            int(
+                docs.agg(
+                    F.approx_count_distinct(unit_col, rsd=0.01)
+                ).collect()[0][0]
+            ),
+            1,
+        )
     total_bytes = _input_bytes(spark, docs)
 
     if total_bytes is not None:
@@ -118,9 +142,9 @@ def derive_exec_plan(
     # a single viral bucket stays a bounded task (the reference analog is
     # lossy eviction at capacity, index.c:539-547 — ours is deterministic
     # and logged either way).
-    if rows <= 50_000:
+    if rows <= BUCKET_CAP_KNEES[0]:
         bucket_cap = 1024
-    elif rows <= 50_000_000:
+    elif rows <= BUCKET_CAP_KNEES[1]:
         bucket_cap = 256
     else:
         bucket_cap = 128

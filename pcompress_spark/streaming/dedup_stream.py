@@ -24,11 +24,15 @@ from ..config import DedupConfig
 from ..operators.signatures import compute_signatures
 
 
-def assemble_windowed(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+def assemble_windowed(stream: DataFrame, watermark: str = "10 minutes",
+                      keep_event_time: bool = False) -> DataFrame:
     """Assemble conversations from streaming turn rows: group by conv_id
     within the watermark horizon, stable turn order via array_sort (same
-    construction as batch assemble). Works on append-mode aggregation."""
-    return (
+    construction as batch assemble). Works on append-mode aggregation.
+    ``keep_event_time``: carry the window end as a ``ts`` column so a
+    downstream stateful operator can re-establish a watermark (the batch
+    signature schema has no event-time column)."""
+    asm = (
         stream.withWatermark("ts", watermark)
         .groupBy("conv_id", F.window("ts", watermark).alias("win"))
         .agg(
@@ -41,8 +45,15 @@ def assemble_windowed(stream: DataFrame, watermark: str = "10 minutes") -> DataF
                 "\n",
             ).alias("doc_text"),
         )
-        .drop("win")
     )
+    if keep_event_time:
+        # window_time (not win.end): it PRESERVES the event-time/watermark
+        # tag through the aggregation, which is what lets a second stateful
+        # operator chain after this one without re-declaring a watermark
+        # (a re-declared watermark late-filters against the CURRENT value
+        # and drops every agg-emitted row as late)
+        asm = asm.withColumn("ts", F.window_time("win"))
+    return asm.drop("win")
 
 
 def signatures_stream(stream: DataFrame, cfg: DedupConfig | None = None,
@@ -211,11 +222,25 @@ def _recover_compaction(spark, fs, root: str, batch_dirs, tmp_dirs) -> None:
                 f"compaction recovery rename failed: {p} -> batch=c{tag}")
 
 
+def _store_state(spark, root: str, batch_id: int) -> tuple[list[str], int]:
+    """(prior batch dir paths excluding this batch's own, compacted-through
+    watermark) from ONE Hadoop listing — _near_dup_process needs both per
+    store per micro-batch, and on S3A each listing is a LIST round-trip of
+    driver latency."""
+    _, _, listing = _store_listing(spark, root)
+    dirs = [p for name, p in listing if name != f"batch={batch_id}"]
+    wm = max(
+        (int(name.split("=", 1)[1][1:]) for name, _ in listing
+         if name.startswith("batch=c")),
+        default=-1,
+    )
+    return dirs, wm
+
+
 def _prior_batch_dirs(spark, root: str, batch_id: int) -> list[str]:
     """batch=N subdirs under root, excluding this batch's own (replay
     safety)."""
-    _, _, listing = _store_listing(spark, root)
-    return [p for name, p in listing if name != f"batch={batch_id}"]
+    return _store_state(spark, root, batch_id)[0]
 
 
 def _compacted_through(spark, root: str) -> int:
@@ -275,15 +300,17 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
     try:
         if batch_df.count() == 0:
             return
-        prior_sig = _prior_batch_dirs(spark, store, batch_id)
-        prior_band = _prior_batch_dirs(spark, band_store, batch_id)
-        # per-STORE replay watermarks: a crash between the two store writes
-        # followed by a quiesced compaction leaves this batch inside one
-        # compacted store but absent from the other — the skip-rewrite and
-        # the own-row anti-join must each follow their own store's state,
-        # or the missing store never receives this batch's rows
-        own_in_sig = batch_id <= _compacted_through(spark, store)
-        own_in_band = batch_id <= _compacted_through(spark, band_store)
+        # one listing per store yields both the prior dirs and the
+        # compaction watermark. Per-STORE replay watermarks: a crash
+        # between the two store writes followed by a quiesced compaction
+        # leaves this batch inside one compacted store but absent from the
+        # other — the skip-rewrite and the own-row anti-join must each
+        # follow their own store's state, or the missing store never
+        # receives this batch's rows
+        prior_sig, sig_wm = _store_state(spark, store, batch_id)
+        prior_band, band_wm = _store_state(spark, band_store, batch_id)
+        own_in_sig = batch_id <= sig_wm
+        own_in_band = batch_id <= band_wm
         own_ihs = (
             batch_df.select("id_hash").distinct()
             if (own_in_sig or own_in_band) else None
@@ -492,8 +519,30 @@ def streaming_exact_dedup(stream: DataFrame, cfg: DedupConfig | None = None,
                           watermark: str = "10 minutes") -> DataFrame:
     """Exact-dup suppression within the watermark horizon: first conversation
     per content_hash survives (state bounded by the watermark, the memlimit
-    analog). Emits (conv_id, content_hash, n_turns, n_tokens)."""
-    sig = signatures_stream(stream, cfg, watermark)
-    return sig.select("conv_id", "content_hash", "n_turns", "n_tokens").dropDuplicates(
-        ["content_hash"]
+    analog). Emits (conv_id, content_hash, n_turns, n_tokens).
+
+    Bounded state is real, not aspirational: a plain dropDuplicates keeps
+    every key forever on an unbounded stream. Here the chained-stateful
+    pattern applies — window_time() carries the watermark tag out of the
+    assembly aggregation, and dropDuplicatesWithinWatermark evicts a key's
+    state once the watermark passes it. The dedup runs JVM-side BEFORE the
+    signature UDF on the exact-content key sha2(normalized doc_text) (the
+    same normalization the kernel content_hash uses — the DuckDB oracle
+    already pins the two normalizations equal), because a Python map strips
+    the watermark tag and a re-declared watermark late-drops every
+    agg-emitted row. Consequence (the documented horizon semantics): a
+    duplicate arriving AFTER its key expired is emitted again, exactly like
+    the reference's capacity-evicting index
+    (/root/reference/rabin/global/index.c:539-547)."""
+    cfg = cfg or DedupConfig()
+    asm = assemble_windowed(stream, watermark, keep_event_time=True)
+    exact_key = F.sha2(
+        F.trim(F.regexp_replace(F.lower("doc_text"), "[^a-z0-9]+", " ")), 256
     )
+    deduped = (
+        asm.withColumn("exact_key", exact_key)
+        .dropDuplicatesWithinWatermark(["exact_key"])
+        .drop("exact_key", "ts")
+    )
+    sig = compute_signatures(deduped, cfg)
+    return sig.select("conv_id", "content_hash", "n_turns", "n_tokens")

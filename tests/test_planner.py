@@ -78,6 +78,11 @@ def test_auto_planned_pipeline_oracle_green_at_two_scales(spark, tmp_path):
     saved = {k: spark.conf.get(k) for k in
              ("spark.sql.shuffle.partitions",
               "spark.sql.execution.arrow.maxRecordsPerBatch")}
+    # planning units are CONVERSATIONS; lower the cap knee so the two test
+    # scales (120 vs 2800 convs) straddle it without a 50k-conv fixture
+    from pcompress_spark import planner as planner_mod
+    saved_knees = planner_mod.BUCKET_CAP_KNEES
+    planner_mod.BUCKET_CAP_KNEES = (1_000, 50_000_000)
     caps = {}
     for name, n_conv in (("small", 120), ("big", 2800)):
         data = datagen.generate(seed=11, n_conv=n_conv, dup_frac=0.3)
@@ -89,7 +94,11 @@ def test_auto_planned_pipeline_oracle_green_at_two_scales(spark, tmp_path):
         with open(wd + "/metrics.json") as f:
             logged = json.load(f)["exec_plan"]
         assert logged["bucket_cap"] == pipe.cfg.bucket_cap
-        assert logged["input_rows"] == len(data.transcripts)
+        # planning units = conversations (approx-count-distinct, ~2% error),
+        # NOT turn rows — turn-count units would blow the Arrow budget by
+        # the turns-per-conversation factor
+        n_convs = data.transcripts["conv_id"].nunique()
+        assert abs(logged["input_rows"] - n_convs) <= max(2, n_convs // 20)
         # oracle parity under the derived config
         orc = oracle.run(data.transcripts, cfg=pipe.cfg)
         eng = res.tables["pairs"].toPandas()
@@ -98,5 +107,6 @@ def test_auto_planned_pipeline_oracle_green_at_two_scales(spark, tmp_path):
                           orc.pairs["match_kind"]))
         assert eng_set == orc_set, name
     assert caps["small"] != caps["big"], caps
+    planner_mod.BUCKET_CAP_KNEES = saved_knees
     for k, v in saved.items():
         spark.conf.set(k, v)

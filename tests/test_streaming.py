@@ -124,8 +124,57 @@ def test_streaming_exact_dedup_suppresses_clones(spark, timed_transcripts,
     out = streaming_exact_dedup(stream, CFG, watermark="10 minutes")
     got = _run_stream(spark, out, str(tmp_path), "dedup_stream")
     assert len(got) > 0
-    # one row per content hash
-    assert not got.duplicated(["content_hash"]).any()
+    # horizon semantics (bounded state): a content hash is unique WITHIN an
+    # assembly window; clones in windows past the watermark horizon may
+    # legitimately re-emit (state evicted — the reference's capacity-evict
+    # analog). Window end recomputed from the fixture's event times.
+    t = timed_transcripts
+    win_end = (
+        t.groupby("conv_id")["ts"].min()
+        .apply(lambda x: (int(x.value) // (600 * 10**9) + 1) * 600)
+    )
+    got = got.assign(win_end=got["conv_id"].map(win_end))
+    assert not got.duplicated(["content_hash", "win_end"]).any()
+
+
+def test_streaming_exact_dedup_horizon_semantics(spark, tmp_path):
+    """Surgical fixture for the bounded-state contract: a same-window clone
+    is suppressed; a clone arriving after its key's state expired re-emits
+    (dropDuplicatesWithinWatermark, NOT an ever-growing dropDuplicates)."""
+    t0 = pd.Timestamp("2026-01-01T00:00:10")
+
+    def conv(cid, text, offset_s):
+        return [(cid, 0, "user", text, None,
+                 (t0 + pd.Timedelta(seconds=offset_s)).to_datetime64())]
+
+    clone = "the same exact conversation text repeated verbatim"
+    files = [
+        conv("a_first", clone, 0) + conv("b_same_window", clone, 60)
+        + conv("d_unique", "something entirely different here", 90),
+        conv("f_filler", "filler that advances the watermark", 3600),
+        conv("c_far_clone", clone, 7200),
+        conv("e_flusher", "flusher closing the far window", 21600),
+    ]
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    d = tmp_path / "horizon_in"
+    d.mkdir()
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(d / f"part-{i:02d}.parquet", index=False)
+    schema = spark.createDataFrame(pd.DataFrame(files[0], columns=cols)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = streaming_exact_dedup(stream, CFG, watermark="10 minutes")
+    got = _run_stream(spark, out, str(tmp_path), "horizon_dedup")
+    by_conv = set(got["conv_id"])
+    # exactly one of the same-window clones survives
+    assert len({"a_first", "b_same_window"} & by_conv) == 1
+    # the far clone re-emits after its key's state expired
+    assert "c_far_clone" in by_conv
+    assert "d_unique" in by_conv and "f_filler" in by_conv
 
 
 def test_streaming_near_dup_pairs_match_batch(spark, timed_transcripts,
