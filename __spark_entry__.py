@@ -291,8 +291,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus, delta = _corpus_delta(spark, sf_dir)
         return incremental.incremental_admission(corpus, delta, threshold=0.3)
 
+    def doc_incremental_clusters(spark, sf_dir):
+        # delta evidence merged into the corpus's own cluster labels —
+        # untouched components pass through, touched ones re-label via CC
+        corpus, delta = _corpus_delta(spark, sf_dir)
+        return incremental.incremental_clusters(corpus, delta, threshold=0.3)
+
     q["doc_incremental_pairs"] = doc_incremental_pairs
     q["doc_incremental_dedup"] = doc_incremental_dedup
+    q["doc_incremental_clusters"] = doc_incremental_clusters
     # containment channel (long verbatim runs Jaccard misses)
     q["doc_substring_pairs"] = lambda s, d: doc_dedup.doc_substring_pairs(
         load_table(s, d, "documents"))
@@ -961,6 +968,8 @@ def oracle_sql() -> dict[str, str]:
     o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
     o["doc_incremental_pairs"] = oq.doc_incremental_pairs_sql(k=3, threshold=0.3)
     o["doc_incremental_dedup"] = oq.doc_incremental_dedup_sql(k=3, threshold=0.3)
+    o["doc_incremental_clusters"] = oq.doc_incremental_clusters_sql(
+        k=3, threshold=0.3)
     o["doc_substring_pairs"] = oq.doc_substring_sql(k=3)
     o["doc_adaptive_k_pairs"] = oq.doc_adaptive_k_sql(k_airy=3, k_dense=5,
                                                       threshold=0.3)

@@ -118,16 +118,151 @@ def incremental_lsh_pairs(
     )
 
 
+def corpus_md5_index(corpus: DataFrame) -> DataFrame:
+    """(content_md5, c_rep) exact-dup index over the corpus — min doc_id
+    per content hash, the relational form of the reference's persistent
+    global exact index (/root/reference/rabin/global/index.c:485-558).
+    At scale this is a stage table written ONCE by the corpus's own dedup
+    run; per-delta admission then probes it with a broadcast of the
+    delta's hashes instead of re-scanning + re-aggregating corpus text."""
+    return (
+        corpus.select(F.md5("text").alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("c_rep"))
+    )
+
+
+def _delta_exact_edges(
+    corpus: DataFrame, delta: DataFrame, corpus_md5: DataFrame | None = None
+) -> DataFrame:
+    """Exact-dup edges with the delta endpoint first: (doc_id, partner)
+    where partner is the corpus exact-index hit (min corpus doc_id of the
+    hash — every such delta doc links there) and/or the earliest delta doc
+    with the same hash (d_min < doc_id). Both edges are emitted when both
+    exist — for CLUSTER connectivity more evidence never hurts, unlike
+    admission's single-partner verdict. The corpus index probe broadcasts
+    the delta hash set, so the index scan is map-side (no corpus shuffle
+    when ``corpus_md5`` is a persisted stage table)."""
+    cmd5 = corpus_md5 if corpus_md5 is not None else corpus_md5_index(corpus)
+    dmd5 = delta.select("doc_id", F.md5("text").alias("content_md5"))
+    dmin = dmd5.groupBy("content_md5").agg(F.min("doc_id").alias("d_min"))
+    e1 = cmd5.join(F.broadcast(dmd5), "content_md5").select(
+        "doc_id", F.col("c_rep").alias("partner")
+    )
+    e2 = (
+        dmd5.join(dmin, "content_md5")
+        .where(F.col("d_min") < F.col("doc_id"))
+        .select("doc_id", F.col("d_min").alias("partner"))
+    )
+    return e1.unionByName(e2).distinct()
+
+
+def incremental_clusters(
+    corpus: DataFrame,
+    delta: DataFrame,
+    cfg: DedupConfig | None = None,
+    threshold: float = 0.3,
+    corpus_labels: DataFrame | None = None,
+    corpus_sig: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
+    corpus_md5: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental cluster maintenance: merge a delta's duplicate evidence
+    into the corpus's persisted cluster assignment WITHOUT re-clustering
+    the corpus. Output (doc_id, cluster_id) covers corpus ∪ delta;
+    cluster_id = min doc_id of the merged component (the same
+    first-occurrence-wins label rule as every other cluster surface).
+
+    Contract: the result is connected components over
+      corpus evidence   — the corpus run's own verdict, taken as the
+                          label STAR of ``corpus_labels`` (collapsing each
+                          corpus component to rep->member edges preserves
+                          connectivity exactly), and
+      delta evidence    — incremental_lsh_pairs (>= 1 delta endpoint,
+                          bit-identical to a full-batch run's pairs
+                          restricted to that predicate) plus exact-md5
+                          edges from delta docs to the corpus exact index
+                          / earlier delta docs.
+    Components the delta never touches keep their corpus labels verbatim
+    (anti-join passthrough — their rows are never shuffled into the CC).
+
+    Scale shape (the point at 100 TB): with persisted stage tables passed
+    in (``corpus_labels``, ``corpus_sig``, ``corpus_bands``,
+    ``corpus_md5`` — all written once by the corpus's own run), per-delta
+    work is O(delta + touched buckets + touched components): the label
+    table is scanned map-side three times (touched-rep lookup, member
+    pull, anti-join passthrough) against BROADCAST delta-bounded key sets,
+    and the CC itself runs only on touched members + delta docs. Nothing
+    re-pairs, re-bands, or re-shuffles the corpus. When the persisted
+    inputs are omitted (ad-hoc/test use) they are computed here — correct
+    but O(corpus), per incremental_lsh_pairs' module docstring.
+
+    Reference analog: the persistent global index admits new blocks
+    against prior occupants without revisiting them
+    (/root/reference/rabin/global/index.c:140-151, 485-558); clustering is
+    the backward-reference closure of those hits."""
+    from ..operators.cluster import connected_components
+    from .doc_dedup import neardup_clusters
+
+    cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
+                             jaccard_threshold=threshold)
+    labels = cache.persist(
+        corpus_labels if corpus_labels is not None
+        else neardup_clusters(corpus, cfg, threshold)
+    )
+    near = incremental_lsh_pairs(
+        corpus, delta, cfg, threshold, corpus_sig, corpus_bands
+    ).select("doc_id_a", "doc_id_b")
+    exact = _delta_exact_edges(corpus, delta, corpus_md5).select(
+        F.col("doc_id").alias("doc_id_a"), F.col("partner").alias("doc_id_b")
+    )
+    edges = cache.persist(near.unionByName(exact).distinct())
+    endpoints = (
+        edges.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    # delta-bounded key sets broadcast against the corpus-sized label scan
+    touched = (
+        labels.join(F.broadcast(endpoints), "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    members = labels.join(F.broadcast(touched), "cluster_id", "left_semi")
+    star = members.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("cluster_id").alias("doc_id_a"), F.col("doc_id").alias("doc_id_b")
+    )
+    nodes = (
+        delta.select("doc_id")
+        .unionByName(members.select("doc_id"))
+        .distinct()
+        .select(F.col("doc_id").alias("conv_id"), F.col("doc_id").alias("id_hash"))
+    )
+    cc_edges = edges.unionByName(star).select(
+        F.col("doc_id_a").alias("ih_a"), F.col("doc_id_b").alias("ih_b")
+    )
+    cc = connected_components(nodes, cc_edges, cfg).select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    untouched = labels.join(F.broadcast(touched), "cluster_id", "left_anti")
+    return untouched.select("doc_id", "cluster_id").unionByName(cc)
+
+
 def incremental_admission(
     corpus: DataFrame,
     delta: DataFrame,
     cfg: DedupConfig | None = None,
     threshold: float = 0.3,
+    corpus_md5: DataFrame | None = None,
 ) -> DataFrame:
     """Per-delta-doc admission decision against the corpus:
     (doc_id, keep, dup_kind, dup_of) — keep=1 admits the doc; dup_kind in
     ('exact', 'near', 'none'); dup_of is the duplicate partner (-1 when
     kept). Null-free output so the driver's value hash is unambiguous.
+    ``corpus_md5``: persisted (content_md5, c_rep) exact index from the
+    corpus's own run (corpus_md5_index) — pass it at scale so the exact
+    channel probes a stage table instead of re-hashing corpus text.
 
     Rule (single-pass, deterministic — first-occurrence-wins inside the
     delta, reference first-writer-wins at the index
@@ -147,14 +282,17 @@ def incremental_admission(
                              jaccard_threshold=threshold)
     d_ids = delta.select("doc_id")
     dmd5 = delta.select("doc_id", F.md5("text").alias("content_md5"))
-    crep = (
-        corpus.select(F.md5("text").alias("content_md5"), "doc_id")
-        .groupBy("content_md5")
-        .agg(F.min("doc_id").alias("c_rep"))
+    # probe the (possibly persisted — corpus_md5) exact index with a
+    # BROADCAST of the delta's hash set: the index scan stays map-side and
+    # the surviving hit set is delta-bounded, so the left join below never
+    # shuffles corpus-sized state
+    crep_full = corpus_md5 if corpus_md5 is not None else corpus_md5_index(corpus)
+    crep = crep_full.join(
+        F.broadcast(dmd5.select("content_md5").distinct()), "content_md5"
     )
     dmin = dmd5.groupBy("content_md5").agg(F.min("doc_id").alias("d_min"))
     exact = (
-        dmd5.join(crep, "content_md5", "left")
+        dmd5.join(F.broadcast(crep), "content_md5", "left")
         .join(dmin, "content_md5")
         .select(
             "doc_id",

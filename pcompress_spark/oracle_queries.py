@@ -345,6 +345,66 @@ LEFT JOIN near_ n ON n.doc_id = dd.doc_id""",
     )
 
 
+def doc_incremental_clusters_sql(k: int = 3, threshold: float = 0.3,
+                                 cfg: DedupConfig | None = None) -> str:
+    """Twin for incremental.incremental_clusters: connected components over
+    (corpus-run evidence as the label star of a CORPUS-ONLY cluster pass)
+    ∪ (delta-endpoint LSH pairs — the shared ``ipairs`` staging) ∪
+    (delta exact-md5 edges to the corpus index rep and/or the earliest
+    same-hash delta doc), min-doc_id labels over ALL docs. Untouched
+    corpus components keep their corpus label automatically (the corpus
+    label IS the component min, and the star preserves membership), so
+    one global reach pins both the passthrough and the merged relabels.
+
+    Staging order matters: ``ipairs`` and ``iexact`` are materialized from
+    the FULL tables first; dsig/dsrc are then stashed and replaced with
+    their corpus-only subsets so the shared _doc_cluster_stmts runs the
+    corpus's own cluster pass bit-for-bit (banding a doc is independent of
+    other docs, and bucket caps see corpus-only membership — exactly what
+    the corpus's own run saw)."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    d = DELTA_PRED
+    is_delta = d.format(x="doc_id")
+    return _script(
+        _doc_incr_pair_stmts(k, threshold, cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE iexact AS
+WITH cmd5_ AS (SELECT md5(text) AS h, min(doc_id) AS c_rep FROM dsrc
+               WHERE NOT ({is_delta}) GROUP BY 1),
+dmd5_ AS (SELECT doc_id, md5(text) AS h FROM dsrc WHERE {is_delta}),
+dmin_ AS (SELECT h, min(doc_id) AS d_min FROM dmd5_ GROUP BY 1)
+SELECT dm.doc_id AS a, c.c_rep AS b
+FROM dmd5_ dm JOIN cmd5_ c ON c.h = dm.h
+UNION
+SELECT dm.doc_id AS a, m.d_min AS b
+FROM dmd5_ dm JOIN dmin_ m ON m.h = dm.h
+WHERE m.d_min < dm.doc_id;
+CREATE OR REPLACE TEMP TABLE dsig_full AS SELECT * FROM dsig;
+CREATE OR REPLACE TEMP TABLE dsrc_full AS SELECT * FROM dsrc;
+CREATE OR REPLACE TEMP TABLE dsig AS
+SELECT * FROM dsig_full WHERE NOT ({d.format(x='sid')});
+CREATE OR REPLACE TEMP TABLE dsrc AS
+SELECT * FROM dsrc_full WHERE NOT ({is_delta});""",
+        _doc_cluster_stmts(threshold, cfg),
+        """
+CREATE OR REPLACE TEMP TABLE iedges AS
+SELECT doc_id_a AS a, doc_id_b AS b FROM ipairs
+UNION SELECT a, b FROM iexact
+UNION SELECT cluster_id AS a, doc_id AS b FROM dclusters
+WHERE doc_id != cluster_id;
+CREATE OR REPLACE TEMP TABLE isym AS
+SELECT a, b FROM iedges UNION SELECT b AS a, a AS b FROM iedges;
+CREATE OR REPLACE TEMP TABLE ireach AS
+WITH RECURSIVE reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM dsrc_full
+    UNION
+    SELECT r.src, s.b FROM reach r JOIN isym s ON r.dst = s.a)
+SELECT src::BIGINT AS doc_id, min(dst)::BIGINT AS cluster_id
+FROM reach GROUP BY src;
+SELECT doc_id, cluster_id FROM ireach""",
+    )
+
+
 def doc_substring_sql(k: int = 3, cfg: DedupConfig | None = None) -> str:
     """Twin for doc_dedup.doc_substring_pairs: content-defined window
     fingerprints -> salted/capped window buckets (member doc_id, salt

@@ -116,6 +116,114 @@ def test_admission_rule(spark, split):
             assert r.dup_of == min(near_partner[r.doc_id])
 
 
+def _uf_labels(nodes, edges):
+    """Reference union-find (driver python): min-id labels."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {n: find(n) for n in nodes}
+
+
+def test_incremental_clusters_contract(spark, split):
+    """incremental_clusters == CC over (corpus label star ∪ delta-endpoint
+    LSH pairs ∪ delta exact edges) with min-doc_id labels — the defined
+    contract, reconstructed independently with a driver union-find."""
+    corpus, delta = split
+    labels = {r.doc_id: r.cluster_id
+              for r in doc_dedup.neardup_clusters(corpus, CFG, 0.3).collect()}
+    star = [(c, d) for d, c in labels.items() if d != c]
+    ipairs = [(r.doc_id_a, r.doc_id_b) for r in incremental.incremental_lsh_pairs(
+        corpus, delta, CFG, threshold=0.3).collect()]
+    import hashlib
+
+    cmd5, dmd5 = {}, []
+    for r in corpus.select("doc_id", "text").collect():
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        cmd5[h] = min(cmd5.get(h, r.doc_id), r.doc_id)
+    for r in delta.select("doc_id", "text").collect():
+        dmd5.append((r.doc_id, hashlib.md5(r.text.encode()).hexdigest()))
+    dmin = {}
+    for did, h in dmd5:
+        dmin[h] = min(dmin.get(h, did), did)
+    exact = [(did, cmd5[h]) for did, h in dmd5 if h in cmd5]
+    exact += [(did, dmin[h]) for did, h in dmd5 if dmin[h] < did]
+    nodes = set(labels) | {r.doc_id for r in delta.select("doc_id").collect()}
+    expected = _uf_labels(nodes, star + ipairs + exact)
+    got = {r.doc_id: r.cluster_id for r in incremental.incremental_clusters(
+        corpus, delta, CFG, threshold=0.3).collect()}
+    assert got == expected
+
+
+def test_incremental_clusters_synthetic_merge(spark):
+    """Handcrafted merge: a delta doc near-dups members of TWO separate
+    corpus clusters -> they merge under the global min id; an untouched
+    corpus cluster passes through verbatim; a unique delta doc is a
+    singleton; a delta exact-dup joins its corpus partner's component.
+    rows=1 banding + no est-Jaccard prefilter: candidate recall is
+    ~exhaustive at this scale, so the merge edges are structural, not a
+    lottery on the default 32x4 geometry."""
+    cfg_t = DedupConfig(shingle_k=3, substring_enabled=False,
+                        jaccard_threshold=0.3, minhash_prefilter=0.0,
+                        num_perm=32, bands=32, rows=1)
+    ta = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi")
+    tb = ("one two three four five six seven eight nine ten eleven twelve "
+          "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty")
+    tu = ("untouched cluster text about parquet row groups and column "
+          "statistics pruning at the reader level with predicate pushdown")
+    corpus = spark.createDataFrame(
+        [(1, ta), (2, ta.replace("psi", "omega")),       # cluster {1, 2}
+         (3, tb),                                        # cluster {3}
+         (5, tu), (6, tu)],                              # untouched {5, 6}
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(4, ta.replace("psi", "omega").replace("alpha", "alpho") + " " + tb),
+         (8, "a totally unrelated singleton delta document about nothing"),
+         (12, tb)],                                      # exact dup of 3
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.cluster_id for r in incremental.incremental_clusters(
+        corpus, delta, cfg_t, threshold=0.3).collect()}
+    assert got[5] == 5 and got[6] == 5          # untouched passthrough
+    assert got[8] == 8                          # delta singleton
+    assert got[12] == got[3]                    # exact edge joins 3's component
+    # doc 4 bridges {1,2} and {3,12}: all merge under min id 1
+    assert got[1] == got[2] == got[3] == got[4] == got[12] == 1
+
+
+def test_incremental_clusters_persisted_stage_tables(spark, split, tmp_path):
+    """Production shape: labels/signatures/bands/md5-index all come from
+    persisted stage tables — output identical to the inline path."""
+    corpus, delta = split
+    p = {k: str(tmp_path / k) for k in ("labels", "sig", "bands", "md5")}
+    doc_dedup.neardup_clusters(corpus, CFG, 0.3).write.parquet(p["labels"])
+    doc_dedup.doc_signatures(corpus, CFG).write.parquet(p["sig"])
+    doc_dedup.doc_band_explode(spark.read.parquet(p["sig"]), CFG).write.parquet(
+        p["bands"])
+    incremental.corpus_md5_index(corpus).write.parquet(p["md5"])
+    staged = incremental.incremental_clusters(
+        corpus, delta, CFG, threshold=0.3,
+        corpus_labels=spark.read.parquet(p["labels"]),
+        corpus_sig=spark.read.parquet(p["sig"]),
+        corpus_bands=spark.read.parquet(p["bands"]),
+        corpus_md5=spark.read.parquet(p["md5"]),
+    )
+    inline = incremental.incremental_clusters(corpus, delta, CFG, threshold=0.3)
+    as_map = lambda df: {r.doc_id: r.cluster_id for r in df.collect()}
+    assert as_map(staged) == as_map(inline)
+
+
 def test_admission_exact_branch_synthetic(spark):
     """Handcrafted corpus/delta exercising every admission branch: corpus
     exact dup, earlier-delta exact dup, corpus-priority near dup, and a

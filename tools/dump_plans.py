@@ -52,6 +52,7 @@ def main() -> None:
     tier_df = entry.queries()["tr_tier_attribution"](spark, SF)
     doc_sub_df = entry.queries()["doc_substring_pairs"](spark, SF)
     inc_pairs_df = entry.queries()["doc_incremental_pairs"](spark, SF)
+    inc_cc_df = entry.queries()["doc_incremental_clusters"](spark, SF)
     turn_idx_df = entry.queries()["tr_turn_dedup_index"](spark, SF)
     ann_recall_df = entry.queries()["ann_recall_report"](spark, SF)
     emb_lsh_df = entry.queries()["doc_embedding_lsh_pairs"](spark, SF)
@@ -86,6 +87,8 @@ def main() -> None:
             doc_sub_df,
         "incremental delta-vs-corpus pairs (broadcast touched-bucket semi-join)":
             inc_pairs_df,
+        "incremental cluster maintenance (untouched labels pass through an anti-join; CC only on touched members + delta)":
+            inc_cc_df,
         "turn-level dedup index (single hash shuffle, JVM-only, no UDF)":
             turn_idx_df,
         "ANN recall report (brute truth persisted, count-only method joins)":
@@ -184,6 +187,17 @@ def main() -> None:
         and not bad_inc_exchange
         else "FAIL incremental: semi-joins not broadcast or shingle table "
         "exchanged on a single pair-end key"
+    )
+    inc_cc_plan = plan_of(inc_cc_df)
+    checks.append(
+        "OK incremental_clusters: label scans filtered by broadcast "
+        "semi/anti joins (touched pull + untouched passthrough), no "
+        "cartesian stage"
+        if "LeftSemi" in inc_cc_plan and "LeftAnti" in inc_cc_plan
+        and inc_cc_plan.count("BroadcastHashJoin") >= 2
+        and "CartesianProduct" not in inc_cc_plan
+        else "FAIL incremental_clusters: label joins not broadcast or "
+        "quadratic stage"
     )
     for name, df in (("simhash_pairs", doc_dedup.simhash_pairs(docs)),
                      ("routed_lsh_pairs", doc_dedup.routed_lsh_pairs(docs)),
