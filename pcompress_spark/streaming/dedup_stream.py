@@ -256,9 +256,133 @@ def _compacted_through(spark, root: str) -> int:
     return max(tags, default=-1)
 
 
+def _update_labels_store(spark, root: str, batch_id: int,
+                         batch_df: DataFrame, edges: DataFrame,
+                         cfg: DedupConfig) -> None:
+    """Streaming cluster maintenance — the per-batch twin of
+    functions.incremental.incremental_clusters.
+
+    The labels store holds rows (conv_id, id_hash, cluster_id, src_batch)
+    under ``batch=N`` subdirs; a conversation's CURRENT label is its row
+    with the highest src_batch (read_stream_labels resolves it). Per batch:
+    look up the current labels of this batch's evidence endpoints (a
+    broadcast-filtered map scan of the store), pull the members of the
+    touched clusters, run connected components over (touched label stars ∪
+    batch evidence edges), and write ONE dir of rows for touched members +
+    batch docs. Untouched conversations are never rewritten — their latest
+    rows simply remain the latest, so per-batch write volume is
+    O(batch + touched members), never O(stream lifetime).
+
+    Replay/compaction: rows carry src_batch in-data, so a replayed batch
+    whose rows were already compacted into a ``batch=c<N>`` dir restores
+    its pre-batch view by filtering src_batch == batch_id (no id anti-join
+    needed) and skips its own rewrite — same idempotence rule as the
+    signature/band stores. Incremental-CC correctness: collapsing each
+    prior component to its label star preserves connectivity exactly, and
+    CC over (stars ∪ new edges) on the touched subgraph equals a full
+    recompute over the accumulated edge set restricted to those
+    components; min-conv_id labels therefore match the batch pipeline's
+    (cluster.connected_components' first-occurrence-wins rule)."""
+    import os
+
+    from ..operators.cluster import connected_components
+
+    prior, wm = _store_state(spark, root, batch_id)
+    own_in_store = batch_id <= wm
+    store = None
+    if prior:
+        store = spark.read.parquet(*prior)
+        if own_in_store:
+            store = store.where(F.col("src_batch") != batch_id)
+
+    if store is not None:
+        ep = (
+            edges.select(F.col("conv_id_a").alias("conv_id"))
+            .unionByName(edges.select(F.col("conv_id_b").alias("conv_id")))
+            .unionByName(batch_df.select("conv_id"))
+            .distinct()
+        )
+        # current labels of endpoint docs -> touched cluster set. Both key
+        # sets are batch-evidence-bounded, so the store is only ever
+        # SCANNED behind a broadcast filter, never shuffled wholesale.
+        ep_rows = store.join(F.broadcast(ep), "conv_id", "left_semi")
+        touched = (
+            ep_rows.groupBy("conv_id")
+            .agg(F.max_by("cluster_id", "src_batch").alias("cluster_id"))
+            .select("cluster_id")
+            .distinct()
+        )
+        # members of touched clusters: docs with ANY row labeled into a
+        # touched cluster are candidates; latest-wins over ALL their rows
+        # then re-filters (a doc relabeled OUT of a touched cluster by a
+        # later batch must not be pulled back in). The candidate pull is a
+        # plain semi-join — AQE broadcasts it while the candidate set is
+        # small and degrades to a candidate-bounded shuffle for a viral
+        # touched cluster, never a corpus-bounded one.
+        cand_ids = (
+            store.join(F.broadcast(touched), "cluster_id", "left_semi")
+            .select("conv_id")
+            .distinct()
+        )
+        cur = (
+            store.join(cand_ids, "conv_id", "left_semi")
+            .groupBy("conv_id")
+            .agg(
+                F.max_by("cluster_id", "src_batch").alias("cluster_id"),
+                F.max_by("id_hash", "src_batch").alias("id_hash"),
+            )
+        )
+        members = cur.join(F.broadcast(touched), "cluster_id", "left_semi")
+        rep_ih = members.where(F.col("conv_id") == F.col("cluster_id")).select(
+            "cluster_id", F.col("id_hash").alias("rep_ih")
+        )
+        star = (
+            members.join(rep_ih, "cluster_id")
+            .where(F.col("conv_id") != F.col("cluster_id"))
+            .select(F.col("rep_ih").alias("ih_a"), F.col("id_hash").alias("ih_b"))
+        )
+        nodes = (
+            members.select("conv_id", "id_hash")
+            .unionByName(batch_df.select("conv_id", "id_hash"))
+            .distinct()
+        )
+        cc_edges = edges.select("ih_a", "ih_b").unionByName(star)
+    else:
+        nodes = batch_df.select("conv_id", "id_hash").distinct()
+        cc_edges = edges.select("ih_a", "ih_b")
+
+    labels = connected_components(nodes, cc_edges, cfg)
+    out = labels.join(nodes, "conv_id").select(
+        "conv_id", "id_hash", "cluster_id",
+        F.lit(batch_id).cast("long").alias("src_batch"),
+    )
+    if not own_in_store:
+        out.write.mode("overwrite").parquet(
+            os.path.join(root, f"batch={batch_id}"))
+
+
+def read_stream_labels(spark, work_dir: str) -> DataFrame:
+    """Current cluster assignment from a stream's labels store
+    (start_near_dup_stream(with_labels=True)): latest row per conversation
+    — (conv_id, cluster_id). One groupBy over the accumulated label rows;
+    compact_near_dup_store bounds how many dirs that scan lists."""
+    import os
+
+    root = os.path.join(work_dir, "labels") if not work_dir.rstrip("/").endswith(
+        "/labels") else work_dir
+    _, _, listing = _store_listing(spark, root)
+    if not listing:
+        return spark.createDataFrame([], "conv_id string, cluster_id string")
+    store = spark.read.parquet(*[p for _, p in listing])
+    return store.groupBy("conv_id").agg(
+        F.max_by("cluster_id", "src_batch").alias("cluster_id")
+    )
+
+
 def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
                       pairs_out: str, cfg: DedupConfig,
-                      band_store: str | None = None) -> None:
+                      band_store: str | None = None,
+                      labels_store: str | None = None) -> None:
     """foreachBatch body for start_near_dup_stream (module-level so replay
     idempotence is directly testable).
 
@@ -381,6 +505,15 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
         # duplicate them for every future probe; the OTHER store may still
         # be missing the batch (crash between the two writes), hence the
         # per-store decision
+        if labels_store:
+            # evidence = the just-written (materialized) pair parquet, so
+            # the verify join is never re-executed for the label update
+            _update_labels_store(
+                spark, labels_store, batch_id,
+                batch_df.select("conv_id", "id_hash"),
+                spark.read.parquet(os.path.join(pairs_out, f"batch={batch_id}")),
+                cfg,
+            )
     finally:
         batch_df.unpersist()
 
@@ -392,6 +525,7 @@ def start_near_dup_stream(
     watermark: str = "10 minutes",
     trigger_available_now: bool = True,
     compact_every: int | None = None,
+    with_labels: bool = False,
 ):
     """Incremental near-duplicate PAIR detection on a transcript stream.
 
@@ -432,8 +566,18 @@ def start_near_dup_stream(
     ``spark.read.parquet(work_dir + "/pairs")`` (the ``batch`` partition
     column records provenance).
 
+    ``with_labels=True`` additionally maintains a ``labels/batch=N/``
+    store: per-batch incremental cluster maintenance (_update_labels_store
+    — the streaming twin of functions.incremental.incremental_clusters),
+    where a conversation's current assignment is its latest row; read it
+    with ``read_stream_labels(spark, work_dir)``. Accumulated labels equal
+    the batch pipeline's clusters over the same closed conversations
+    (components are the closure of the same pair evidence; min-conv_id
+    labels — pinned by the batch-parity test), with the same hot-bucket
+    scoping as the pair equivalence above.
+
     Store compaction: pass ``compact_every=K`` to auto-compact the
-    signature/band stores every K micro-batches. The hook runs at the
+    signature/band/label stores every K micro-batches. The hook runs at the
     START of batch B — a quiesced window: every batch < B is committed
     (so will never replay) and B's own possibly-half-written dirs are
     excluded via ``exclude_batch`` — so it is exactly as safe as running
@@ -449,7 +593,8 @@ def start_near_dup_stream(
     sigs = stateful_assemble_signatures(stream, cfg, gap=watermark)
 
     base_process = functools.partial(
-        _near_dup_process, store=store, pairs_out=pairs_out, cfg=cfg
+        _near_dup_process, store=store, pairs_out=pairs_out, cfg=cfg,
+        labels_store=os.path.join(work_dir, "labels") if with_labels else None,
     )
     if compact_every:
         def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -485,7 +630,7 @@ def compact_near_dup_store(spark, work_dir: str,
     watermark: _near_dup_process anti-joins a replayed batch's own rows
     out of the store when batch_id <= N (the manually-compacted-mid-batch
     case), so replay idempotence survives compaction."""
-    for sub in ("sig_store", "sig_store_bands"):
+    for sub in ("sig_store", "sig_store_bands", "labels"):
         root = work_dir.rstrip("/") + "/" + sub
         # _store_listing completes/aborts any interrupted prior compaction
         fs, root_path, listing = _store_listing(spark, root)

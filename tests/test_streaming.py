@@ -334,6 +334,72 @@ def test_compaction_crash_recovery(spark, timed_transcripts, tmp_path):
     assert spark.read.parquet(band_store).count() == n_bands
 
 
+def test_streaming_labels_match_batch(spark, timed_transcripts, tmp_path):
+    """with_labels cluster maintenance: accumulated streaming labels ==
+    the batch pipeline's connected components over the same conversations
+    (components are the closure of the same pair evidence; min-conv_id
+    labels), and they survive store compaction unchanged."""
+    from pcompress_spark.operators.candidates import candidate_pairs
+    from pcompress_spark.operators.cluster import connected_components
+    from pcompress_spark.operators.verify import verify_pairs
+    from pcompress_spark.streaming.dedup_stream import (
+        _near_dup_process, compact_near_dup_store, read_stream_labels)
+
+    batch_df = spark.createDataFrame(timed_transcripts)
+    sig = compute_signatures(assemble(batch_df), CFG).cache()
+    half_a = sig.where(F.hash("conv_id") % 2 == 0).cache()
+    half_b = sig.subtract(half_a).cache()
+    wd = tmp_path / "wd_labels"
+    kw = dict(store=str(wd / "sig_store"), pairs_out=str(wd / "pairs"),
+              labels_store=str(wd / "labels"), cfg=CFG)
+    _near_dup_process(half_a, 0, **kw)
+    _near_dup_process(half_b, 1, **kw)
+    got = {r.conv_id: r.cluster_id
+           for r in read_stream_labels(spark, str(wd)).collect()}
+    cand, _ = candidate_pairs(sig, CFG)
+    pairs = verify_pairs(sig, cand, CFG)
+    want = {r.conv_id: r.cluster_id for r in connected_components(
+        sig.select("conv_id", "id_hash"), pairs, CFG).collect()}
+    assert got == want
+
+    # untouched passthrough: batch 1 rewrites only touched members + its
+    # own docs — at least one batch-0 conversation stays unwritten
+    b1 = set(spark.read.parquet(str(wd / "labels" / "batch=1")).toPandas()["conv_id"])
+    assert {r.conv_id for r in half_b.select("conv_id").collect()} <= b1
+    assert len(b1) < len(want)
+
+    # compaction (union-merge; src_batch rides in-row) preserves labels
+    compact_near_dup_store(spark, str(wd))
+    got2 = {r.conv_id: r.cluster_id
+            for r in read_stream_labels(spark, str(wd)).collect()}
+    assert got2 == got
+
+
+def test_streaming_labels_replay_idempotent(spark, timed_transcripts, tmp_path):
+    """Replaying a batch (at-least-once foreachBatch) leaves the labels
+    store byte-stable: same rows, same resolved assignment."""
+    from pcompress_spark.streaming.dedup_stream import (
+        _near_dup_process, read_stream_labels)
+
+    batch_df = spark.createDataFrame(timed_transcripts)
+    sig = compute_signatures(assemble(batch_df), CFG)
+    half_a = sig.where(F.hash("conv_id") % 2 == 0).cache()
+    half_b = sig.subtract(half_a).cache()
+    wd = tmp_path / "wd_labels_replay"
+    kw = dict(store=str(wd / "sig_store"), pairs_out=str(wd / "pairs"),
+              labels_store=str(wd / "labels"), cfg=CFG)
+    _near_dup_process(half_a, 0, **kw)
+    _near_dup_process(half_b, 1, **kw)
+    before = {r.conv_id: r.cluster_id
+              for r in read_stream_labels(spark, str(wd)).collect()}
+    n_rows = spark.read.parquet(str(wd / "labels")).count()
+    _near_dup_process(half_b, 1, **kw)  # replay
+    after = {r.conv_id: r.cluster_id
+             for r in read_stream_labels(spark, str(wd)).collect()}
+    assert after == before
+    assert spark.read.parquet(str(wd / "labels")).count() == n_rows
+
+
 def test_per_store_replay_watermark(spark, timed_transcripts, tmp_path):
     """A crash between the sig-store and band-store writes followed by a
     quiesced compaction leaves the batch inside sig_store's c<N> but absent
