@@ -255,6 +255,8 @@ def incremental_admission(
     cfg: DedupConfig | None = None,
     threshold: float = 0.3,
     corpus_md5: DataFrame | None = None,
+    corpus_sig: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Per-delta-doc admission decision against the corpus:
     (doc_id, keep, dup_kind, dup_of) — keep=1 admits the doc; dup_kind in
@@ -263,6 +265,8 @@ def incremental_admission(
     ``corpus_md5``: persisted (content_md5, c_rep) exact index from the
     corpus's own run (corpus_md5_index) — pass it at scale so the exact
     channel probes a stage table instead of re-hashing corpus text.
+    ``corpus_sig``/``corpus_bands``: same as incremental_lsh_pairs — with
+    all three stage tables supplied, ``corpus`` itself is never scanned.
 
     Rule (single-pass, deterministic — first-occurrence-wins inside the
     delta, reference first-writer-wins at the index
@@ -302,7 +306,9 @@ def incremental_admission(
             ).alias("exact_of"),
         )
     )
-    pairs = incremental_lsh_pairs(corpus, delta, cfg, threshold)
+    pairs = incremental_lsh_pairs(
+        corpus, delta, cfg, threshold, corpus_sig, corpus_bands
+    )
     # partner rows: (delta doc, neighbor) — corpus neighbors always count,
     # delta neighbors only when they have the smaller id
     da = d_ids.withColumnRenamed("doc_id", "doc_id_a").withColumn("a_delta", F.lit(1))

@@ -133,3 +133,71 @@ def test_get_spark_inherit_honors_launcher_master(tmp_path):
     )
     assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
     assert "INHERIT_OK" in out.stdout
+
+
+def test_run_incremental_script_loop(tmp_path):
+    """tools/run_incremental.py (the daily-ingest spark-submit entry):
+    bootstrap corpus state, admit a day-1 delta, then admit a day-2 delta
+    whose exact copy of a day-1 ADMITTED doc must be dropped against the
+    UPDATED state — the loop genuinely folds admitted docs into the corpus."""
+    import pandas as pd
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]]
+    corpus = docs[docs["doc_id"] % 4 != 0]
+    delta1 = docs[docs["doc_id"] % 8 == 0]
+    cpath = str(tmp_path / "corpus.parquet")
+    d1path = str(tmp_path / "delta1.parquet")
+    corpus.to_parquet(cpath, index=False)
+    delta1.to_parquet(d1path, index=False)
+    state = str(tmp_path / "state")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_DRIVER_MEM="4g")
+    script = os.path.join(REPO, "tools", "run_incremental.py")
+    common = ["--state-dir", state, "--master", "local[4]",
+              "--shuffle-partitions", "4"]
+
+    boot = subprocess.run(
+        [sys.executable, script, "--bootstrap", "--corpus", cpath] + common,
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert boot.returncode == 0, boot.stderr[-3000:]
+    assert json.loads(boot.stdout.strip().splitlines()[-1])["docs"] == len(corpus)
+
+    out1 = subprocess.run(
+        [sys.executable, script, "--delta", d1path,
+         "--out", str(tmp_path / "out1"), "--run-tag", "day1"] + common,
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert out1.returncode == 0, out1.stderr[-3000:]
+    res1 = json.loads(out1.stdout.strip().splitlines()[-1])
+    assert res1["delta_docs"] == len(delta1)
+    assert res1["admitted"] + res1["dropped_exact"] + res1["dropped_near"] == len(delta1)
+    adm1 = pd.read_parquet(str(tmp_path / "out1" / "admission"))
+    kept = adm1[adm1["keep"] == 1]["doc_id"]
+    assert len(kept) == res1["admitted"] > 0
+
+    # day-2 delta: an exact copy of a day-1 ADMITTED doc + one fresh doc
+    d = int(kept.iloc[0])
+    d_text = delta1.set_index("doc_id").at[d, "text"]
+    delta2 = pd.DataFrame({
+        "doc_id": [900001, 900002],
+        "text": [d_text, "a genuinely fresh day two document about nothing "
+                         "resembling the corpus fixtures at all"],
+    })
+    d2path = str(tmp_path / "delta2.parquet")
+    delta2.to_parquet(d2path, index=False)
+    out2 = subprocess.run(
+        [sys.executable, script, "--delta", d2path,
+         "--out", str(tmp_path / "out2"), "--run-tag", "day2"] + common,
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert out2.returncode == 0, out2.stderr[-3000:]
+    adm2 = pd.read_parquet(str(tmp_path / "out2" / "admission")).set_index("doc_id")
+    assert adm2.at[900001, "keep"] == 0
+    assert adm2.at[900001, "dup_kind"] == "exact"
+    assert adm2.at[900001, "dup_of"] == d  # the day-1 admitted doc, via state
+    assert adm2.at[900002, "keep"] == 1
+
+    # merged labels cover corpus + both deltas; the copy joined d's cluster
+    labels = pd.read_parquet(os.path.join(state, "labels")).set_index("doc_id")
+    assert set(labels.index) >= set(corpus["doc_id"]) | set(delta1["doc_id"]) | {
+        900001, 900002}
+    assert labels.at[900001, "cluster_id"] == labels.at[d, "cluster_id"]
+    assert labels.at[900002, "cluster_id"] == 900002

@@ -1,0 +1,200 @@
+"""spark-submit driver for the daily-ingest (delta-vs-corpus) admission loop.
+
+The batch pipeline (tools/run_pipeline.py) dedups a corpus once; THIS entry
+point runs the loop a web-scale training-data pipeline actually operates:
+admit each day's delta against persistent corpus state without re-pairing,
+re-banding, or re-clustering the corpus, then fold the admitted docs into
+that state so tomorrow's delta probes today's corpus. Reference analog: the
+persistent global index admits new blocks against prior occupants without
+revisiting them (/root/reference/rabin/global/index.c:140-151, 485-558).
+
+State layout under --state-dir (parquet stage tables, the "persisted
+corpus run" inputs of functions/incremental.py):
+
+    sig/     doc signatures        (append-per-run subdirs: run=<tag>/)
+    bands/   exploded LSH bands    (append-per-run subdirs)
+    md5/     exact-dup index rows  (append-per-run subdirs; re-min'd on read)
+    labels/  cluster assignment    (FULL table, atomically replaced per run)
+
+Bootstrap once from the existing corpus:
+
+    spark-submit --py-files dist/pcompress_spark.zip tools/run_incremental.py \
+        --bootstrap --corpus /warehouse/docs --state-dir /warehouse/dedup_state
+
+Then per delta batch:
+
+    spark-submit ... tools/run_incremental.py \
+        --delta /warehouse/incoming/2026-08-19 \
+        --state-dir /warehouse/dedup_state --out /warehouse/admissions/2026-08-19
+
+Outputs under --out: admission/ (doc_id, keep, dup_kind, dup_of) and
+pairs/ (the delta-endpoint near-dup evidence). Admitted (keep=1) docs'
+signature/band/md5 rows are appended to the state; labels/ is rewritten
+with the merged assignment (corpus ∪ delta — dropped dups keep a label row
+recording which cluster absorbed them). Scale note: state appends and all
+probes are O(delta + touched); only the labels rewrite is O(corpus
+label rows) — a narrow table; keep per-run label deltas instead (the
+streaming store's latest-row-wins layout, streaming/dedup_stream.py) if
+even that is too hot.
+
+Input: parquet with columns (doc_id long, text string).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _replace_dir(spark, df, path: str) -> None:
+    """Atomic-ish full-table replace: write to tmp, rename over. A crash
+    between delete and rename is recovered by re-running the same step
+    (the tmp holds the complete new table; parquet _SUCCESS marks it)."""
+    fs, dst, jvm = _hadoop_fs(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tmp = path.rstrip("/") + "._tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(hpath(tmp), dst):
+        raise IOError(f"rename failed: {tmp} -> {path}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", default=None,
+                    help="documents parquet (bootstrap only)")
+    ap.add_argument("--delta", default=None, help="delta documents parquet")
+    ap.add_argument("--state-dir", required=True,
+                    help="persistent corpus state (sig/ bands/ md5/ labels/)")
+    ap.add_argument("--out", default=None,
+                    help="per-run output dir (admission/ pairs/)")
+    ap.add_argument("--bootstrap", action="store_true",
+                    help="build state-dir from --corpus and exit")
+    ap.add_argument("--threshold", type=float, default=0.3)
+    ap.add_argument("--master", default="inherit")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--config-json", default=None,
+                    help="JSON dict of DedupConfig field overrides")
+    ap.add_argument("--run-tag", default=None,
+                    help="state append subdir tag (default: unix time)")
+    args = ap.parse_args(argv)
+
+    from pcompress_spark.config import DedupConfig
+    from pcompress_spark.functions import doc_dedup, incremental
+    from pcompress_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="pcompress-spark-incremental",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    overrides = json.loads(args.config_json) if args.config_json else {}
+    overrides.setdefault("shingle_k", 3)
+    overrides.setdefault("substring_enabled", False)
+    overrides.setdefault("jaccard_threshold", args.threshold)
+    cfg = DedupConfig(**overrides)
+    sd = args.state_dir.rstrip("/")
+    paths = {k: f"{sd}/{k}" for k in ("sig", "bands", "md5", "labels")}
+
+    if args.bootstrap:
+        if not args.corpus:
+            ap.error("--bootstrap requires --corpus")
+        corpus = spark.read.parquet(args.corpus)
+        sig = doc_dedup.doc_signatures(corpus, cfg)
+        sig.write.mode("overwrite").parquet(f"{paths['sig']}/run=bootstrap")
+        sig_t = spark.read.parquet(paths["sig"])
+        doc_dedup.doc_band_explode(sig_t, cfg).write.mode("overwrite").parquet(
+            f"{paths['bands']}/run=bootstrap")
+        incremental.corpus_md5_index(corpus).write.mode("overwrite").parquet(
+            f"{paths['md5']}/run=bootstrap")
+        _replace_dir(
+            spark,
+            doc_dedup.neardup_clusters(corpus, cfg, args.threshold),
+            paths["labels"],
+        )
+        print(json.dumps({"bootstrapped": True, "state_dir": sd,
+                          "docs": spark.read.parquet(paths["sig"]).count()}))
+        return 0
+
+    if not args.delta or not args.out:
+        ap.error("--delta and --out are required (or pass --bootstrap)")
+    delta = spark.read.parquet(args.delta)
+    tag = args.run_tag or str(int(time.time()))
+    # drop the run=<tag> partition column the append layout induces — the
+    # stage-table consumers expect the bare signature/band schemas
+    corpus_sig = spark.read.parquet(paths["sig"]).drop("run")
+    corpus_bands = spark.read.parquet(paths["bands"]).drop("run")
+    # admitted docs append RAW (content_md5, c_rep=doc_id) rows; re-min on
+    # read keeps the index shape without a rewrite-per-run
+    from pyspark.sql import functions as F
+
+    corpus_md5 = (
+        spark.read.parquet(paths["md5"])
+        .groupBy("content_md5")
+        .agg(F.min("c_rep").alias("c_rep"))
+    )
+    corpus_labels = spark.read.parquet(paths["labels"])
+
+    # corpus text is never read in this loop: every probe rides the stage
+    # tables. The `corpus` argument only backstops missing stage tables,
+    # so pass an empty frame to make an accidental corpus scan impossible.
+    empty_corpus = spark.createDataFrame([], "doc_id long, text string")
+    adm = incremental.incremental_admission(
+        empty_corpus, delta, cfg, args.threshold,
+        corpus_md5=corpus_md5, corpus_sig=corpus_sig,
+        corpus_bands=corpus_bands,
+    )
+    adm.write.mode("overwrite").parquet(f"{args.out}/admission")
+    adm = spark.read.parquet(f"{args.out}/admission")
+    pairs = incremental.incremental_lsh_pairs(
+        empty_corpus, delta, cfg, args.threshold,
+        corpus_sig=corpus_sig, corpus_bands=corpus_bands,
+    )
+    pairs.write.mode("overwrite").parquet(f"{args.out}/pairs")
+    labels = incremental.incremental_clusters(
+        empty_corpus, delta, cfg, args.threshold,
+        corpus_labels=corpus_labels, corpus_sig=corpus_sig,
+        corpus_bands=corpus_bands, corpus_md5=corpus_md5,
+    )
+    _replace_dir(spark, labels, paths["labels"])
+
+    admitted = delta.join(
+        adm.where(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+    dsig = doc_dedup.doc_signatures(admitted, cfg)
+    dsig.write.mode("overwrite").parquet(f"{paths['sig']}/run={tag}")
+    dsig_t = spark.read.parquet(f"{paths['sig']}/run={tag}")
+    doc_dedup.doc_band_explode(dsig_t, cfg).write.mode("overwrite").parquet(
+        f"{paths['bands']}/run={tag}")
+    admitted.select(
+        F.md5("text").alias("content_md5"), F.col("doc_id").alias("c_rep")
+    ).groupBy("content_md5").agg(F.min("c_rep").alias("c_rep")).write.mode(
+        "overwrite").parquet(f"{paths['md5']}/run={tag}")
+
+    counts = {r["dup_kind"]: r["n"] for r in adm.groupBy("dup_kind").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    print(json.dumps({
+        "run": tag,
+        "delta_docs": delta.count(),
+        "admitted": int(counts.get("none", 0)),
+        "dropped_exact": int(counts.get("exact", 0)),
+        "dropped_near": int(counts.get("near", 0)),
+        "out": args.out,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
