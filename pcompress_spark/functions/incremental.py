@@ -166,6 +166,7 @@ def incremental_clusters(
     corpus_sig: DataFrame | None = None,
     corpus_bands: DataFrame | None = None,
     corpus_md5: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental cluster maintenance: merge a delta's duplicate evidence
     into the corpus's persisted cluster assignment WITHOUT re-clustering
@@ -210,8 +211,16 @@ def incremental_clusters(
         corpus_labels if corpus_labels is not None
         else neardup_clusters(corpus, cfg, threshold)
     )
-    near = incremental_lsh_pairs(
-        corpus, delta, cfg, threshold, corpus_sig, corpus_bands
+    # ``pairs``: precomputed near-dup evidence (doc_id_a, doc_id_b[, ...])
+    # from an earlier incremental_lsh_pairs run — callers that materialize
+    # the pair parquet anyway (tools/run_incremental.py) pass it back in so
+    # the banding/verify chain executes ONCE per run, not once per surface
+    # (the streaming twin reads its just-written pair parquet for the same
+    # reason, streaming/dedup_stream.py _near_dup_process).
+    near = (
+        pairs if pairs is not None else incremental_lsh_pairs(
+            corpus, delta, cfg, threshold, corpus_sig, corpus_bands
+        )
     ).select("doc_id_a", "doc_id_b")
     exact = _delta_exact_edges(corpus, delta, corpus_md5).select(
         F.col("doc_id").alias("doc_id_a"), F.col("partner").alias("doc_id_b")
@@ -257,6 +266,7 @@ def incremental_admission(
     corpus_md5: DataFrame | None = None,
     corpus_sig: DataFrame | None = None,
     corpus_bands: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-delta-doc admission decision against the corpus:
     (doc_id, keep, dup_kind, dup_of) — keep=1 admits the doc; dup_kind in
@@ -306,9 +316,11 @@ def incremental_admission(
             ).alias("exact_of"),
         )
     )
-    pairs = incremental_lsh_pairs(
-        corpus, delta, cfg, threshold, corpus_sig, corpus_bands
-    )
+    # ``pairs``: precomputed evidence, same contract as incremental_clusters
+    if pairs is None:
+        pairs = incremental_lsh_pairs(
+            corpus, delta, cfg, threshold, corpus_sig, corpus_bands
+        )
     # partner rows: (delta doc, neighbor) — corpus neighbors always count,
     # delta neighbors only when they have the smaller id
     da = d_ids.withColumnRenamed("doc_id", "doc_id_a").withColumn("a_delta", F.lit(1))

@@ -282,7 +282,16 @@ def _update_labels_store(spark, root: str, batch_id: int,
     CC over (stars ∪ new edges) on the touched subgraph equals a full
     recompute over the accumulated edge set restricted to those
     components; min-conv_id labels therefore match the batch pipeline's
-    (cluster.connected_components' first-occurrence-wins rule)."""
+    (cluster.connected_components' first-occurrence-wins rule).
+
+    Coverage when labels are enabled MID-stream (work_dir already holds
+    signature/pair batches from label-less runs): edge endpoints always
+    enter the node set straight from the evidence rows (``ep_nodes``), so a
+    pre-enablement conversation linked by a new pair is labeled correctly
+    even though it has no store row; pre-enablement SINGLETONS stay absent
+    from the labels store until they next touch an edge — read_stream_labels
+    covers conversations seen since enablement plus edge-linked history,
+    not the full stream lifetime."""
     import os
 
     from ..operators.cluster import connected_components
@@ -295,6 +304,17 @@ def _update_labels_store(spark, root: str, batch_id: int,
         if own_in_store:
             store = store.where(F.col("src_batch") != batch_id)
 
+    # evidence endpoints as nodes, independent of store membership: without
+    # this, an endpoint with no labels row (pair partner from a batch before
+    # labels were enabled) would be silently dropped from the CC node set
+    # and the new edge's connectivity lost
+    ep_nodes = (
+        edges.select(F.col("conv_id_a").alias("conv_id"),
+                     F.col("ih_a").alias("id_hash"))
+        .unionByName(
+            edges.select(F.col("conv_id_b").alias("conv_id"),
+                         F.col("ih_b").alias("id_hash")))
+    )
     if store is not None:
         ep = (
             edges.select(F.col("conv_id_a").alias("conv_id"))
@@ -344,11 +364,16 @@ def _update_labels_store(spark, root: str, batch_id: int,
         nodes = (
             members.select("conv_id", "id_hash")
             .unionByName(batch_df.select("conv_id", "id_hash"))
+            .unionByName(ep_nodes)
             .distinct()
         )
         cc_edges = edges.select("ih_a", "ih_b").unionByName(star)
     else:
-        nodes = batch_df.select("conv_id", "id_hash").distinct()
+        nodes = (
+            batch_df.select("conv_id", "id_hash")
+            .unionByName(ep_nodes)
+            .distinct()
+        )
         cc_edges = edges.select("ih_a", "ih_b")
 
     labels = connected_components(nodes, cc_edges, cfg)

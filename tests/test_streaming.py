@@ -400,6 +400,47 @@ def test_streaming_labels_replay_idempotent(spark, timed_transcripts, tmp_path):
     assert spark.read.parquet(str(wd / "labels")).count() == n_rows
 
 
+def test_streaming_labels_enabled_mid_stream(spark, timed_transcripts, tmp_path):
+    """Turning with_labels on over a work_dir that already holds label-less
+    batches must not lose connectivity: a pre-enablement conversation linked
+    by a new pair enters the CC straight from the edge's endpoint columns
+    (no labels-store row exists for it) and gets a correct label row."""
+    from pcompress_spark.operators.cluster import connected_components
+    from pcompress_spark.streaming.dedup_stream import (
+        _near_dup_process, read_stream_labels)
+
+    batch_df = spark.createDataFrame(timed_transcripts)
+    sig = compute_signatures(assemble(batch_df), CFG).cache()
+    half_a = sig.where(F.hash("conv_id") % 2 == 0).cache()
+    half_b = sig.subtract(half_a).cache()
+    wd = tmp_path / "wd_labels_mid"
+    base = dict(store=str(wd / "sig_store"), pairs_out=str(wd / "pairs"), cfg=CFG)
+    _near_dup_process(half_a, 0, labels_store=None, **base)          # label-less era
+    _near_dup_process(half_b, 1, labels_store=str(wd / "labels"), **base)
+
+    got = {r.conv_id: r.cluster_id
+           for r in read_stream_labels(spark, str(wd)).collect()}
+    pairs1 = spark.read.parquet(str(wd / "pairs" / "batch=1"))
+    a_ids = {r.conv_id for r in half_a.select("conv_id").collect()}
+    ep = {r.conv_id_a for r in pairs1.collect()} | {
+        r.conv_id_b for r in pairs1.collect()}
+    cross = ep & a_ids
+    assert cross, "fixture must produce >= 1 cross-batch pair"
+    # every pre-enablement endpoint is labeled (the bug dropped them)
+    assert cross <= set(got)
+    # and the labels equal CC over exactly (batch-1 docs + edge endpoints)
+    ep_nodes = (
+        pairs1.select(F.col("conv_id_a").alias("conv_id"),
+                      F.col("ih_a").alias("id_hash"))
+        .unionByName(pairs1.select(F.col("conv_id_b").alias("conv_id"),
+                                   F.col("ih_b").alias("id_hash")))
+    )
+    nodes = half_b.select("conv_id", "id_hash").unionByName(ep_nodes).distinct()
+    want = {r.conv_id: r.cluster_id for r in connected_components(
+        nodes, pairs1.select("ih_a", "ih_b"), CFG).collect()}
+    assert got == want
+
+
 def test_per_store_replay_watermark(spark, timed_transcripts, tmp_path):
     """A crash between the sig-store and band-store writes followed by a
     quiesced compaction leaves the batch inside sig_store's c<N> but absent

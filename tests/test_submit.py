@@ -201,3 +201,30 @@ def test_run_incremental_script_loop(tmp_path):
         900001, 900002}
     assert labels.at[900001, "cluster_id"] == labels.at[d, "cluster_id"]
     assert labels.at[900002, "cluster_id"] == 900002
+
+    # RE-RUN idempotence (crash-recovery protocol): replaying day-2 with the
+    # same tag must first drop its own prior run=day2 appends, so state row
+    # counts and labels are unchanged — no duplicate signature/md5 rows that
+    # would poison future hot-bucket capping or pair outputs
+    sig_rows = len(pd.read_parquet(os.path.join(state, "sig")))
+    out2b = subprocess.run(
+        [sys.executable, script, "--delta", d2path,
+         "--out", str(tmp_path / "out2"), "--run-tag", "day2"] + common,
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert out2b.returncode == 0, out2b.stderr[-3000:]
+    assert len(pd.read_parquet(os.path.join(state, "sig"))) == sig_rows
+    labels2 = pd.read_parquet(os.path.join(state, "labels")).set_index("doc_id")
+    assert labels2["cluster_id"].to_dict() == labels["cluster_id"].to_dict()
+
+    # doc_id collision guard: a delta reusing a corpus doc_id must be
+    # rejected before any state mutation
+    clash = pd.DataFrame({"doc_id": [int(corpus["doc_id"].iloc[0])],
+                          "text": ["collides with the corpus id space"]})
+    cpath3 = str(tmp_path / "delta3.parquet")
+    clash.to_parquet(cpath3, index=False)
+    out3 = subprocess.run(
+        [sys.executable, script, "--delta", cpath3,
+         "--out", str(tmp_path / "out3")] + common,
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert out3.returncode != 0
+    assert "collide" in (out3.stderr + out3.stdout)

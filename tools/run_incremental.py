@@ -28,7 +28,8 @@ Then per delta batch:
         --state-dir /warehouse/dedup_state --out /warehouse/admissions/2026-08-19
 
 Outputs under --out: admission/ (doc_id, keep, dup_kind, dup_of) and
-pairs/ (the delta-endpoint near-dup evidence). Admitted (keep=1) docs'
+pairs/ (the delta-endpoint near-dup evidence, computed ONCE and reused by
+both the admission verdict and the label merge). Admitted (keep=1) docs'
 signature/band/md5 rows are appended to the state; labels/ is rewritten
 with the merged assignment (corpus ∪ delta — dropped dups keep a label row
 recording which cluster absorbed them). Scale note: state appends and all
@@ -36,6 +37,25 @@ probes are O(delta + touched); only the labels rewrite is O(corpus
 label rows) — a narrow table; keep per-run label deltas instead (the
 streaming store's latest-row-wins layout, streaming/dedup_stream.py) if
 even that is too hot.
+
+Crash safety / idempotent re-run protocol:
+  - the default run tag is a HASH OF THE DELTA'S FILE LISTING, so
+    re-running a crashed (or even completed) delta reuses the same tag;
+  - a run first DELETES any partial run=<tag> state subdirs from a prior
+    attempt, so state reads always see the pre-run corpus and appends are
+    never duplicated;
+  - every output that depends on pre-run state (pairs, admission, the
+    merged labels) is MATERIALIZED before any state mutation: labels are
+    staged to labels._tmp first, the sig/bands/md5 folds run next, and the
+    labels commit (delete + rename) happens last;
+  - an interrupted commit is recovered at the next run's start: a complete
+    labels._tmp (parquet _SUCCESS present) with no labels/ is renamed into
+    place; a stale tmp next to an intact labels/ is deleted.
+  A killed run at ANY point therefore re-runs to the same end state.
+
+Delta doc_ids must be disjoint from the corpus state's doc_ids (validated
+against the signature table before any work; a collision would produce
+conflicting duplicate label rows).
 
 Input: parquet with columns (doc_id long, text string).
 """
@@ -46,7 +66,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -57,18 +76,72 @@ def _hadoop_fs(spark, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
-def _replace_dir(spark, df, path: str) -> None:
-    """Atomic-ish full-table replace: write to tmp, rename over. A crash
-    between delete and rename is recovered by re-running the same step
-    (the tmp holds the complete new table; parquet _SUCCESS marks it)."""
+def _stage_replace(spark, df, path: str) -> None:
+    """First half of the full-table replace: materialize the new table to
+    ``<path>._tmp`` (parquet _SUCCESS marks completeness). The destination
+    is untouched until _commit_replace."""
+    df.write.mode("overwrite").parquet(path.rstrip("/") + "._tmp")
+
+
+def _commit_replace(spark, path: str) -> None:
+    """Second half: delete the old table, rename the staged tmp over it.
+    A crash between delete and rename leaves a complete tmp and no
+    destination — _recover_replace at the next run's start finishes the
+    rename (module docstring protocol)."""
     fs, dst, jvm = _hadoop_fs(spark, path)
     hpath = jvm.org.apache.hadoop.fs.Path
     tmp = path.rstrip("/") + "._tmp"
-    df.write.mode("overwrite").parquet(tmp)
     if fs.exists(dst):
         fs.delete(dst, True)
     if not fs.rename(hpath(tmp), dst):
         raise IOError(f"rename failed: {tmp} -> {path}")
+
+
+def _replace_dir(spark, df, path: str) -> None:
+    """Atomic-ish full-table replace (stage + commit in one step — used by
+    bootstrap, where there is no state to keep consistent with)."""
+    _stage_replace(spark, df, path)
+    _commit_replace(spark, path)
+
+
+def _recover_replace(spark, path: str) -> None:
+    """Finish or abort an interrupted _commit_replace: a COMPLETE tmp
+    (_SUCCESS present) with no destination is renamed into place (the
+    crash hit between delete and rename); any tmp next to an intact
+    destination is a stale pre-commit artifact and is deleted."""
+    fs, dst, jvm = _hadoop_fs(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tmp = path.rstrip("/") + "._tmp"
+    tmp_p = hpath(tmp)
+    if fs.exists(dst):
+        if fs.exists(tmp_p):
+            fs.delete(tmp_p, True)
+    elif fs.exists(hpath(tmp + "/_SUCCESS")):
+        if not fs.rename(tmp_p, dst):
+            raise IOError(f"recovery rename failed: {tmp} -> {path}")
+
+
+def _delete_run_dirs(spark, paths: dict, tag: str) -> None:
+    """Idempotent re-run cleanup: drop any run=<tag> appends a prior
+    crashed attempt of THIS delta left behind, so state reads see the
+    pre-run corpus and the folds below never duplicate rows."""
+    for k in ("sig", "bands", "md5"):
+        fs, p, _ = _hadoop_fs(spark, f"{paths[k]}/run={tag}")
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
+def _default_tag(delta_df) -> str:
+    """Deterministic run tag from the delta's file listing, so a re-run of
+    the same delta overwrites its own partial state instead of appending a
+    duplicate copy under a fresh time-based tag."""
+    import hashlib
+    import time
+
+    files = sorted(delta_df.inputFiles())
+    if files:
+        return "d" + hashlib.sha256("\n".join(files).encode()).hexdigest()[:12]
+    return str(int(time.time()))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -88,7 +161,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--config-json", default=None,
                     help="JSON dict of DedupConfig field overrides")
     ap.add_argument("--run-tag", default=None,
-                    help="state append subdir tag (default: unix time)")
+                    help="state append subdir tag (default: hash of the "
+                         "delta's file listing, so re-runs are idempotent; "
+                         "an explicit tag must be unique per delta)")
     args = ap.parse_args(argv)
 
     from pcompress_spark.config import DedupConfig
@@ -131,7 +206,9 @@ def main(argv: list[str] | None = None) -> int:
     if not args.delta or not args.out:
         ap.error("--delta and --out are required (or pass --bootstrap)")
     delta = spark.read.parquet(args.delta)
-    tag = args.run_tag or str(int(time.time()))
+    tag = args.run_tag or _default_tag(delta)
+    _delete_run_dirs(spark, paths, tag)
+    _recover_replace(spark, paths["labels"])
     # drop the run=<tag> partition column the append layout induces — the
     # stage-table consumers expect the bare signature/band schemas
     corpus_sig = spark.read.parquet(paths["sig"]).drop("run")
@@ -147,28 +224,53 @@ def main(argv: list[str] | None = None) -> int:
     )
     corpus_labels = spark.read.parquet(paths["labels"])
 
+    # doc_id spaces MUST be disjoint: a colliding id would get two
+    # conflicting label rows (untouched passthrough + fresh CC) and the
+    # admission verdict would compare the doc against itself-as-corpus.
+    # The signature table covers every corpus doc; the probe is a map-side
+    # broadcast filter over its doc_id column.
+    clash = (
+        corpus_sig.select("doc_id")
+        .join(F.broadcast(delta.select("doc_id").distinct()),
+              "doc_id", "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        raise SystemExit(
+            "delta doc_ids collide with corpus state (sample: "
+            f"{sorted(r['doc_id'] for r in clash)}); doc_id spaces must be "
+            "disjoint — re-key the delta before admission")
+
     # corpus text is never read in this loop: every probe rides the stage
     # tables. The `corpus` argument only backstops missing stage tables,
     # so pass an empty frame to make an accidental corpus scan impossible.
     empty_corpus = spark.createDataFrame([], "doc_id long, text string")
-    adm = incremental.incremental_admission(
-        empty_corpus, delta, cfg, args.threshold,
-        corpus_md5=corpus_md5, corpus_sig=corpus_sig,
-        corpus_bands=corpus_bands,
-    )
-    adm.write.mode("overwrite").parquet(f"{args.out}/admission")
-    adm = spark.read.parquet(f"{args.out}/admission")
+    # evidence ONCE: materialize the pair parquet first, then feed it to
+    # both the admission verdict and the label merge — the banding/verify
+    # chain over the delta runs a single time per daily run
     pairs = incremental.incremental_lsh_pairs(
         empty_corpus, delta, cfg, args.threshold,
         corpus_sig=corpus_sig, corpus_bands=corpus_bands,
     )
     pairs.write.mode("overwrite").parquet(f"{args.out}/pairs")
+    pairs = spark.read.parquet(f"{args.out}/pairs")
+    adm = incremental.incremental_admission(
+        empty_corpus, delta, cfg, args.threshold,
+        corpus_md5=corpus_md5, corpus_sig=corpus_sig,
+        corpus_bands=corpus_bands, pairs=pairs,
+    )
+    adm.write.mode("overwrite").parquet(f"{args.out}/admission")
+    adm = spark.read.parquet(f"{args.out}/admission")
     labels = incremental.incremental_clusters(
         empty_corpus, delta, cfg, args.threshold,
         corpus_labels=corpus_labels, corpus_sig=corpus_sig,
-        corpus_bands=corpus_bands, corpus_md5=corpus_md5,
+        corpus_bands=corpus_bands, corpus_md5=corpus_md5, pairs=pairs,
     )
-    _replace_dir(spark, labels, paths["labels"])
+    # stage the merged labels BEFORE mutating any state (the clusters plan
+    # reads corpus_labels/sig/bands — materialize it while they are still
+    # pre-run), fold next, commit the labels rename last
+    _stage_replace(spark, labels, paths["labels"])
 
     admitted = delta.join(
         adm.where(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
@@ -182,6 +284,7 @@ def main(argv: list[str] | None = None) -> int:
         F.md5("text").alias("content_md5"), F.col("doc_id").alias("c_rep")
     ).groupBy("content_md5").agg(F.min("c_rep").alias("c_rep")).write.mode(
         "overwrite").parquet(f"{paths['md5']}/run={tag}")
+    _commit_replace(spark, paths["labels"])
 
     counts = {r["dup_kind"]: r["n"] for r in adm.groupBy("dup_kind").agg(
         F.count(F.lit(1)).alias("n")).collect()}
