@@ -66,6 +66,7 @@ def incremental_lsh_pairs(
     threshold: float = 0.3,
     corpus_sig: DataFrame | None = None,
     corpus_bands: DataFrame | None = None,
+    delta_sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs (doc_id_a, doc_id_b, jaccard) between the
     delta and (corpus ∪ delta), WITHOUT re-pairing the corpus: every pair
@@ -74,12 +75,17 @@ def incremental_lsh_pairs(
     ``corpus_sig``/``corpus_bands``: persisted stage tables from the
     corpus's own dedup run. When omitted (ad-hoc/test use) they are
     computed here from ``corpus`` — correct but O(corpus); production
-    callers at scale MUST pass them (module docstring)."""
+    callers at scale MUST pass them (module docstring).
+    ``delta_sig``: precomputed delta signatures — callers that also fold
+    signatures into state (tools/run_incremental.py) materialize them once
+    and pass them here so the Arrow signature kernels run a single time
+    per delta."""
     cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
                              jaccard_threshold=threshold)
     csig = cache.persist(corpus_sig if corpus_sig is not None
                          else doc_signatures(corpus, cfg))
-    dsig = cache.persist(doc_signatures(delta, cfg))
+    dsig = cache.persist(delta_sig if delta_sig is not None
+                         else doc_signatures(delta, cfg))
     cbands = (corpus_bands if corpus_bands is not None
               else doc_band_explode(csig, cfg))
     dbands = doc_band_explode(dsig, cfg)
@@ -254,7 +260,15 @@ def incremental_clusters(
         F.col("conv_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
-    untouched = labels.join(F.broadcast(touched), "cluster_id", "left_anti")
+    # replay safety: when a prior attempt already merged THIS delta into
+    # corpus_labels (a re-run of a completed or commit-crashed daily run),
+    # a singleton delta doc sits in labels but is no edge endpoint, so its
+    # old row would pass the cluster anti-join while CC re-emits it via the
+    # delta node set — two rows for one doc. Delta docs therefore always
+    # exit through the CC side only.
+    untouched = labels.join(F.broadcast(touched), "cluster_id", "left_anti").join(
+        F.broadcast(delta.select("doc_id")), "doc_id", "left_anti"
+    )
     return untouched.select("doc_id", "cluster_id").unionByName(cc)
 
 

@@ -285,13 +285,15 @@ def _update_labels_store(spark, root: str, batch_id: int,
     (cluster.connected_components' first-occurrence-wins rule).
 
     Coverage when labels are enabled MID-stream (work_dir already holds
-    signature/pair batches from label-less runs): edge endpoints always
-    enter the node set straight from the evidence rows (``ep_nodes``), so a
-    pre-enablement conversation linked by a new pair is labeled correctly
-    even though it has no store row; pre-enablement SINGLETONS stay absent
-    from the labels store until they next touch an edge — read_stream_labels
-    covers conversations seen since enablement plus edge-linked history,
-    not the full stream lifetime."""
+    signature/pair batches from label-less runs): the caller folds the
+    WHOLE accumulated pair store into the first labeled batch's evidence
+    (_near_dup_process), and edge endpoints always enter the node set
+    straight from the evidence rows (``ep_nodes``) — so every
+    pair-connected conversation gets a label consistent with full pair
+    history. Pre-enablement SINGLETONS (never in any pair) stay absent
+    from the labels store until next seen — read_stream_labels covers
+    conversations seen since enablement plus pair-linked history, not the
+    full stream lifetime."""
     import os
 
     from ..operators.cluster import connected_components
@@ -533,10 +535,26 @@ def _near_dup_process(batch_df: DataFrame, batch_id: int, *, store: str,
         if labels_store:
             # evidence = the just-written (materialized) pair parquet, so
             # the verify join is never re-executed for the label update
+            ecols = ["conv_id_a", "conv_id_b", "ih_a", "ih_b"]
+            edges = spark.read.parquet(
+                os.path.join(pairs_out, f"batch={batch_id}")).select(*ecols)
+            # labels enabled MID-stream (pair batches exist, label store
+            # empty): fold the WHOLE accumulated pair store into the first
+            # labeled batch's evidence, so labels agree with pair history —
+            # otherwise components the earlier pairs connect would stay
+            # split forever (each later batch sees only its own edges).
+            # One-time cost bounded by the pair store (already the
+            # compactable evidence table); pre-enablement singletons that
+            # never touch a pair remain absent (_update_labels_store doc).
+            if not _prior_batch_dirs(spark, labels_store, batch_id):
+                prior_pairs = _prior_batch_dirs(spark, pairs_out, batch_id)
+                if prior_pairs:
+                    edges = edges.unionByName(
+                        spark.read.parquet(*prior_pairs).select(*ecols))
             _update_labels_store(
                 spark, labels_store, batch_id,
                 batch_df.select("conv_id", "id_hash"),
-                spark.read.parquet(os.path.join(pairs_out, f"batch={batch_id}")),
+                edges,
                 cfg,
             )
     finally:

@@ -402,9 +402,10 @@ def test_streaming_labels_replay_idempotent(spark, timed_transcripts, tmp_path):
 
 def test_streaming_labels_enabled_mid_stream(spark, timed_transcripts, tmp_path):
     """Turning with_labels on over a work_dir that already holds label-less
-    batches must not lose connectivity: a pre-enablement conversation linked
-    by a new pair enters the CC straight from the edge's endpoint columns
-    (no labels-store row exists for it) and gets a correct label row."""
+    batches must not lose connectivity: the first labeled batch folds the
+    accumulated pair store into its evidence and endpoints enter the CC
+    straight from the edge rows, so labels agree with FULL pair history
+    (components the pre-enablement pairs connect are not split)."""
     from pcompress_spark.operators.cluster import connected_components
     from pcompress_spark.streaming.dedup_stream import (
         _near_dup_process, read_stream_labels)
@@ -420,24 +421,26 @@ def test_streaming_labels_enabled_mid_stream(spark, timed_transcripts, tmp_path)
 
     got = {r.conv_id: r.cluster_id
            for r in read_stream_labels(spark, str(wd)).collect()}
-    pairs1 = spark.read.parquet(str(wd / "pairs" / "batch=1"))
+    all_pairs = spark.read.parquet(str(wd / "pairs")).select(
+        "conv_id_a", "conv_id_b", "ih_a", "ih_b")
     a_ids = {r.conv_id for r in half_a.select("conv_id").collect()}
-    ep = {r.conv_id_a for r in pairs1.collect()} | {
-        r.conv_id_b for r in pairs1.collect()}
-    cross = ep & a_ids
+    rows1 = spark.read.parquet(str(wd / "pairs" / "batch=1")).collect()
+    cross = ({r.conv_id_a for r in rows1} | {r.conv_id_b for r in rows1}) & a_ids
     assert cross, "fixture must produce >= 1 cross-batch pair"
     # every pre-enablement endpoint is labeled (the bug dropped them)
     assert cross <= set(got)
-    # and the labels equal CC over exactly (batch-1 docs + edge endpoints)
+    # and the labels equal CC over batch-1 docs + ALL pair-history
+    # endpoints with the FULL accumulated edge set — pre-enablement pairs
+    # included (without the seed, components they connect stay split)
     ep_nodes = (
-        pairs1.select(F.col("conv_id_a").alias("conv_id"),
-                      F.col("ih_a").alias("id_hash"))
-        .unionByName(pairs1.select(F.col("conv_id_b").alias("conv_id"),
-                                   F.col("ih_b").alias("id_hash")))
+        all_pairs.select(F.col("conv_id_a").alias("conv_id"),
+                         F.col("ih_a").alias("id_hash"))
+        .unionByName(all_pairs.select(F.col("conv_id_b").alias("conv_id"),
+                                      F.col("ih_b").alias("id_hash")))
     )
     nodes = half_b.select("conv_id", "id_hash").unionByName(ep_nodes).distinct()
     want = {r.conv_id: r.cluster_id for r in connected_components(
-        nodes, pairs1.select("ih_a", "ih_b"), CFG).collect()}
+        nodes, all_pairs.select("ih_a", "ih_b"), CFG).collect()}
     assert got == want
 
 

@@ -213,8 +213,22 @@ def test_run_incremental_script_loop(tmp_path):
         capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
     assert out2b.returncode == 0, out2b.stderr[-3000:]
     assert len(pd.read_parquet(os.path.join(state, "sig"))) == sig_rows
-    labels2 = pd.read_parquet(os.path.join(state, "labels")).set_index("doc_id")
+    labels2_raw = pd.read_parquet(os.path.join(state, "labels"))
+    # exactly ONE row per doc after replay (set_index would mask dup rows)
+    assert len(labels2_raw) == len(labels)
+    assert labels2_raw["doc_id"].is_unique
+    labels2 = labels2_raw.set_index("doc_id")
     assert labels2["cluster_id"].to_dict() == labels["cluster_id"].to_dict()
+
+    # reused-tag guard: running a DIFFERENT delta under day2's tag must be
+    # refused instead of silently deleting day2's committed state appends
+    out2c = subprocess.run(
+        [sys.executable, script, "--delta", d1path,
+         "--out", str(tmp_path / "out2c"), "--run-tag", "day2"] + common,
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert out2c.returncode != 0
+    assert "DIFFERENT delta" in (out2c.stderr + out2c.stdout)
+    assert len(pd.read_parquet(os.path.join(state, "sig"))) == sig_rows
 
     # doc_id collision guard: a delta reusing a corpus doc_id must be
     # rejected before any state mutation

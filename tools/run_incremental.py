@@ -27,9 +27,12 @@ Then per delta batch:
         --delta /warehouse/incoming/2026-08-19 \
         --state-dir /warehouse/dedup_state --out /warehouse/admissions/2026-08-19
 
-Outputs under --out: admission/ (doc_id, keep, dup_kind, dup_of) and
-pairs/ (the delta-endpoint near-dup evidence, computed ONCE and reused by
-both the admission verdict and the label merge). Admitted (keep=1) docs'
+Outputs under --out: admission/ (doc_id, keep, dup_kind, dup_of), pairs/
+(the delta-endpoint near-dup evidence, computed ONCE and reused by both
+the admission verdict and the label merge), and delta_sig/ (the delta's
+signatures, materialized once — pair generation and the state fold both
+read it, so the Arrow kernel chain runs a single time per delta).
+Admitted (keep=1) docs'
 signature/band/md5 rows are appended to the state; labels/ is rewritten
 with the merged assignment (corpus ∪ delta — dropped dups keep a label row
 recording which cluster absorbed them). Scale note: state appends and all
@@ -121,14 +124,44 @@ def _recover_replace(spark, path: str) -> None:
             raise IOError(f"recovery rename failed: {tmp} -> {path}")
 
 
-def _delete_run_dirs(spark, paths: dict, tag: str) -> None:
+def _delete_run_dirs(spark, paths: dict, tag: str, delta) -> bool:
     """Idempotent re-run cleanup: drop any run=<tag> appends a prior
-    crashed attempt of THIS delta left behind, so state reads see the
-    pre-run corpus and the folds below never duplicate rows."""
+    attempt of THIS delta left behind, so state reads see the pre-run
+    corpus and the folds below never duplicate rows. Returns whether a
+    prior attempt existed (its labels merge may already be committed —
+    the caller relaxes the doc_id collision guard accordingly).
+
+    Guard against a REUSED tag (an operator passing another delta's
+    --run-tag by mistake): deleting a different delta's committed appends
+    would silently blind all future probes to its docs, so refuse unless
+    the existing run dir's doc_ids are a subset of this delta's."""
+    from pyspark.sql import functions as F
+
+    prior = False
+    sig_run = f"{paths['sig']}/run={tag}"
+    fs, p, _ = _hadoop_fs(spark, sig_run)
+    if fs.exists(p):
+        prior = True
+        foreign = (
+            spark.read.parquet(sig_run).select("doc_id")
+            .join(F.broadcast(delta.select("doc_id").distinct()),
+                  "doc_id", "left_anti")
+            .limit(5)
+            .collect()
+        )
+        if foreign:
+            raise SystemExit(
+                f"state already holds run={tag} appends for doc_ids not in "
+                f"this delta (sample: {sorted(r['doc_id'] for r in foreign)})"
+                " — the tag belongs to a DIFFERENT delta; deleting it would"
+                " orphan those docs from all future dedup probes. Pass a"
+                " unique --run-tag (or omit it for the file-listing hash).")
     for k in ("sig", "bands", "md5"):
         fs, p, _ = _hadoop_fs(spark, f"{paths[k]}/run={tag}")
         if fs.exists(p):
+            prior = True
             fs.delete(p, True)
+    return prior
 
 
 def _default_tag(delta_df) -> str:
@@ -207,7 +240,7 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--delta and --out are required (or pass --bootstrap)")
     delta = spark.read.parquet(args.delta)
     tag = args.run_tag or _default_tag(delta)
-    _delete_run_dirs(spark, paths, tag)
+    prior_attempt = _delete_run_dirs(spark, paths, tag, delta)
     _recover_replace(spark, paths["labels"])
     # drop the run=<tag> partition column the append layout induces — the
     # stage-table consumers expect the bare signature/band schemas
@@ -227,31 +260,46 @@ def main(argv: list[str] | None = None) -> int:
     # doc_id spaces MUST be disjoint: a colliding id would get two
     # conflicting label rows (untouched passthrough + fresh CC) and the
     # admission verdict would compare the doc against itself-as-corpus.
-    # The signature table covers every corpus doc; the probe is a map-side
-    # broadcast filter over its doc_id column.
-    clash = (
-        corpus_sig.select("doc_id")
-        .join(F.broadcast(delta.select("doc_id").distinct()),
-              "doc_id", "left_semi")
-        .limit(5)
-        .collect()
-    )
-    if clash:
-        raise SystemExit(
-            "delta doc_ids collide with corpus state (sample: "
-            f"{sorted(r['doc_id'] for r in clash)}); doc_id spaces must be "
-            "disjoint — re-key the delta before admission")
+    # Probe labels ∪ signatures: labels also cover DROPPED delta docs
+    # (keep=0 rows are merged into labels but never folded into sig),
+    # signatures cover a crash window before the labels commit. Both
+    # probes are map-side broadcast filters over one narrow column.
+    # Skipped on a replay of this same tag — the first attempt validated
+    # disjointness, and its own committed labels would now false-positive.
+    if not prior_attempt:
+        ids = (
+            corpus_sig.select("doc_id")
+            .unionByName(corpus_labels.select("doc_id"))
+        )
+        clash = (
+            ids.join(F.broadcast(delta.select("doc_id").distinct()),
+                     "doc_id", "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            raise SystemExit(
+                "delta doc_ids collide with corpus state (sample: "
+                f"{sorted(set(r['doc_id'] for r in clash))}); doc_id spaces "
+                "must be disjoint — re-key the delta before admission")
 
     # corpus text is never read in this loop: every probe rides the stage
     # tables. The `corpus` argument only backstops missing stage tables,
     # so pass an empty frame to make an accidental corpus scan impossible.
     empty_corpus = spark.createDataFrame([], "doc_id long, text string")
-    # evidence ONCE: materialize the pair parquet first, then feed it to
+    # signatures ONCE: the Arrow kernel chain runs a single time over the
+    # delta; the materialized frame feeds pair generation here and the
+    # admitted-subset state fold below
+    doc_dedup.doc_signatures(delta, cfg).write.mode("overwrite").parquet(
+        f"{args.out}/delta_sig")
+    delta_sig = spark.read.parquet(f"{args.out}/delta_sig")
+    # evidence ONCE: materialize the pair parquet next, then feed it to
     # both the admission verdict and the label merge — the banding/verify
     # chain over the delta runs a single time per daily run
     pairs = incremental.incremental_lsh_pairs(
         empty_corpus, delta, cfg, args.threshold,
         corpus_sig=corpus_sig, corpus_bands=corpus_bands,
+        delta_sig=delta_sig,
     )
     pairs.write.mode("overwrite").parquet(f"{args.out}/pairs")
     pairs = spark.read.parquet(f"{args.out}/pairs")
@@ -275,7 +323,12 @@ def main(argv: list[str] | None = None) -> int:
     admitted = delta.join(
         adm.where(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
     )
-    dsig = doc_dedup.doc_signatures(admitted, cfg)
+    # fold = the already-materialized delta signatures filtered to the
+    # admitted subset (signatures are per-doc deterministic, so this is
+    # bit-identical to recomputing them — without a second kernel pass)
+    dsig = delta_sig.join(
+        adm.where(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
     dsig.write.mode("overwrite").parquet(f"{paths['sig']}/run={tag}")
     dsig_t = spark.read.parquet(f"{paths['sig']}/run={tag}")
     doc_dedup.doc_band_explode(dsig_t, cfg).write.mode("overwrite").parquet(
