@@ -242,7 +242,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("cluster_id", "conv_id", F.col("best_ts").alias("last_ts"))
         )
 
+    # incremental daily-ingest on the PRIMARY axis (functions/incremental):
+    # deterministic split on the conv-id suffix (suffix % 4 == 0 -> delta,
+    # rest -> corpus; the oracle's TR_DELTA_PRED). The engine probes the
+    # corpus only through its signature table's precomputed band_hashes —
+    # corpus text is never re-shingled, and only delta-touched buckets /
+    # content groups shuffle.
+    def _tr_corpus_delta(spark, sf_dir):
+        t = load_transcripts(spark, sf_dir)
+        is_delta = F.expr("CAST(substring(conv_id, 6) AS BIGINT) % 4 = 0")
+        return t.where(~is_delta), t.where(is_delta)
+
+    def tr_incremental_pairs(spark, sf_dir):
+        corpus, delta = _tr_corpus_delta(spark, sf_dir)
+        return incremental.incremental_transcript_pairs(corpus, delta, CFG).select(
+            "conv_id_a", "conv_id_b",
+            F.round("jaccard", 6).alias("jaccard"), "match_kind",
+        )
+
+    def tr_incremental_clusters(spark, sf_dir):
+        corpus, delta = _tr_corpus_delta(spark, sf_dir)
+        return incremental.incremental_transcript_clusters(corpus, delta, CFG)
+
     q["tr_near_pairs"] = tr_near_pairs
+    q["tr_incremental_pairs"] = tr_incremental_pairs
+    q["tr_incremental_clusters"] = tr_incremental_clusters
     q["tr_dedup_keep_latest"] = tr_dedup_keep_latest
     q["tr_assistant_near_pairs"] = tr_assistant_near_pairs
     q["tr_recall_report"] = tr_recall_report
@@ -981,6 +1005,8 @@ def oracle_sql() -> dict[str, str]:
                                                design_threshold=0.3)
     o["doc_simhash_pairs"] = oq.doc_simhash_sql(max_hamming=6, k=3)
     o["tr_near_pairs"] = oq.tr_near_pairs_sql(tr, CFG)
+    o["tr_incremental_pairs"] = oq.tr_incremental_pairs_sql(tr, CFG)
+    o["tr_incremental_clusters"] = oq.tr_incremental_clusters_sql(tr, CFG)
     o["tr_simhash_pairs"] = oq.tr_simhash_sql(tr, max_hamming=6, cfg=CFG)
     o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)
     o["tr_recall_report"] = oq.tr_recall_sql(tr, CFG, truth_threshold=0.7)

@@ -272,6 +272,193 @@ def incremental_clusters(
     return untouched.select("doc_id", "cluster_id").unionByName(cc)
 
 
+def incremental_transcript_pairs(
+    corpus_tr: DataFrame,
+    delta_tr: DataFrame,
+    cfg: DedupConfig | None = None,
+    corpus_sig: DataFrame | None = None,
+    delta_sig: DataFrame | None = None,
+) -> DataFrame:
+    """Delta-vs-corpus admission for the PRIMARY axis: verified duplicate
+    pairs (conv_id_a, conv_id_b, jaccard, match_kind) between a delta of
+    new conversations and (corpus ∪ delta), every pair with >= 1 delta
+    endpoint — the batch daily-ingest form of the transcript pipeline
+    (the streaming twin is streaming/dedup_stream._near_dup_process; the
+    documents twin is incremental_lsh_pairs above). At the 10^12-turn
+    design point the corpus pipeline runs once and each day's
+    conversations are admitted against its checkpointed stage tables —
+    corpus text is never re-read, re-shingled, or re-paired.
+
+    ``corpus_sig``/``delta_sig``: precomputed signature tables
+    (operators.signatures.compute_signatures; the pipeline checkpoints
+    corpus_sig under work_dir/signatures). When omitted they are computed
+    here — correct but O(corpus) for the corpus side.
+
+    Scale shape (same as the doc twin): the corpus band table is derived
+    map-only from the signature table's precomputed ``band_hashes`` column
+    (a bands x 8 B scan — no kernel re-run) and probed with a BROADCAST of
+    the delta's distinct bucket keys, so only corpus rows in TOUCHED
+    buckets survive a map-side filter; hot-bucket salting/capping sees the
+    union membership of each touched bucket, which is bit-identical to the
+    full run's membership there — emitted pairs are EXACTLY the full run's
+    pairs restricted to >= 1 delta endpoint (the DuckDB oracle pins that
+    equivalence). Verification rides operators.verify.near_pairs (bare
+    pair list broadcast to both probes — no corpus-keyed array exchange);
+    the exact channel stars only content-hash groups the delta touches.
+
+    Reference analog: pipe-mode probes of the persistent segmented index
+    (/root/reference/rabin/global/index.c:140-151, 485-558)."""
+    from ..operators.assemble import assemble
+    from ..operators.candidates import band_explode, bucket_members, bucket_pairs
+    from ..operators.signatures import compute_signatures
+    from ..operators.verify import exact_pairs, near_pairs
+
+    cfg = cfg or DedupConfig()
+    csig = cache.persist(corpus_sig if corpus_sig is not None
+                         else compute_signatures(assemble(corpus_tr), cfg))
+    dsig = cache.persist(delta_sig if delta_sig is not None
+                         else compute_signatures(assemble(delta_tr), cfg))
+    dbands = band_explode(dsig, cfg)
+    touched = band_explode(csig, cfg).join(
+        F.broadcast(dbands.select("band_idx", "band_hash").distinct()),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    )
+    buckets, _stats = bucket_members(
+        touched.unionByName(dbands), cfg, persist_sizes=False
+    )
+    cand = bucket_pairs(buckets, "ih_a", "ih_b").groupBy("ih_a", "ih_b").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bands")
+    )
+    d_ih = dsig.select("id_hash")
+    cand = (
+        cand.join(F.broadcast(d_ih.withColumnRenamed("id_hash", "ih_a")),
+                  "ih_a", "left_semi")
+        .unionByName(
+            cand.join(F.broadcast(d_ih.withColumnRenamed("id_hash", "ih_b")),
+                      "ih_b", "left_semi"))
+        .distinct()
+    )
+    sig_all = csig.unionByName(dsig)
+    near = near_pairs(sig_all, cand, cfg)
+    # exact channel: star only the content-hash groups the delta touches
+    # (identical to the full run's star for those groups — group membership
+    # is hash-determined), then keep edges with a delta endpoint
+    sig_exact = sig_all.join(
+        F.broadcast(dsig.select("content_hash").distinct()),
+        "content_hash", "left_semi",
+    )
+    ex = exact_pairs(sig_exact)
+    ex = (
+        ex.join(F.broadcast(d_ih.withColumnRenamed("id_hash", "ih_a")),
+                "ih_a", "left_semi")
+        .unionByName(
+            ex.join(F.broadcast(d_ih.withColumnRenamed("id_hash", "ih_b")),
+                    "ih_b", "left_semi"))
+        .distinct()
+    )
+    return near.unionByName(ex)
+
+
+def incremental_transcript_clusters(
+    corpus_tr: DataFrame,
+    delta_tr: DataFrame,
+    cfg: DedupConfig | None = None,
+    corpus_labels: DataFrame | None = None,
+    corpus_sig: DataFrame | None = None,
+    delta_sig: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental cluster maintenance for TRANSCRIPTS: merge a delta's
+    duplicate evidence (incremental_transcript_pairs) into the corpus
+    pipeline's persisted cluster assignment without re-clustering the
+    corpus — (conv_id, cluster_id) over corpus ∪ delta, cluster_id = min
+    conv_id of the merged component (the pipeline's own label rule).
+    The transcript twin of incremental_clusters: untouched components
+    pass through an anti-join verbatim; CC runs only over touched members
+    + delta conversations + evidence endpoints (string labels ride 64-bit
+    id_hash edges through the CC, exactly like the pipeline).
+
+    ``corpus_labels``: the pipeline's checkpointed clusters table. When
+    omitted (ad-hoc/test use) the corpus's own cluster pass runs here —
+    correct but O(corpus). ``pairs``: precomputed evidence (callers that
+    materialize the pair output pass it back, same contract as the doc
+    twin). Member id_hashes resolve against the corpus signature table
+    behind an evidence-bounded join — the label table itself stays a
+    narrow 2-column scan."""
+    from ..operators.assemble import assemble
+    from ..operators.candidates import candidate_pairs
+    from ..operators.cluster import connected_components
+    from ..operators.signatures import compute_signatures
+    from ..operators.verify import verify_pairs
+
+    cfg = cfg or DedupConfig()
+    csig = cache.persist(corpus_sig if corpus_sig is not None
+                         else compute_signatures(assemble(corpus_tr), cfg))
+    dsig = cache.persist(delta_sig if delta_sig is not None
+                         else compute_signatures(assemble(delta_tr), cfg))
+    if corpus_labels is None:
+        ccand, _ = candidate_pairs(csig, cfg, persist_sizes=False)
+        corpus_labels = connected_components(
+            csig.select("conv_id", "id_hash"), verify_pairs(csig, ccand, cfg), cfg
+        )
+    labels = cache.persist(corpus_labels)
+    if pairs is None:
+        pairs = incremental_transcript_pairs(
+            corpus_tr, delta_tr, cfg, corpus_sig=csig, delta_sig=dsig
+        )
+    edges = cache.persist(
+        pairs.select("conv_id_a", "conv_id_b", "ih_a", "ih_b").distinct()
+    )
+    ep = (
+        edges.select(F.col("conv_id_a").alias("conv_id"))
+        .unionByName(edges.select(F.col("conv_id_b").alias("conv_id")))
+        .unionByName(dsig.select("conv_id"))
+        .distinct()
+    )
+    touched = (
+        labels.join(F.broadcast(ep), "conv_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    members = labels.join(F.broadcast(touched), "cluster_id", "left_semi")
+    # id_hash for touched members: evidence-bounded join against the
+    # signature table (AQE broadcasts the member side while it is small)
+    mem = members.join(csig.select("conv_id", "id_hash"), "conv_id")
+    rep_ih = mem.where(F.col("conv_id") == F.col("cluster_id")).select(
+        "cluster_id", F.col("id_hash").alias("rih")
+    )
+    star = (
+        mem.join(rep_ih, "cluster_id")
+        .where(F.col("conv_id") != F.col("cluster_id"))
+        .select(F.col("rih").alias("ih_a"), F.col("id_hash").alias("ih_b"))
+    )
+    # evidence endpoints enter the node set straight from the edge rows
+    # (same invariant as the streaming labels store — connectivity must
+    # never depend on the label table being complete)
+    ep_nodes = (
+        edges.select(F.col("conv_id_a").alias("conv_id"),
+                     F.col("ih_a").alias("id_hash"))
+        .unionByName(edges.select(F.col("conv_id_b").alias("conv_id"),
+                                  F.col("ih_b").alias("id_hash")))
+    )
+    nodes = (
+        mem.select("conv_id", "id_hash")
+        .unionByName(dsig.select("conv_id", "id_hash"))
+        .unionByName(ep_nodes)
+        .distinct()
+    )
+    cc = connected_components(
+        nodes, edges.select("ih_a", "ih_b").unionByName(star), cfg
+    )
+    # replay safety: delta conversations always exit through the CC side
+    # (same rule as the doc twin)
+    untouched = labels.join(F.broadcast(touched), "cluster_id", "left_anti").join(
+        F.broadcast(dsig.select("conv_id")), "conv_id", "left_anti"
+    )
+    return untouched.select("conv_id", "cluster_id").unionByName(cc)
+
+
 def incremental_admission(
     corpus: DataFrame,
     delta: DataFrame,

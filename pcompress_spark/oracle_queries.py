@@ -710,9 +710,23 @@ def _tr_pairs_stmts(tr_path: str, cfg: DedupConfig) -> str:
     """Adds TEMP TABLE ``allpairs`` — the verified-pairs twin (LSH
     candidates -> est-jaccard prefilter -> exact shingle jaccard; exact
     star from content-hash groups)."""
-    r = cfg.rows
     return "\n".join([
         _tr_sig_stmts(tr_path, cfg),
+        _tr_pairs_from_tsig_stmts(cfg),
+    ])
+
+
+def _tr_pairs_from_tsig_stmts(cfg: DedupConfig) -> str:
+    """The banding -> capped buckets -> verify statements alone, deriving
+    ``allpairs`` from an EXISTING ``tsig``. Split out so a script can
+    re-run the pair pass over a redefined tsig subset (the incremental
+    clusters oracle's corpus-only pass) — the token/shingle staging in
+    _tr_sig_stmts holds a named WINDOW, which DuckDB's parser refuses to
+    define twice within one script batch, and per-conversation signatures
+    are subset-stable anyway (hashing a conversation is independent of
+    the rest of the table)."""
+    r = cfg.rows
+    return "\n".join([
         f"""
 CREATE OR REPLACE TEMP TABLE bands AS
 SELECT ih AS mem, ih AS salt, b.b AS band_idx,
@@ -789,6 +803,77 @@ def tr_clusters_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
     return _script(
         _tr_clusters_stmts(tr_path, cfg),
         "SELECT conv_id, cluster_id FROM clusters",
+    )
+
+
+# deterministic corpus/delta split for the tr_incremental_* queries: the
+# numeric conv-id suffix ("conv-00000174" -> 174) mod 4 (engine twin in
+# __spark_entry__._tr_corpus_delta)
+TR_DELTA_PRED = "(CAST(substr({x}, 6) AS BIGINT) % 4 = 0)"
+
+
+def tr_incremental_pairs_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
+    """Twin for incremental.incremental_transcript_pairs: the FULL-run
+    verified pair set (shared ``allpairs`` staging over corpus ∪ delta)
+    filtered to >= 1 delta endpoint. Incremental equivalence (same proof
+    as the doc twin, _doc_incr_pair_stmts): a touched bucket's membership
+    — including hot-bucket salting and the sorted cap, both functions of
+    the bucket's full membership — matches the full run bit-for-bit, and
+    the exact star over delta-touched content groups equals the full star
+    restricted to the same endpoint predicate."""
+    cfg = cfg or DedupConfig()
+    d = TR_DELTA_PRED
+    return _script(
+        _tr_pairs_stmts(tr_path, cfg),
+        f"""
+SELECT conv_id_a, conv_id_b, round(jaccard, 6) AS jaccard, match_kind
+FROM allpairs
+WHERE {d.format(x='conv_id_a')} OR {d.format(x='conv_id_b')}""",
+    )
+
+
+def tr_incremental_clusters_sql(tr_path: str,
+                                cfg: DedupConfig | None = None) -> str:
+    """Twin for incremental.incremental_transcript_clusters, staged like
+    doc_incremental_clusters_sql: (1) full pass -> ``ipairs`` (the
+    delta-endpoint evidence); (2) corpus-only pass (the corpus's own run —
+    bucket caps see corpus-only membership, exactly what the corpus
+    pipeline saw) -> ``clusters``; (3) ONE global recursive reach over
+    (corpus label stars ∪ ipairs) labels every conversation. Untouched
+    corpus components keep their corpus label automatically (the corpus
+    label IS the component min and the star preserves membership), so the
+    single reach pins both the engine's anti-join passthrough and its
+    touched-component relabels."""
+    cfg = cfg or DedupConfig()
+    d = TR_DELTA_PRED
+    return _script(
+        _tr_pairs_stmts(tr_path, cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE ipairs AS
+SELECT * FROM allpairs
+WHERE {d.format(x='conv_id_a')} OR {d.format(x='conv_id_b')};
+CREATE OR REPLACE TEMP TABLE tsig_full AS SELECT * FROM tsig;
+CREATE OR REPLACE TEMP TABLE tsig AS
+SELECT * FROM tsig_full WHERE NOT {d.format(x='conv_id')};""",
+        # corpus-only pair pass over the redefined tsig (signatures are
+        # subset-stable; bucket caps now see corpus-only membership,
+        # exactly what the corpus pipeline's own run saw) — staging order
+        # matters, ipairs is materialized above from the full tables first
+        _tr_pairs_from_tsig_stmts(cfg),
+        _CLUSTERS_ONLY_STMTS,
+        """
+CREATE OR REPLACE TEMP TABLE msym AS
+WITH medges AS (
+    SELECT cluster_id AS a, conv_id AS b FROM clusters
+    WHERE conv_id != cluster_id
+    UNION
+    SELECT conv_id_a AS a, conv_id_b AS b FROM ipairs)
+SELECT a, b FROM medges UNION SELECT b AS a, a AS b FROM medges;
+WITH RECURSIVE mreach(src, dst) AS (
+    SELECT conv_id, conv_id FROM tsig_full
+    UNION
+    SELECT r.src, s.b FROM mreach r JOIN msym s ON r.dst = s.a)
+SELECT src AS conv_id, min(dst) AS cluster_id FROM mreach GROUP BY src""",
     )
 
 
