@@ -264,9 +264,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus, delta = _tr_corpus_delta(spark, sf_dir)
         return incremental.incremental_transcript_clusters(corpus, delta, CFG)
 
+    def tr_incremental_dedup(spark, sf_dir):
+        corpus, delta = _tr_corpus_delta(spark, sf_dir)
+        pairs = incremental.incremental_transcript_pairs(corpus, delta, CFG)
+        return incremental.incremental_transcript_admission(
+            delta.select("conv_id"), pairs)
+
     q["tr_near_pairs"] = tr_near_pairs
     q["tr_incremental_pairs"] = tr_incremental_pairs
     q["tr_incremental_clusters"] = tr_incremental_clusters
+    q["tr_incremental_dedup"] = tr_incremental_dedup
     q["tr_dedup_keep_latest"] = tr_dedup_keep_latest
     q["tr_assistant_near_pairs"] = tr_assistant_near_pairs
     q["tr_recall_report"] = tr_recall_report
@@ -1007,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
     o["tr_near_pairs"] = oq.tr_near_pairs_sql(tr, CFG)
     o["tr_incremental_pairs"] = oq.tr_incremental_pairs_sql(tr, CFG)
     o["tr_incremental_clusters"] = oq.tr_incremental_clusters_sql(tr, CFG)
+    o["tr_incremental_dedup"] = oq.tr_incremental_dedup_sql(tr, CFG)
     o["tr_simhash_pairs"] = oq.tr_simhash_sql(tr, max_hamming=6, cfg=CFG)
     o["tr_clusters"] = oq.tr_clusters_sql(tr, CFG)
     o["tr_recall_report"] = oq.tr_recall_sql(tr, CFG, truth_threshold=0.7)

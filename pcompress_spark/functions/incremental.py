@@ -360,6 +360,63 @@ def incremental_transcript_pairs(
     return near.unionByName(ex)
 
 
+def incremental_transcript_admission(
+    delta_ids: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Per-delta-conversation admission verdict from the evidence pairs
+    (incremental_transcript_pairs): (conv_id, keep, dup_kind, dup_of) —
+    the transcript twin of incremental_admission, derived entirely from
+    the materialized pair table (no second verify pass).
+
+    Rule (deterministic, first-occurrence-wins with corpus priority —
+    reference first-writer-wins at the index,
+    /root/reference/rabin/global/index.c:485-558): a delta conversation's
+    duplicate partner is the MIN conv_id over its pair neighbors that are
+    either corpus conversations (priority regardless of lexicographic
+    order) or EARLIER (smaller conv_id) delta conversations; exact
+    outranks near when both exist. The exact channel's star edges suffice
+    for this rule: the star representative is the content group's global
+    min, so every member's min valid neighbor IS the representative, and
+    a delta representative of a group containing corpus members sees them
+    as member-side neighbors. dup_of = '' when kept (null-free output).
+
+    ``delta_ids``: one conv_id per delta conversation (the admission
+    universe — kept conversations appear with keep=1)."""
+    d_ids = delta_ids.select("conv_id").distinct()
+    sym = pairs.select(
+        F.col("conv_id_a").alias("conv_id"),
+        F.col("conv_id_b").alias("nbr"), "match_kind",
+    ).unionByName(pairs.select(
+        F.col("conv_id_b").alias("conv_id"),
+        F.col("conv_id_a").alias("nbr"), "match_kind",
+    ))
+    mine = sym.join(F.broadcast(d_ids), "conv_id", "left_semi")
+    nbr_delta = d_ids.select(F.col("conv_id").alias("nbr")).withColumn(
+        "nbr_is_delta", F.lit(1)
+    )
+    valid = (
+        mine.join(F.broadcast(nbr_delta), "nbr", "left")
+        .where(F.col("nbr_is_delta").isNull() | (F.col("nbr") < F.col("conv_id")))
+    )
+    ex = valid.where(F.col("match_kind") == "exact").groupBy("conv_id").agg(
+        F.min("nbr").alias("exact_of"))
+    nr = valid.where(F.col("match_kind") == "near").groupBy("conv_id").agg(
+        F.min("nbr").alias("near_of"))
+    return (
+        d_ids.join(ex, "conv_id", "left")
+        .join(nr, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.when(F.col("exact_of").isNotNull() | F.col("near_of").isNotNull(),
+                   F.lit(0)).otherwise(F.lit(1)).cast("int").alias("keep"),
+            F.when(F.col("exact_of").isNotNull(), F.lit("exact"))
+            .when(F.col("near_of").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("none")).alias("dup_kind"),
+            F.coalesce("exact_of", "near_of", F.lit("")).alias("dup_of"),
+        )
+    )
+
+
 def incremental_transcript_clusters(
     corpus_tr: DataFrame,
     delta_tr: DataFrame,

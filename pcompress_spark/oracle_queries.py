@@ -832,6 +832,46 @@ WHERE {d.format(x='conv_id_a')} OR {d.format(x='conv_id_b')}""",
     )
 
 
+def tr_incremental_dedup_sql(tr_path: str,
+                             cfg: DedupConfig | None = None) -> str:
+    """Twin for incremental.incremental_transcript_admission: per delta
+    conversation, partner = MIN conv_id over pair neighbors that are
+    corpus conversations (priority at any lexicographic order) or earlier
+    (smaller) delta conversations; exact outranks near; dup_of = '' when
+    kept. Derived from the same ``ipairs`` evidence the engine reuses."""
+    cfg = cfg or DedupConfig()
+    d = TR_DELTA_PRED
+    return _script(
+        _tr_pairs_stmts(tr_path, cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE ipairs AS
+SELECT * FROM allpairs
+WHERE {d.format(x='conv_id_a')} OR {d.format(x='conv_id_b')};
+WITH sym_ AS (
+    SELECT conv_id_a AS cid, conv_id_b AS nbr, match_kind FROM ipairs
+    UNION ALL
+    SELECT conv_id_b AS cid, conv_id_a AS nbr, match_kind FROM ipairs),
+val_ AS (SELECT cid, nbr, match_kind FROM sym_
+         WHERE {d.format(x='cid')}
+           AND (NOT {d.format(x='nbr')} OR nbr < cid)),
+ex_ AS (SELECT cid, min(nbr) AS exact_of FROM val_
+        WHERE match_kind = 'exact' GROUP BY cid),
+nr_ AS (SELECT cid, min(nbr) AS near_of FROM val_
+        WHERE match_kind = 'near' GROUP BY cid),
+dd_ AS (SELECT conv_id FROM tsig WHERE {d.format(x='conv_id')})
+SELECT dd_.conv_id,
+       (CASE WHEN e.exact_of IS NOT NULL OR n.near_of IS NOT NULL
+             THEN 0 ELSE 1 END)::INT AS keep,
+       CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+            WHEN n.near_of IS NOT NULL THEN 'near'
+            ELSE 'none' END AS dup_kind,
+       coalesce(e.exact_of, n.near_of, '') AS dup_of
+FROM dd_
+LEFT JOIN ex_ e ON e.cid = dd_.conv_id
+LEFT JOIN nr_ n ON n.cid = dd_.conv_id""",
+    )
+
+
 def tr_incremental_clusters_sql(tr_path: str,
                                 cfg: DedupConfig | None = None) -> str:
     """Twin for incremental.incremental_transcript_clusters, staged like

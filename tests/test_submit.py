@@ -242,3 +242,63 @@ def test_run_incremental_script_loop(tmp_path):
         capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
     assert out3.returncode != 0
     assert "collide" in (out3.stderr + out3.stdout)
+
+
+def test_run_incremental_transcripts_mode(tmp_path):
+    """--mode transcripts: conversation-granular daily ingest — bootstrap
+    signature/label state from a corpus of transcripts, then admit a delta
+    whose planted exact copy of a corpus conversation must be dropped with
+    the corpus conversation as its partner, and the merged labels must put
+    the copy in that conversation's cluster."""
+    import pandas as pd
+
+    from pcompress_spark.sources.tables import transcripts_path
+
+    tr = pd.read_parquet(transcripts_path("/root/testdata/sf0.001"))
+    suffix = tr["conv_id"].str[5:].astype(int)
+    corpus = tr[suffix % 4 != 0]
+    delta = tr[suffix % 4 == 0].copy()
+    src_conv = corpus["conv_id"].iloc[0]
+    planted = corpus[corpus["conv_id"] == src_conv].copy()
+    planted["conv_id"] = "zdup-0000001"
+    delta = pd.concat([delta, planted], ignore_index=True)
+    cpath = str(tmp_path / "corpus_tr.parquet")
+    dpath = str(tmp_path / "delta_tr.parquet")
+    corpus.to_parquet(cpath, index=False)
+    delta.to_parquet(dpath, index=False)
+    state = str(tmp_path / "trstate")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_DRIVER_MEM="4g")
+    script = os.path.join(REPO, "tools", "run_incremental.py")
+    common = ["--mode", "transcripts", "--state-dir", state,
+              "--master", "local[4]", "--shuffle-partitions", "4"]
+
+    boot = subprocess.run(
+        [sys.executable, script, "--bootstrap", "--corpus", cpath] + common,
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert boot.returncode == 0, boot.stderr[-3000:]
+    n_corpus = corpus["conv_id"].nunique()
+    assert json.loads(boot.stdout.strip().splitlines()[-1])["convs"] == n_corpus
+
+    out1 = subprocess.run(
+        [sys.executable, script, "--delta", dpath,
+         "--out", str(tmp_path / "trout")] + common,
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert out1.returncode == 0, out1.stderr[-3000:]
+    res = json.loads(out1.stdout.strip().splitlines()[-1])
+    n_delta = delta["conv_id"].nunique()
+    assert res["delta_convs"] == n_delta
+    assert res["admitted"] + res["dropped_exact"] + res["dropped_near"] == n_delta
+
+    adm = pd.read_parquet(str(tmp_path / "trout" / "admission")).set_index("conv_id")
+    assert adm.at["zdup-0000001", "keep"] == 0
+    assert adm.at["zdup-0000001", "dup_kind"] == "exact"
+    assert adm.at["zdup-0000001", "dup_of"] == src_conv  # corpus priority
+
+    labels = pd.read_parquet(os.path.join(state, "labels"))
+    assert labels["conv_id"].is_unique
+    assert set(labels["conv_id"]) >= set(corpus["conv_id"]) | set(delta["conv_id"])
+    lab = labels.set_index("conv_id")["cluster_id"]
+    assert lab["zdup-0000001"] == lab[src_conv]
+    # only admitted conversations folded into the signature state
+    sig = pd.read_parquet(os.path.join(state, "sig"))
+    assert len(sig) == n_corpus + res["admitted"]

@@ -140,23 +140,26 @@ def _delete_run_dirs(spark, paths: dict, tag: str, delta) -> bool:
     prior = False
     sig_run = f"{paths['sig']}/run={tag}"
     fs, p, _ = _hadoop_fs(spark, sig_run)
+    id_col = "doc_id" if "md5" in paths else "conv_id"
     if fs.exists(p):
         prior = True
         foreign = (
-            spark.read.parquet(sig_run).select("doc_id")
-            .join(F.broadcast(delta.select("doc_id").distinct()),
-                  "doc_id", "left_anti")
+            spark.read.parquet(sig_run).select(id_col)
+            .join(F.broadcast(delta.select(id_col).distinct()),
+                  id_col, "left_anti")
             .limit(5)
             .collect()
         )
         if foreign:
             raise SystemExit(
-                f"state already holds run={tag} appends for doc_ids not in "
-                f"this delta (sample: {sorted(r['doc_id'] for r in foreign)})"
+                f"state already holds run={tag} appends for {id_col}s not in "
+                f"this delta (sample: {sorted(r[id_col] for r in foreign)})"
                 " — the tag belongs to a DIFFERENT delta; deleting it would"
                 " orphan those docs from all future dedup probes. Pass a"
                 " unique --run-tag (or omit it for the file-listing hash).")
-    for k in ("sig", "bands", "md5"):
+    for k in paths:
+        if k == "labels":
+            continue
         fs, p, _ = _hadoop_fs(spark, f"{paths[k]}/run={tag}")
         if fs.exists(p):
             prior = True
@@ -177,8 +180,113 @@ def _default_tag(delta_df) -> str:
     return str(int(time.time()))
 
 
+def _transcripts_run(spark, ap, args, cfg) -> int:
+    """--mode transcripts: the daily-ingest loop on the PRIMARY axis.
+    State is leaner than docs mode — sig/ (the transcript signature table;
+    bands derive map-only from its precomputed band_hashes column and the
+    exact channel rides its content_hash, so no bands/ or md5/ dirs) plus
+    labels/. Same crash-safety protocol (module docstring). Bootstrap can
+    also start from an existing pipeline work_dir by pointing --corpus at
+    its input table; the signatures computed here are bit-identical to the
+    pipeline's checkpointed stage table at the same config."""
+    from pyspark.sql import functions as F
+
+    from pcompress_spark.functions import incremental
+    from pcompress_spark.operators.assemble import assemble
+    from pcompress_spark.operators.candidates import candidate_pairs
+    from pcompress_spark.operators.cluster import connected_components
+    from pcompress_spark.operators.signatures import compute_signatures
+    from pcompress_spark.operators.verify import verify_pairs
+
+    sd = args.state_dir.rstrip("/")
+    paths = {k: f"{sd}/{k}" for k in ("sig", "labels")}
+
+    if args.bootstrap:
+        if not args.corpus:
+            ap.error("--bootstrap requires --corpus")
+        corpus = spark.read.parquet(args.corpus)
+        compute_signatures(assemble(corpus), cfg).write.mode(
+            "overwrite").parquet(f"{paths['sig']}/run=bootstrap")
+        sig_t = spark.read.parquet(paths["sig"]).drop("run")
+        cand, _ = candidate_pairs(sig_t, cfg, persist_sizes=False)
+        labels = connected_components(
+            sig_t.select("conv_id", "id_hash"),
+            verify_pairs(sig_t, cand, cfg), cfg,
+        )
+        _replace_dir(spark, labels, paths["labels"])
+        print(json.dumps({"bootstrapped": True, "mode": "transcripts",
+                          "state_dir": sd,
+                          "convs": spark.read.parquet(paths["sig"]).count()}))
+        return 0
+
+    if not args.delta or not args.out:
+        ap.error("--delta and --out are required (or pass --bootstrap)")
+    delta = spark.read.parquet(args.delta)
+    tag = args.run_tag or _default_tag(delta)
+    prior_attempt = _delete_run_dirs(spark, paths, tag, delta)
+    _recover_replace(spark, paths["labels"])
+    corpus_sig = spark.read.parquet(paths["sig"]).drop("run")
+    corpus_labels = spark.read.parquet(paths["labels"])
+
+    if not prior_attempt:
+        ids = corpus_sig.select("conv_id").unionByName(
+            corpus_labels.select("conv_id"))
+        clash = (
+            ids.join(F.broadcast(delta.select("conv_id").distinct()),
+                     "conv_id", "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            raise SystemExit(
+                "delta conv_ids collide with corpus state (sample: "
+                f"{sorted(set(r['conv_id'] for r in clash))}); conv_id "
+                "spaces must be disjoint — re-key the delta before admission")
+
+    # signatures ONCE (kernel chain runs a single time over the delta)
+    compute_signatures(assemble(delta), cfg).write.mode("overwrite").parquet(
+        f"{args.out}/delta_sig")
+    delta_sig = spark.read.parquet(f"{args.out}/delta_sig")
+    empty_tr = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, text string")
+    pairs = incremental.incremental_transcript_pairs(
+        empty_tr, empty_tr, cfg, corpus_sig=corpus_sig, delta_sig=delta_sig)
+    pairs.write.mode("overwrite").parquet(f"{args.out}/pairs")
+    pairs = spark.read.parquet(f"{args.out}/pairs")
+    adm = incremental.incremental_transcript_admission(
+        delta_sig.select("conv_id"), pairs)
+    adm.write.mode("overwrite").parquet(f"{args.out}/admission")
+    adm = spark.read.parquet(f"{args.out}/admission")
+    labels = incremental.incremental_transcript_clusters(
+        empty_tr, empty_tr, cfg, corpus_labels=corpus_labels,
+        corpus_sig=corpus_sig, delta_sig=delta_sig, pairs=pairs)
+    _stage_replace(spark, labels, paths["labels"])
+    delta_sig.join(
+        adm.where(F.col("keep") == 1).select("conv_id"), "conv_id", "left_semi"
+    ).write.mode("overwrite").parquet(f"{paths['sig']}/run={tag}")
+    _commit_replace(spark, paths["labels"])
+
+    counts = {r["dup_kind"]: r["n"] for r in adm.groupBy("dup_kind").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    print(json.dumps({
+        "run": tag,
+        "mode": "transcripts",
+        "delta_convs": delta_sig.count(),
+        "admitted": int(counts.get("none", 0)),
+        "dropped_exact": int(counts.get("exact", 0)),
+        "dropped_near": int(counts.get("near", 0)),
+        "out": args.out,
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", choices=("docs", "transcripts"), default="docs",
+                    help="docs: (doc_id, text) table; transcripts: the "
+                         "primary-axis (conv_id, turn_idx, ...) table — "
+                         "conversation-granular admission against the "
+                         "pipeline's signature/label state")
     ap.add_argument("--corpus", default=None,
                     help="documents parquet (bootstrap only)")
     ap.add_argument("--delta", default=None, help="delta documents parquet")
@@ -209,6 +317,12 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
     overrides = json.loads(args.config_json) if args.config_json else {}
+    if args.mode == "transcripts":
+        # the pipeline's own defaults, so signatures/labels interoperate
+        # with its checkpointed stage tables at the same config hash
+        overrides.setdefault("jaccard_threshold", args.threshold)
+        cfg = DedupConfig(**overrides)
+        return _transcripts_run(spark, ap, args, cfg)
     overrides.setdefault("shingle_k", 3)
     overrides.setdefault("substring_enabled", False)
     overrides.setdefault("jaccard_threshold", args.threshold)
