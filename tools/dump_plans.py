@@ -53,6 +53,8 @@ def main() -> None:
     doc_sub_df = entry.queries()["doc_substring_pairs"](spark, SF)
     inc_pairs_df = entry.queries()["doc_incremental_pairs"](spark, SF)
     inc_cc_df = entry.queries()["doc_incremental_clusters"](spark, SF)
+    tr_inc_pairs_df = entry.queries()["tr_incremental_pairs"](spark, SF)
+    tr_inc_cc_df = entry.queries()["tr_incremental_clusters"](spark, SF)
     turn_idx_df = entry.queries()["tr_turn_dedup_index"](spark, SF)
     ann_recall_df = entry.queries()["ann_recall_report"](spark, SF)
     emb_lsh_df = entry.queries()["doc_embedding_lsh_pairs"](spark, SF)
@@ -89,6 +91,10 @@ def main() -> None:
             inc_pairs_df,
         "incremental cluster maintenance (untouched labels pass through an anti-join; CC only on touched members + delta)":
             inc_cc_df,
+        "transcript incremental pairs (corpus bands from precomputed band_hashes behind a broadcast touched-key semi-join)":
+            tr_inc_pairs_df,
+        "transcript incremental clusters (persisted labels + delta evidence; untouched anti-join passthrough)":
+            tr_inc_cc_df,
         "turn-level dedup index (single hash shuffle, JVM-only, no UDF)":
             turn_idx_df,
         "ANN recall report (brute truth persisted, count-only method joins)":
@@ -113,8 +119,20 @@ def main() -> None:
            "",
            "Regenerate with `python tools/dump_plans.py`. Checks asserted at the bottom.",
            ""]
+    # Keep the document readable: the ad-hoc incremental-cluster surfaces
+    # recompute their persisted-at-scale inputs inline, so their explain()
+    # trees run to tens of thousands of lines. The CHECKS below always run
+    # on the full plan string; the dump keeps the head of oversized plans.
+    MAX_PLAN_LINES = 600
     for title, df in sections.items():
-        out.append(f"## {title}\n\n```\n{plan_of(df)}\n```\n")
+        plan = plan_of(df)
+        lines = plan.splitlines()
+        if len(lines) > MAX_PLAN_LINES:
+            plan = "\n".join(lines[:MAX_PLAN_LINES]) + (
+                f"\n... [truncated: {len(lines) - MAX_PLAN_LINES} more lines;"
+                " plan-quality checks below ran on the full plan]"
+            )
+        out.append(f"## {title}\n\n```\n{plan}\n```\n")
 
     q1_plan = plan_of(relational.q1_pricing_summary(spark, SF))
     if "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in q1_plan:
@@ -187,6 +205,27 @@ def main() -> None:
         and not bad_inc_exchange
         else "FAIL incremental: semi-joins not broadcast or shingle table "
         "exchanged on a single pair-end key"
+    )
+
+    tr_inc_plan = plan_of(tr_inc_pairs_df)
+    bad_tr_exchange = re.search(
+        r"hashpartitioning\(ih_[ab]#\d+L, \d+\)", tr_inc_plan)
+    checks.append(
+        "OK tr incremental pairs: touched-bucket/endpoint joins broadcast; "
+        "no corpus-keyed array exchange"
+        if "LeftSemi" in tr_inc_plan
+        and tr_inc_plan.count("BroadcastHashJoin") >= 3
+        and not bad_tr_exchange
+        else "FAIL tr incremental pairs: semi-joins not broadcast or "
+        "signature table exchanged on a single pair-end key"
+    )
+    tr_cc_plan = plan_of(tr_inc_cc_df)
+    checks.append(
+        "OK tr incremental clusters: untouched labels pass through a "
+        "broadcast anti-join"
+        if "LeftAnti" in tr_cc_plan and "BroadcastHashJoin" in tr_cc_plan
+        else "FAIL tr incremental clusters: anti-join passthrough missing "
+        "or not broadcast"
     )
     inc_cc_plan = plan_of(inc_cc_df)
     checks.append(
