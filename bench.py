@@ -81,8 +81,22 @@ def main() -> None:
 
     width_probe: dict[str, float] | None = None
     if cpus == "auto":
+        # Descend while halving keeps winning: the hypervisor's effective-core
+        # budget varies across sessions (some days nproc/2 is past the knee
+        # too — measured local[8] beating local[32] by 1.7x on the identical
+        # pipeline). Each extra probe run costs ~15-30 s, paid only while the
+        # narrower width keeps measuring faster, floor 4.
         nproc = os.cpu_count() or 32
         cpus, width_probe = _probe_width([nproc, max(1, nproc // 2)], sf_dir)
+        while int(cpus) > 4 and int(cpus) != nproc:
+            narrower = max(4, int(cpus) // 2)
+            if str(narrower) in width_probe:
+                break
+            best, more = _probe_width([narrower], sf_dir)
+            width_probe.update(more)
+            if more[best] >= width_probe[cpus]:
+                break
+            cpus = best
 
     # materialize the bench corpus before any timing
     tr_path = transcripts_path(sf_dir, n_conv=n_conv)
