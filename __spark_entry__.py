@@ -30,6 +30,7 @@ from pcompress_spark.functions import (
     curation,
     doc_dedup,
     incremental,
+    kmv,
     similarity,
     text as text_fns,
 )
@@ -270,6 +271,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return incremental.incremental_transcript_admission(
             delta.select("conv_id"), pairs)
 
+    def tr_kmv_near_pairs(spark, sf_dir):
+        """Pure-JVM near-dup channel on the PRIMARY axis (functions/kmv):
+        the reference's literal bottom-K KMV sketch probed one value at a
+        time (rabin_dedup.c:975-994, 1026-1036), expressed entirely in
+        Spark built-ins — assemble -> md5-60bit shingles -> bottom-K ->
+        shared salted buckets -> exact-Jaccard verify, with ZERO Python
+        workers in the plan (plan-checked in PLANS.md)."""
+        from pcompress_spark.functions.kmv import kmv_near_pairs_transcripts
+        return kmv_near_pairs_transcripts(load_transcripts(spark, sf_dir), CFG)
+
+    q["tr_kmv_near_pairs"] = tr_kmv_near_pairs
     q["tr_near_pairs"] = tr_near_pairs
     q["tr_incremental_pairs"] = tr_incremental_pairs
     q["tr_incremental_clusters"] = tr_incremental_clusters
@@ -288,6 +300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), n=3, threshold=0.3)
     q["doc_minhash_lsh_pairs"] = lambda s, d: doc_dedup.minhash_lsh_pairs(
         load_table(s, d, "documents"), threshold=0.3)
+    # pure-JVM KMV channel (no Python workers; functions/kmv.py docstring)
+    q["doc_kmv_near_pairs"] = lambda s, d: kmv.kmv_near_pairs(
+        load_table(s, d, "documents"), k_shingle=3, threshold=0.3)
     q["doc_simhash_pairs"] = lambda s, d: doc_dedup.simhash_pairs(
         load_table(s, d, "documents"), max_hamming=6)
     q["doc_adaptive_k_pairs"] = lambda s, d: doc_dedup.adaptive_k_lsh_pairs(
@@ -997,6 +1012,8 @@ def oracle_sql() -> dict[str, str]:
         top_frac_max=0.2, dup_ratio_max=0.3)
     o["doc_fingerprints"] = oq.doc_fingerprints_sql(k=5, keep=16)
     o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
+    o["doc_kmv_near_pairs"] = oq.doc_kmv_sql(k=3, k_min=20, threshold=0.3)
+    o["tr_kmv_near_pairs"] = oq.tr_kmv_sql(tr, k_min=20, cfg=CFG)
     o["doc_incremental_pairs"] = oq.doc_incremental_pairs_sql(k=3, threshold=0.3)
     o["doc_incremental_dedup"] = oq.doc_incremental_dedup_sql(k=3, threshold=0.3)
     o["doc_incremental_clusters"] = oq.doc_incremental_clusters_sql(

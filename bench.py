@@ -157,6 +157,15 @@ def main() -> None:
     turn_dedup_stats(tdf).collect()
     timings["tr_turn_dedup_stats"] = round(time.monotonic() - t0, 3)
 
+    # KMV pure-JVM near-dup channel on the FULL bench corpus — the
+    # zero-Python-worker execution strategy (functions/kmv.py), timed at
+    # the same scale as the UDF pipeline for a direct strategy comparison
+    from pcompress_spark.functions.kmv import kmv_near_pairs_transcripts
+    t0 = time.monotonic()
+    kmv_near_pairs_transcripts(tdf, DedupConfig()).count()
+    timings["tr_kmv_near_pairs"] = round(time.monotonic() - t0, 3)
+    release_persisted()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "transcript_dedup_pipeline+ops_wall_seconds",

@@ -1,3 +1,3 @@
-from . import doc_dedup, multimodal, similarity, text
+from . import doc_dedup, kmv, multimodal, similarity, text
 
-__all__ = ["doc_dedup", "multimodal", "similarity", "text"]
+__all__ = ["doc_dedup", "kmv", "multimodal", "similarity", "text"]

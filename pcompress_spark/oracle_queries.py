@@ -1821,3 +1821,89 @@ SELECT doc_id,
              0) / {int(budget)})::BIGINT AS pack_id
 FROM pkx5
 """)
+
+
+# ---------------------------------------------------------------------------
+# pure-JVM KMV channel (functions/kmv.py) — md5-60bit twin
+# ---------------------------------------------------------------------------
+
+def _kmv_stmts(p: str, src: str, sid_expr: str, text_expr: str,
+               k: int, k_min: int, cap: int) -> str:
+    """TEMP TABLEs for the KMV channel twin over ``src`` (table name or
+    parenthesized subquery): ``{p}ksig`` (sid, idh, sh sorted-distinct
+    60-bit shingle hashes, kmv bottom-k_min) and ``{p}kcand`` (ma, mb
+    candidate pairs through the shared capped-bucket rule). Mirrors
+    kmv_signatures + _kmv_pairs expression-for-expression: same
+    normalization (norm_words), same ' '-joined k-gram strings, same
+    md5_60 hash, same positive-BIGINT ordering for the bottom-K."""
+    return f"""
+CREATE OR REPLACE TEMP TABLE {p}kw AS
+SELECT {sid_expr} AS sid, norm_words({text_expr}) AS ws FROM {src};
+CREATE OR REPLACE TEMP TABLE {p}kg AS
+SELECT sid, unnest(list_distinct(
+    CASE WHEN len(ws) >= {k} THEN
+        list_transform(range(1, len(ws) - {k} + 2),
+                       i -> array_to_string(ws[i : i + {k} - 1], ' '))
+    ELSE [] END)) AS gram
+FROM {p}kw;
+CREATE OR REPLACE TEMP TABLE {p}kh AS
+SELECT gram, md5_60(gram) AS gh FROM (SELECT DISTINCT gram FROM {p}kg);
+CREATE OR REPLACE TEMP TABLE {p}ksh AS
+SELECT g.sid, list_sort(list_distinct(list(h.gh))) AS sh
+FROM {p}kg g JOIN {p}kh h USING (gram) GROUP BY g.sid;
+CREATE OR REPLACE TEMP TABLE {p}ksig AS
+SELECT w.sid, md5_60(w.sid::VARCHAR) AS idh,
+       coalesce(s.sh, []) AS sh,
+       coalesce(s.sh[1 : {k_min}], []) AS kmv
+FROM (SELECT DISTINCT sid FROM {p}kw) w LEFT JOIN {p}ksh s ON s.sid = w.sid;
+CREATE OR REPLACE TEMP TABLE {p}kbands AS
+SELECT sid AS mem, idh AS salt, 0 AS band_idx, unnest(kmv) AS key
+FROM {p}ksig WHERE len(kmv) > 0;
+{_bucket_pair_stmt(f"{p}kbands", cap, out=f"{p}kcand")}
+"""
+
+
+def _kmv_final(p: str, a_alias: str, b_alias: str, a_cast: str,
+               threshold: float) -> str:
+    """Final SELECT verifying ``{p}kcand`` by exact Jaccard over the full
+    sorted-distinct shingle-hash lists (engine: array_intersect)."""
+    return f"""
+WITH ver_ AS (SELECT c.ma, c.mb, len(a.sh) AS la, len(b.sh) AS lb,
+                     len(list_intersect(a.sh, b.sh)) AS inter
+              FROM {p}kcand c JOIN {p}ksig a ON a.sid = c.ma
+              JOIN {p}ksig b ON b.sid = c.mb),
+ver2_ AS (SELECT ma, mb,
+                 CASE WHEN la + lb - inter > 0
+                      THEN inter::DOUBLE / (la + lb - inter) ELSE 1.0 END AS jac
+          FROM ver_)
+SELECT ma{a_cast} AS {a_alias}, mb{a_cast} AS {b_alias}, round(jac, 6) AS jaccard
+FROM ver2_ WHERE round(jac, 6) >= {threshold}"""
+
+
+def doc_kmv_sql(k: int = 3, k_min: int = 20, threshold: float = 0.3,
+                cfg: DedupConfig | None = None) -> str:
+    """Twin for functions.kmv.kmv_near_pairs over the documents table."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    return _script(
+        _kmv_stmts("dv", "documents", "doc_id", "text", k, k_min,
+                   cfg.bucket_cap),
+        _kmv_final("dv", "doc_id_a", "doc_id_b", "::BIGINT", threshold),
+    )
+
+
+def tr_kmv_sql(tr_path: str, k_min: int = 20,
+               cfg: DedupConfig | None = None) -> str:
+    """Twin for functions.kmv.kmv_near_pairs_transcripts: assemble (string
+    agg in turn order, chr(10) separator — byte-identical to the engine's
+    array_sort+array_join) then the shared KMV statements at the judged
+    default geometry (k=5, verify >= jaccard_threshold)."""
+    cfg = cfg or DedupConfig()
+    return _script(
+        f"""
+CREATE OR REPLACE TEMP TABLE kasm AS
+SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+FROM {_tr_src(tr_path)} GROUP BY conv_id;""",
+        _kmv_stmts("tv", "kasm", "conv_id", "doc_text", cfg.shingle_k,
+                   k_min, cfg.bucket_cap),
+        _kmv_final("tv", "conv_id_a", "conv_id_b", "", cfg.jaccard_threshold),
+    )

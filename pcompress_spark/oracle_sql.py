@@ -98,6 +98,14 @@ CREATE OR REPLACE TEMP MACRO horner64(l) AS list_reduce(
 -- safe as + because the shifted halves never overlap.
 CREATE OR REPLACE TEMP MACRO rotl64(x, r) AS
     (((x) << (r)) % {_M}) + rsh64(x, 64 - (r));
+-- 60-bit md5 prefix hash (twin of functions/kmv.md5_60: Spark
+-- conv(substr(md5(s), 1, 15), 16, 10) cast long). md5 hex is lowercase
+-- in both engines; 15 hex chars = 60 bits, always positive in BIGINT.
+CREATE OR REPLACE TEMP MACRO hexv(c) AS
+    CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48 ELSE ascii(c) - 87 END;
+CREATE OR REPLACE TEMP MACRO md5_60(s) AS list_reduce(
+    list_transform(range(1, 16), i -> hexv(substr(md5(s), i, 1))::BIGINT),
+    (a, x) -> a * 16 + x);
 """
 
 

@@ -1,0 +1,119 @@
+"""Pure-JVM KMV channel (functions/kmv.py): hash parity, brute-force
+agreement, planted-duplicate behavior, and the zero-Python plan property."""
+
+import hashlib
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from pcompress_spark.config import DedupConfig
+from pcompress_spark.functions import doc_dedup
+from pcompress_spark.functions.kmv import (
+    kmv_near_pairs,
+    kmv_near_pairs_transcripts,
+    kmv_signatures,
+    md5_60,
+)
+from pcompress_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_md5_60_matches_hashlib(spark):
+    """The 60-bit hash is exactly int(md5(s).hexdigest()[:15], 16) — the
+    contract the DuckDB twin (oracle_sql md5_60 macro) implements."""
+    texts = ["hello world", "", "a", "Hello, World! 42", "conv-000123"]
+    df = spark.createDataFrame([(t,) for t in texts], ["s"])
+    got = [r[0] for r in df.select(md5_60("s")).collect()]
+    want = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in texts]
+    assert got == want
+
+
+def test_kmv_vs_bruteforce(spark, docs):
+    """KMV pairs share the exact same shingle sets as the brute n-gram
+    Jaccard (same normalization, same 3-gram grams, injective-w.h.p. hash),
+    so jaccard values must be EQUAL on shared pairs and strong-pair recall
+    high. Brute is lang-scoped; KMV is corpus-wide, so compare on brute's
+    pair universe only."""
+    brute = doc_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).toPandas()
+    kmvp = kmv_near_pairs(docs, k_shingle=3, threshold=0.3).toPandas()
+    bmap = {(a, b): j for a, b, j in zip(brute.doc_id_a, brute.doc_id_b, brute.jaccard)}
+    kmap = {(a, b): j for a, b, j in zip(kmvp.doc_id_a, kmvp.doc_id_b, kmvp.jaccard)}
+    shared = set(bmap) & set(kmap)
+    assert shared, "no overlap between brute and KMV pair sets"
+    for k in shared:
+        assert abs(bmap[k] - kmap[k]) < 1e-9, k
+    strong = {k for k, j in bmap.items() if j >= 0.5}
+    if strong:
+        rec = len(strong & set(kmap)) / len(strong)
+        assert rec >= 0.99, f"KMV recall {rec} on strong pairs"
+    # output contract: a < b, threshold respected
+    assert (kmvp.doc_id_a < kmvp.doc_id_b).all()
+    assert (kmvp.jaccard >= 0.3).all()
+
+
+def test_kmv_signatures_shape(spark, docs):
+    sig = kmv_signatures(docs, k_shingle=3, k_min=20).toPandas()
+    assert set(sig.columns) == {"doc_id", "id_hash", "shingles", "kmv"}
+    assert (sig.id_hash >= 0).all(), "60-bit hash must be positive"
+    for sh, kv in zip(sig.shingles, sig.kmv):
+        assert list(kv) == sorted(set(sh))[:20]
+        assert all(v >= 0 for v in kv)
+
+
+def test_kmv_transcripts_planted_exact_dup(spark, smoke_transcripts):
+    """An exact copy of a conversation under a new conv_id must pair with
+    its source at jaccard 1.0 through the transcript KMV channel."""
+    src_id = smoke_transcripts.select(F.min("conv_id")).first()[0]
+    one = smoke_transcripts.where(F.col("conv_id") == src_id)
+    clone = one.withColumn("conv_id", F.lit("zzz-clone"))
+    t = smoke_transcripts.unionByName(clone)
+    pairs = kmv_near_pairs_transcripts(t, DedupConfig()).toPandas()
+    hit = pairs[(pairs.conv_id_a == src_id) & (pairs.conv_id_b == "zzz-clone")]
+    assert len(hit) == 1 and abs(hit.jaccard.iloc[0] - 1.0) < 1e-9
+    assert (pairs.jaccard >= DedupConfig().jaccard_threshold).all()
+
+
+def test_kmv_plans_have_zero_python_nodes(spark, docs, smoke_transcripts):
+    """The channel's headline property: not one Python-worker node in
+    either plan — the whole near-dup path is JVM whole-stage codegen."""
+    py_nodes = ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                "FlatMapGroupsInPandas", "PythonUDF")
+    for df in (kmv_near_pairs(docs, k_shingle=3, threshold=0.3),
+               kmv_near_pairs_transcripts(smoke_transcripts, DedupConfig())):
+        plan = _plan(df)
+        hits = [n for n in py_nodes if n in plan]
+        assert not hits, f"Python nodes in KMV plan: {hits}"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_hot_bucket_cap_bounds_buckets(spark):
+    """A viral shingle shared by many docs must ride the shared salted/
+    capped bucket path: pair count stays far below quadratic when one
+    bucket's raw membership exceeds bucket_cap."""
+    n = 40
+    rows = [(i, "common boilerplate tokens repeated everywhere "
+                f"unique tail {i} {i + 1} {i + 2}") for i in range(n)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = DedupConfig(shingle_k=3, substring_enabled=False, bucket_cap=8,
+                      jaccard_threshold=0.1)
+    pairs = kmv_near_pairs(docs, cfg, k_shingle=3, threshold=0.1).toPandas()
+    # cap=8 bounds each bucket to C(8,2)=28 pairs; K=20 values per doc give
+    # at most 20 buckets' worth of nominations — far below C(40,2)=780
+    assert len(pairs) <= 20 * 28

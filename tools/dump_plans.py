@@ -66,6 +66,8 @@ def main() -> None:
     pii_df = entry.queries()["doc_pii_redact"](spark, SF)
     rep_df = entry.queries()["doc_repetition_report"](spark, SF)
     budget_df = entry.queries()["doc_budget_selection"](spark, SF)
+    kmv_doc_df = entry.queries()["doc_kmv_near_pairs"](spark, SF)
+    kmv_tr_df = entry.queries()["tr_kmv_near_pairs"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -112,6 +114,10 @@ def main() -> None:
             rep_df,
         "budget selection (bucketed distributed prefix sum, broadcast offsets)":
             budget_df,
+        "KMV near-dup pairs, documents (pure JVM: md5-60bit shingles, bottom-K sketch, shared salted buckets — zero Python workers)":
+            kmv_doc_df,
+        "KMV near-dup pairs, transcripts (assemble + KMV, whole chain JVM)":
+            kmv_tr_df,
     }
 
     checks: list[str] = []
@@ -355,6 +361,24 @@ def main() -> None:
         else "FAIL doc_budget_selection: single-partition window or missing "
         "broadcast"
     )
+
+    # the KMV channel's headline property: the ENTIRE near-dup path is
+    # JVM whole-stage codegen — not one Python-worker node in the plan
+    PY_NODES = ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                "FlatMapGroupsInPandas", "PythonUDF")
+    for name, df in (("doc_kmv_near_pairs", kmv_doc_df),
+                     ("tr_kmv_near_pairs", kmv_tr_df)):
+        p = plan_of(df)
+        py_hits = [n for n in PY_NODES if n in p]
+        checks.append(
+            f"OK {name}: zero Python nodes in plan; hot-bucket salt "
+            "broadcast; no cartesian stage"
+            if not py_hits and "BroadcastHashJoin" in p
+            and "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p
+            else f"FAIL {name}: Python nodes {py_hits} or missing "
+            "broadcast / quadratic stage"
+        )
 
     out.append("## Plan-quality checks\n")
     out.extend(f"- {c}" for c in checks)
