@@ -281,6 +281,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pcompress_spark.functions.kmv import kmv_near_pairs_transcripts
         return kmv_near_pairs_transcripts(load_transcripts(spark, sf_dir), CFG)
 
+    def tr_kmv_clusters(spark, sf_dir):
+        """Complete JVM-only dedup: connected components over (KMV near
+        pairs UNION exact-content star edges), cluster_id = min conv_id —
+        a user can run the whole transcript dedup without any executor
+        Python workers (functions/kmv.kmv_clusters_transcripts)."""
+        from pcompress_spark.functions.kmv import kmv_clusters_transcripts
+        return kmv_clusters_transcripts(load_transcripts(spark, sf_dir), CFG)
+
+    q["tr_kmv_clusters"] = tr_kmv_clusters
     q["tr_kmv_near_pairs"] = tr_kmv_near_pairs
     q["tr_near_pairs"] = tr_near_pairs
     q["tr_incremental_pairs"] = tr_incremental_pairs
@@ -1014,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
     o["doc_kmv_near_pairs"] = oq.doc_kmv_sql(k=3, k_min=20, threshold=0.3)
     o["tr_kmv_near_pairs"] = oq.tr_kmv_sql(tr, k_min=20, cfg=CFG)
+    o["tr_kmv_clusters"] = oq.tr_kmv_clusters_sql(tr, k_min=20, cfg=CFG)
     o["doc_incremental_pairs"] = oq.doc_incremental_pairs_sql(k=3, threshold=0.3)
     o["doc_incremental_dedup"] = oq.doc_incremental_dedup_sql(k=3, threshold=0.3)
     o["doc_incremental_clusters"] = oq.doc_incremental_clusters_sql(

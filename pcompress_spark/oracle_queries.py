@@ -1907,3 +1907,37 @@ FROM {_tr_src(tr_path)} GROUP BY conv_id;""",
                    k_min, cfg.bucket_cap),
         _kmv_final("tv", "conv_id_a", "conv_id_b", "", cfg.jaccard_threshold),
     )
+
+
+def tr_kmv_clusters_sql(tr_path: str, k_min: int = 20,
+                        cfg: DedupConfig | None = None) -> str:
+    """Twin for functions.kmv.kmv_clusters_transcripts: KMV verified pairs
+    UNION exact star edges (md5 of the channel's normalized doc text),
+    then min-conv_id transitive closure via recursive reachability."""
+    cfg = cfg or DedupConfig()
+    norm = _NORM.format(x="doc_text")
+    return _script(
+        f"""
+CREATE OR REPLACE TEMP TABLE kasm AS
+SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+FROM {_tr_src(tr_path)} GROUP BY conv_id;""",
+        _kmv_stmts("tv", "kasm", "conv_id", "doc_text", cfg.shingle_k,
+                   k_min, cfg.bucket_cap),
+        f"""
+CREATE OR REPLACE TEMP TABLE kpairs AS
+{_kmv_final("tv", "conv_id_a", "conv_id_b", "", cfg.jaccard_threshold)};
+CREATE OR REPLACE TEMP TABLE kexact AS
+WITH h AS (SELECT conv_id, md5({norm}) AS cm FROM kasm),
+g AS (SELECT conv_id, min(conv_id) OVER (PARTITION BY cm) AS rep,
+             count(*) OVER (PARTITION BY cm) AS n FROM h)
+SELECT rep AS a, conv_id AS b FROM g WHERE n > 1 AND conv_id != rep;
+CREATE OR REPLACE TEMP TABLE ksym AS
+WITH e AS (SELECT conv_id_a AS a, conv_id_b AS b FROM kpairs
+           UNION SELECT a, b FROM kexact)
+SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e;
+WITH RECURSIVE reach(src, dst) AS (
+    SELECT conv_id, conv_id FROM kasm
+    UNION
+    SELECT r.src, s.b FROM reach r JOIN ksym s ON r.dst = s.a)
+SELECT src AS conv_id, min(dst) AS cluster_id FROM reach GROUP BY src""",
+    )

@@ -103,6 +103,28 @@ def test_kmv_plans_have_zero_python_nodes(spark, docs, smoke_transcripts):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_kmv_clusters_planted_family(spark, smoke_transcripts):
+    """Exact clone + whitespace variant must land in the source's cluster
+    (exact star covers the variant even if its text normalizes equal);
+    cluster_id is the min conv_id; every conversation gets a row."""
+    from pcompress_spark.functions.kmv import kmv_clusters_transcripts
+
+    src_id = smoke_transcripts.select(F.min("conv_id")).first()[0]
+    one = smoke_transcripts.where(F.col("conv_id") == src_id)
+    clone = one.withColumn("conv_id", F.lit("zzz-clone"))
+    spaced = one.withColumn("conv_id", F.lit("zzz-spaced")).withColumn(
+        "text", F.concat(F.col("text"), F.lit("   \t "))
+    )
+    t = smoke_transcripts.unionByName(clone).unionByName(spaced)
+    cc = kmv_clusters_transcripts(t, DedupConfig()).toPandas()
+    n_convs = t.select("conv_id").distinct().count()
+    assert len(cc) == n_convs
+    lab = dict(zip(cc.conv_id, cc.cluster_id))
+    assert lab["zzz-clone"] == lab[src_id] == lab["zzz-spaced"] == min(
+        c for c, l in lab.items() if l == lab[src_id]
+    )
+
+
 def test_kmv_hot_bucket_cap_bounds_buckets(spark):
     """A viral shingle shared by many docs must ride the shared salted/
     capped bucket path: pair count stays far below quadratic when one
