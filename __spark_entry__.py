@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q1_pricing_summary"] = relational.q1_pricing_summary
     q["q3_top_orders"] = relational.q3_top_orders
     q["q5_nation_revenue"] = relational.q5_nation_revenue
+    q["q14_promo_revenue"] = relational.q14_promo_revenue
     q["latest_order_per_customer"] = relational.latest_order_per_customer
     q["events_hourly_counts"] = relational.events_hourly_counts
     q["events_sessionize"] = relational.sessionize
@@ -969,6 +970,22 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
+    """
+    o["q14_promo_revenue"] = """
+        WITH j AS (
+            SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+                   p_type
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
+        )
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                      ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE
+                     / sum(rev)::DOUBLE, 6) AS promo_revenue_pct,
+               sum(CASE WHEN p_type = 'PROMO' THEN rev
+                        ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS promo_revenue,
+               sum(rev)::DOUBLE AS total_revenue
+        FROM j
     """
     o["q5_nation_revenue"] = """
         SELECT n_name,

@@ -81,6 +81,33 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: date-pushdown fact scan + broadcast part dim +
+    conditional aggregate (promo revenue share for one ship month).
+    Completes computed coverage of every test table — part was the one
+    table no query read. Decimal products BEFORE summing keep the sums
+    exact; only the final ratio is floating."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    )
+    total = F.sum(rev)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 6)
+            .alias("promo_revenue_pct"),
+            promo.cast("double").alias("promo_revenue"),
+            total.cast("double").alias("total_revenue"),
+        )
+    )
+
+
 def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic representative selection via window row_number — the
     J3 first-occurrence-wins pattern (/root/reference/rabin/global/

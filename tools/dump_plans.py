@@ -80,6 +80,8 @@ def main() -> None:
             substring_candidates(sig, cfg, persist_sizes=False)[0],
         "q1 pricing summary (pushdown + partial agg)": relational.q1_pricing_summary(spark, SF),
         "q3 top orders (broadcast dim join)": relational.q3_top_orders(spark, SF),
+        "q14 promo revenue (date pushdown + broadcast part dim + conditional agg)":
+            relational.q14_promo_revenue(spark, SF),
         "doc exact dedup (hash agg, first-occurrence-wins)": doc_dedup.dedup_keep_first(docs),
         "SimHash multi-index pairs (16-bit segment-pair buckets, no quadratic stage)":
             doc_dedup.simhash_pairs(docs),
@@ -151,6 +153,13 @@ def main() -> None:
     checks.append(
         "OK q3: customer dim broadcast" if "BroadcastHashJoin" in q3_plan
         else "FAIL q3: no broadcast join"
+    )
+    q14_plan = plan_of(relational.q14_promo_revenue(spark, SF))
+    checks.append(
+        "OK q14: shipdate filter pushed + part dim broadcast"
+        if "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in q14_plan
+        and "BroadcastHashJoin" in q14_plan
+        else "FAIL q14: missing pushdown or broadcast"
     )
     sig_plan = plan_of(sig)
     n_exch = sig_plan.count("Arguments: hashpartitioning")
