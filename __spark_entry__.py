@@ -312,6 +312,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pure-JVM KMV channel (no Python workers; functions/kmv.py docstring)
     q["doc_kmv_near_pairs"] = lambda s, d: kmv.kmv_near_pairs(
         load_table(s, d, "documents"), k_shingle=3, threshold=0.3)
+    # north-rule recall audit for the JVM channel (>= 0.99 at a truth
+    # threshold above the 1-of-K design point)
+    q["doc_kmv_recall_report"] = lambda s, d: kmv.kmv_recall_report(
+        load_table(s, d, "documents"), k_shingle=3,
+        truth_threshold=0.5, design_threshold=0.3)
     q["doc_simhash_pairs"] = lambda s, d: doc_dedup.simhash_pairs(
         load_table(s, d, "documents"), max_hamming=6)
     q["doc_adaptive_k_pairs"] = lambda s, d: doc_dedup.adaptive_k_lsh_pairs(
@@ -1039,6 +1044,8 @@ def oracle_sql() -> dict[str, str]:
     o["doc_fingerprints"] = oq.doc_fingerprints_sql(k=5, keep=16)
     o["doc_minhash_lsh_pairs"] = oq.doc_minhash_lsh_sql(k=3, threshold=0.3)
     o["doc_kmv_near_pairs"] = oq.doc_kmv_sql(k=3, k_min=20, threshold=0.3)
+    o["doc_kmv_recall_report"] = oq.doc_kmv_recall_sql(
+        k=3, k_min=20, truth_threshold=0.5, design_threshold=0.3)
     o["tr_kmv_near_pairs"] = oq.tr_kmv_sql(tr, k_min=20, cfg=CFG)
     o["tr_kmv_clusters"] = oq.tr_kmv_clusters_sql(tr, k_min=20, cfg=CFG)
     o["doc_incremental_pairs"] = oq.doc_incremental_pairs_sql(k=3, threshold=0.3)

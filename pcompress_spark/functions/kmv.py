@@ -221,3 +221,56 @@ def kmv_clusters_transcripts(
     )
     nodes = asm.select("conv_id", md5_60(F.col("conv_id")).alias("id_hash"))
     return connected_components(nodes, edges, cfg)
+
+
+def kmv_recall_report(
+    docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    k_shingle: int = 3,
+    k_min: int = DEFAULT_K_MIN,
+    truth_threshold: float = 0.5,
+    design_threshold: float = 0.3,
+) -> DataFrame:
+    """One-row recall audit of the JVM channel against ITS OWN exact
+    ground truth: brute-force all-pairs Jaccard over the full md5-60bit
+    shingle sets (the documented O(n^2) audit path — run at audit scale,
+    never the full corpus) vs the 1-of-K bucketed path at the design
+    threshold. Output (truth_threshold, n_truth, n_found, recall) — the
+    channel's twin of doc_recall_report / emb_pair_recall_report, pinning
+    the north-rule headline (recall >= 0.99) for the UDF-free strategy."""
+    cfg = cfg or DedupConfig(shingle_k=k_shingle, substring_enabled=False,
+                             jaccard_threshold=design_threshold)
+    sig = cache.persist(
+        kmv_signatures(docs, cfg.shingle_k, k_min, id_col="doc_id")
+    )
+    side = sig.where(F.size("shingles") > 0).select("doc_id", "shingles")
+    a = side.select(F.col("doc_id").alias("doc_id_a"),
+                    F.col("shingles").alias("sh_a"))
+    b = side.select(F.col("doc_id").alias("doc_id_b"),
+                    F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0)), 6
+    )
+    truth = (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= truth_threshold)
+    )
+    found = truth.join(
+        _kmv_pairs(sig, cfg, "doc_id", "doc_id_a", "doc_id_b",
+                   design_threshold).select("doc_id_a", "doc_id_b"),
+        ["doc_id_a", "doc_id_b"], "left_semi",
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nf = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    return nt.crossJoin(nf).select(
+        F.lit(float(truth_threshold)).alias("truth_threshold"),
+        "n_truth", "n_found",
+        F.round(
+            F.when(F.col("n_truth") > 0,
+                   F.col("n_found").cast("double") / F.col("n_truth"))
+            .otherwise(F.lit(1.0)), 6,
+        ).alias("recall"),
+    )

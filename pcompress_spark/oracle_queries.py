@@ -1941,3 +1941,44 @@ WITH RECURSIVE reach(src, dst) AS (
     SELECT r.src, s.b FROM reach r JOIN ksym s ON r.dst = s.a)
 SELECT src AS conv_id, min(dst) AS cluster_id FROM reach GROUP BY src""",
     )
+
+
+def doc_kmv_recall_sql(k: int = 3, k_min: int = 20,
+                       truth_threshold: float = 0.5,
+                       design_threshold: float = 0.3,
+                       cfg: DedupConfig | None = None) -> str:
+    """Twin for functions.kmv.kmv_recall_report: brute all-pairs Jaccard
+    truth over the md5-60bit shingle lists vs the bucketed KMV pair set."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    return _script(
+        _kmv_stmts("dv", "documents", "doc_id", "text", k, k_min,
+                   cfg.bucket_cap),
+        f"""
+CREATE OR REPLACE TEMP TABLE kfound AS
+{_kmv_final("dv", "doc_id_a", "doc_id_b", "::BIGINT", design_threshold)};
+CREATE OR REPLACE TEMP TABLE ktruth AS
+WITH s AS (SELECT sid, sh FROM dvksig WHERE len(sh) > 0),
+v_ AS (SELECT a.sid AS pa, b.sid AS pb, len(a.sh) AS la, len(b.sh) AS lb,
+              len(list_intersect(a.sh, b.sh)) AS inter
+       FROM s a JOIN s b ON a.sid < b.sid)
+SELECT pa, pb FROM (
+    SELECT pa, pb, round(CASE WHEN la + lb - inter > 0
+                              THEN inter::DOUBLE / (la + lb - inter)
+                              ELSE 1.0 END, 6) AS jac
+    FROM v_)
+WHERE jac >= {truth_threshold};
+SELECT {float(truth_threshold)} AS truth_threshold,
+       (SELECT count(*) FROM ktruth)::BIGINT AS n_truth,
+       (SELECT count(*) FROM ktruth t
+        WHERE EXISTS (SELECT 1 FROM kfound f
+                      WHERE f.doc_id_a = t.pa AND f.doc_id_b = t.pb))::BIGINT
+           AS n_found,
+       round(CASE WHEN (SELECT count(*) FROM ktruth) > 0
+                  THEN (SELECT count(*) FROM ktruth t
+                        WHERE EXISTS (SELECT 1 FROM kfound f
+                                      WHERE f.doc_id_a = t.pa
+                                        AND f.doc_id_b = t.pb))::DOUBLE
+                       / (SELECT count(*) FROM ktruth)
+                  ELSE 1.0 END, 6) AS recall
+""",
+    )

@@ -125,6 +125,17 @@ def test_kmv_clusters_planted_family(spark, smoke_transcripts):
     )
 
 
+def test_kmv_recall_report_headline(spark, docs):
+    """North-rule headline for the JVM channel: dup-pair recall >= 0.99 vs
+    exact brute-force truth at a threshold above the 1-of-K design point."""
+    from pcompress_spark.functions.kmv import kmv_recall_report
+
+    row = kmv_recall_report(docs, k_shingle=3, truth_threshold=0.5,
+                            design_threshold=0.3).toPandas().iloc[0]
+    assert row.n_truth > 0, "fixture must contain strong dup pairs"
+    assert row.recall >= 0.99, f"KMV recall {row.recall}"
+
+
 def test_kmv_hot_bucket_cap_bounds_buckets(spark):
     """A viral shingle shared by many docs must ride the shared salted/
     capped bucket path: pair count stays far below quadratic when one
