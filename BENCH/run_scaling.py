@@ -72,8 +72,25 @@ def main() -> None:
     t8b, t32 = r8b["turns_per_sec"], r32["turns_per_sec"]
     eff = tb / (4 * ta)
     eff_supp = t32 / (4 * t8b)
+    # JVM-only channel pair (bench.py times kmv_near_pairs_transcripts in
+    # the SAME invocation at each width — no extra runs): the zero-Python
+    # strategy's 8->32 ratio isolates how much of the mixed pipeline's gap
+    # to the kernel ceiling is the JVM+Python oversubscription.
+    kmv8 = r8b["jvm_channel"]["tr_kmv_near_pairs"]
+    kmv32 = r32["jvm_channel"]["tr_kmv_near_pairs"]
+    kmv_t8 = r8b["bench_turns"] / kmv8
+    kmv_t32 = r32["bench_turns"] / kmv32
+    kmv_eff = kmv_t32 / (4 * kmv_t8)
     k8, k32 = kc["docs_per_sec"]["8"], kc["docs_per_sec"]["32"]
     k_eff = k32 / (4 * k8)
+    # the box's own 1->4 ceiling, measured in the SAME invocation: the
+    # supporting pair must be read against it (hosts migrate under this VM
+    # and the DRAM profile moves with them — never against a remembered
+    # number from another session)
+    k1 = kc["docs_per_sec"].get(str(n_lo))
+    k4 = kc["docs_per_sec"].get(str(n_hi))
+    k_eff_lo = (k4 / (n_hi / n_lo * k1)) if (k1 and k4) else None
+    eff_vs_ceiling = (eff / k_eff_lo) if k_eff_lo else None
     if eff_supp >= 0.8:
         supp_verdict = (
             f"**Efficiency = {eff_supp:.3f}** — MEETS the >= 0.8 target on "
@@ -112,6 +129,23 @@ is what the engine's shuffle/partition behavior answers for, the rest is
 the machine. Real N -> 4N EXECUTORS each bring their own memory channels,
 which is what the supporting below-the-knee pair stands in for.
 
+## JVM-only channel at 8 -> 32 cores (same corpus, same invocation)
+
+The pure-JVM KMV near-dup channel (`functions/kmv.py` — zero Python
+workers, whole-stage codegen end to end), timed by bench.py inside the
+same two sessions as the headline pair (one run per width):
+
+| run | master | kmv wall (s) | throughput (turns/s) |
+|---|---|---|---|
+| A | local[8]  | {kmv8} | {kmv_t8:.1f} |
+| B | local[32] | {kmv32} | {kmv_t32:.1f} |
+
+**8 -> 32 efficiency = {kmv_eff:.3f}** vs the mixed JVM+Python pipeline's
+{eff_supp:.3f}. The delta between these two numbers is the cost of running
+a Python worker fleet beside the JVM on one oversubscribed box — on a real
+cluster the executor count, not the thread count, grows, and each executor
+brings its own cores and memory channels.
+
 ## Supporting: N={n_lo} -> 4N={n_hi} cores ({n_primary} conversations, {ra['bench_turns']} turns)
 
 | run | master | pipeline wall (s) | throughput (turns/s) |
@@ -120,6 +154,13 @@ which is what the supporting below-the-knee pair stands in for.
 | B (4N) | local[{n_hi}] | {rb['queries']['dedup_pipeline']} | {tb} |
 
 **Scaling efficiency = T_B / (4 x T_A) = {eff:.3f}** (target >= 0.8)
+
+Box ceiling at the same pair, same invocation (Spark-free kernel procs):
+{n_lo} proc {k1 or 0:.0f} docs/s -> {n_hi} procs {k4 or 0:.0f} docs/s =
+kernel-only {n_lo}->{n_hi} efficiency {k_eff_lo or 0:.3f}; the pipeline
+reaches **{(eff_vs_ceiling or 0) * 100:.0f}% of the box's own {n_lo}->{n_hi}
+scaling**. The kernel curve is re-measured every invocation because this
+VM migrates across hosts and the DRAM/CPU profile moves with it.
 
 This pair sits below the DRAM saturation knee, which is the closest
 single-machine stand-in for the rule's actual criterion — growing
@@ -146,7 +187,12 @@ Generated {stamp} by BENCH/run_scaling.py.
                       "efficiency": round(eff, 3),
                       "t8_supp": t8b, "t32_supp": t32,
                       "efficiency_supp": round(eff_supp, 3),
-                      "kernel_8_32_efficiency": round(k_eff, 3)}))
+                      "kmv_efficiency_8_32": round(kmv_eff, 3),
+                      "kernel_8_32_efficiency": round(k_eff, 3),
+                      "kernel_lo_hi_efficiency":
+                          round(k_eff_lo, 3) if k_eff_lo else None,
+                      "efficiency_vs_ceiling":
+                          round(eff_vs_ceiling, 3) if eff_vs_ceiling else None}))
 
 
 if __name__ == "__main__":
