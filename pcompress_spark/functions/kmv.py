@@ -104,7 +104,19 @@ def _kmv_pairs(
     sig: DataFrame, cfg: DedupConfig, id_col: str, a_col: str, b_col: str,
     threshold: float,
 ) -> DataFrame:
-    """Shared candidate + verify tail over a persisted signature frame."""
+    """Shared candidate + verify tail over a persisted signature frame.
+
+    Verify rides the same double-broadcast shape as operators/verify.py:
+    the bare candidate pair list is broadcast against the signature table
+    TWICE (one map-side probe per pair end), and the two enriched sides
+    join on the composite (a, b) key — so the shingle-array table is only
+    ever SCANNED, never shuffled on a join key, and the one exchange in
+    the stage carries array payloads for candidate rows only. The naive
+    cand ⋈ sig_a ⋈ sig_b chain makes Spark shuffle + sort the corpus-keyed
+    array table on the second join once the pair list outgrows AQE's
+    broadcast estimate (the O(corpus) sort spill the repo invariant
+    forbids — see verify.py's module docstring for the measured history).
+    """
     from ..operators.candidates import bucket_members, bucket_pairs
 
     banded = sig.where(F.size("kmv") > 0).select(
@@ -116,14 +128,18 @@ def _kmv_pairs(
     buckets, _stats = bucket_members(
         banded, cfg, id_col=id_col, salt_col="id_hash", persist_sizes=False
     )
-    cand = bucket_pairs(buckets, a_col, b_col).distinct()
-    a = sig.select(F.col(id_col).alias(a_col), F.col("shingles").alias("sh_a"))
-    b = sig.select(F.col(id_col).alias(b_col), F.col("shingles").alias("sh_b"))
+    bare = F.broadcast(bucket_pairs(buckets, a_col, b_col).distinct())
+    a = sig.select(
+        F.col(id_col).alias(a_col), F.col("shingles").alias("sh_a")
+    ).join(bare, a_col)
+    b = sig.select(
+        F.col(id_col).alias(b_col), F.col("shingles").alias("sh_b")
+    ).join(bare, b_col)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
     return (
-        cand.join(a, a_col).join(b, b_col)
+        a.join(b, [a_col, b_col])
         .select(a_col, b_col, F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

@@ -91,7 +91,13 @@ def test_kmv_transcripts_planted_exact_dup(spark, smoke_transcripts):
 
 def test_kmv_plans_have_zero_python_nodes(spark, docs, smoke_transcripts):
     """The channel's headline property: not one Python-worker node in
-    either plan — the whole near-dup path is JVM whole-stage codegen."""
+    either plan — the whole near-dup path is JVM whole-stage codegen.
+    Also pins the verify tail's double-broadcast shape: the candidate pair
+    list is broadcast to BOTH shingle probes (+ the hot-bucket salt
+    broadcast >= 3 BroadcastHashJoins total) and the shingle-array table
+    is never exchanged on a single pair-end key — the O(corpus) array
+    sort-spill shape the repo invariant forbids. The composite (a, b)
+    exchange carries both keys, so the single-key pattern cannot match it."""
     py_nodes = ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
                 "FlatMapGroupsInPandas", "PythonUDF")
     for df in (kmv_near_pairs(docs, k_shingle=3, threshold=0.3),
@@ -101,6 +107,10 @@ def test_kmv_plans_have_zero_python_nodes(spark, docs, smoke_transcripts):
         assert not hits, f"Python nodes in KMV plan: {hits}"
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        bad = re.search(r"hashpartitioning\((doc_id|conv_id)_[ab]#\d+, \d+\)",
+                        plan)
+        assert not bad, f"corpus-keyed pair-end exchange: {bad.group(0)}"
 
 
 def test_kmv_clusters_planted_family(spark, smoke_transcripts):

@@ -379,14 +379,24 @@ def main() -> None:
                      ("tr_kmv_near_pairs", kmv_tr_df)):
         p = plan_of(df)
         py_hits = [n for n in PY_NODES if n in p]
+        # verify tail must ride the double-broadcast shape: pair list
+        # broadcast to BOTH shingle probes (+ the hot-bucket salt
+        # broadcast = >= 3), and the shingle-array table never exchanged
+        # on a single pair-end key (the composite (a, b) exchange carries
+        # both keys, so this single-key pattern cannot match it)
+        bad_kmv_exchange = re.search(
+            r"hashpartitioning\((doc_id|conv_id)_[ab]#\d+, \d+\)", p)
         checks.append(
-            f"OK {name}: zero Python nodes in plan; hot-bucket salt "
-            "broadcast; no cartesian stage"
-            if not py_hits and "BroadcastHashJoin" in p
+            f"OK {name}: zero Python nodes in plan; pair list broadcast "
+            "to both probes; no corpus-keyed array exchange; no "
+            "cartesian stage"
+            if not py_hits and p.count("BroadcastHashJoin") >= 3
+            and not bad_kmv_exchange
             and "CartesianProduct" not in p
             and "BroadcastNestedLoopJoin" not in p
-            else f"FAIL {name}: Python nodes {py_hits} or missing "
-            "broadcast / quadratic stage"
+            else f"FAIL {name}: Python nodes {py_hits} or shingle table "
+            "exchanged on a single pair-end key / missing broadcast / "
+            "quadratic stage"
         )
 
     out.append("## Plan-quality checks\n")
