@@ -102,28 +102,31 @@ def main() -> None:
     table = "\n".join(lines)
     print(table)
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
-    with open(os.path.join(REPO, "BENCH", "STAGE_SCALING.md"), "w") as f:
-        f.write(
-            f"""# Per-stage {lo} -> {hi} core scaling decomposition
-
-One stage_probe.py invocation ({n_conv} conversations, sf0.1 slice); stage
-seconds come from the pipeline's own metrics.json checkpointer, Python
-workers warmed before timing. A stage's seconds INCLUDE its operator
-construction (shown separately when >= 0.5 s — the CC convergence loop
-runs driver-synchronized jobs at build time); the finalize row is the
-bucket-stats collect + lineage write, and FULL wall is the same run()'s
-end-to-end time, so wall - stage sum - finalize = residual driver time.
-
-{table}
-
-Stage efficiencies swing ~0.08 across invocations (host noise) — compare
-rows within one table only; round-over-round movement is in this file's
-git history (e.g. the band_hashes precompute lifted candidates
-0.67 -> 0.9+).
-
-Generated {stamp} by BENCH/stage_probe.py.
-"""
-        )
+    # Update ONLY this pair's section in STAGE_SCALING.md (keyed by the
+    # "## Primary/Diagnostic pair" heading), preserving the other pair's
+    # table and the hand-written isolation-probe narrative — a 1->4 rerun
+    # must not clobber the 8->32 diagnostic evidence or vice versa.
+    path = os.path.join(REPO, "BENCH", "STAGE_SCALING.md")
+    heading = (
+        "## Primary pair: 1 -> 4 cores (below the DRAM/oversubscription knee)"
+        if (lo, hi) == (1, 4)
+        else f"## Pair: {lo} -> {hi} cores"
+    )
+    section = f"{heading}\n\n{table}\n\nGenerated {stamp} by BENCH/stage_probe.py.\n"
+    try:
+        with open(path) as f:
+            doc = f.read()
+    except OSError:
+        doc = ""
+    if heading in doc:
+        head, rest = doc.split(heading, 1)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1:] if nxt >= 0 else ""
+        doc = head + section + ("\n" + tail if tail else "")
+    else:
+        doc = (doc.rstrip() + "\n\n" if doc.strip() else "") + section
+    with open(path, "w") as f:
+        f.write(doc)
 
 
 if __name__ == "__main__":
