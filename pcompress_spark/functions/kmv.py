@@ -102,7 +102,7 @@ def kmv_signatures(
 
 def _kmv_pairs(
     sig: DataFrame, cfg: DedupConfig, id_col: str, a_col: str, b_col: str,
-    threshold: float,
+    threshold: float, broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Shared candidate + verify tail over a persisted signature frame.
 
@@ -116,6 +116,16 @@ def _kmv_pairs(
     array table on the second join once the pair list outgrows AQE's
     broadcast estimate (the O(corpus) sort spill the repo invariant
     forbids — see verify.py's module docstring for the measured history).
+
+    broadcast_pairs=False degrades the two probes to ordinary shuffled
+    joins — the same fallback regime as verify.near_pairs above its
+    broadcast_limit: when 1-of-K banding leaves a pair list too large to
+    broadcast, pair volume rivals corpus volume and a corpus-keyed
+    exchange is inherent to the question, not plan overhead. Callers at
+    that scale flip it from the pair count of a prior run or the bucket
+    stats; the channel's public entry points default to broadcast (pair
+    lists are candidate-bound, orders of magnitude under the corpus at
+    the design thresholds).
     """
     from ..operators.candidates import bucket_members, bucket_pairs
 
@@ -128,7 +138,9 @@ def _kmv_pairs(
     buckets, _stats = bucket_members(
         banded, cfg, id_col=id_col, salt_col="id_hash", persist_sizes=False
     )
-    bare = F.broadcast(bucket_pairs(buckets, a_col, b_col).distinct())
+    bare = bucket_pairs(buckets, a_col, b_col).distinct()
+    if broadcast_pairs:
+        bare = F.broadcast(bare)
     a = sig.select(
         F.col(id_col).alias(a_col), F.col("shingles").alias("sh_a")
     ).join(bare, a_col)

@@ -160,3 +160,23 @@ def test_kmv_hot_bucket_cap_bounds_buckets(spark):
     # cap=8 bounds each bucket to C(8,2)=28 pairs; K=20 values per doc give
     # at most 20 buckets' worth of nominations — far below C(40,2)=780
     assert len(pairs) <= 20 * 28
+
+
+def test_kmv_shuffled_fallback_matches_broadcast(spark, docs):
+    """broadcast_pairs=False (the pair-list-outgrows-broadcast regime, the
+    same fallback verify.near_pairs takes above its broadcast_limit) must
+    produce the identical verified pair set — only the join strategy moves,
+    never the semantics."""
+    from pcompress_spark import cache
+    from pcompress_spark.functions.kmv import _kmv_pairs
+
+    cfg = DedupConfig(shingle_k=3, substring_enabled=False,
+                      jaccard_threshold=0.3)
+    sig = cache.persist(kmv_signatures(docs, 3, id_col="doc_id"))
+    key = lambda df: sorted(
+        map(tuple, df.toPandas()[["doc_id_a", "doc_id_b", "jaccard"]].values)
+    )
+    bc = _kmv_pairs(sig, cfg, "doc_id", "doc_id_a", "doc_id_b", 0.3)
+    sh = _kmv_pairs(sig, cfg, "doc_id", "doc_id_a", "doc_id_b", 0.3,
+                    broadcast_pairs=False)
+    assert key(bc) == key(sh)
