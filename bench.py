@@ -98,6 +98,27 @@ def main() -> None:
                 break
             cpus = best
 
+    # host calibration: single-process raw-kernel throughput (no Spark),
+    # measured fresh every invocation. This VM migrates across physical
+    # hosts between sessions and absolute wall times move 1.5x+ with it
+    # (see CLAUDE.md) — the calibration line lets round-over-round bench
+    # deltas be read against the host the numbers were taken on, instead
+    # of mistaking a slower host for an engine regression. ~20 s, entirely
+    # outside every timed region.
+    host_kernel = None
+    try:
+        import subprocess
+        ks = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH", "kernel_scaling.py"), "1"],
+            capture_output=True, text=True, timeout=600,
+        )
+        host_kernel = json.loads(ks.stdout.strip().splitlines()[-1])[
+            "docs_per_sec"]["1"]
+    except Exception:
+        pass  # calibration is advisory; never fail the bench over it
+
     # materialize the bench corpus before any timing
     tr_path = transcripts_path(sf_dir, n_conv=n_conv)
 
@@ -182,6 +203,7 @@ def main() -> None:
         "clusters": n_clusters,
         "cpus": cpus,
         "jvm_channel": {"tr_kmv_near_pairs": kmv_sec},
+        "host_kernel_docs_per_sec_1proc": host_kernel,
     }
     if width_probe is not None:
         out["width_probe_sec"] = width_probe
