@@ -42,6 +42,17 @@ costs more CPU per byte than the kernels' FNV/splitmix pipeline, and the
 sketch is bottom-K (no per-band geometry knob). The channel exists
 ALONGSIDE the Arrow-kernel channels as the UDF-free execution strategy,
 not as a replacement — same table in, same pair semantics out.
+
+No streaming twin, by decision: incremental/streaming admission rides the
+kernel channel's persisted stores (streaming/dedup_stream.py,
+functions/incremental.py). A KMV streaming variant would mirror that
+machinery with kmv values as band hashes, but one deployment runs ONE
+near-dup store — maintaining two redundant stores with different hash
+families is an operational hazard, not coverage. A cluster that wants the
+UDF-free strategy end to end runs this channel in its batch/daily-delta
+jobs (kmv signatures are plain columns, so incremental admission against
+a persisted kmv signature table is the same join shape as
+incremental.py's).
 """
 
 from __future__ import annotations
