@@ -100,6 +100,28 @@ def main() -> None:
             f"**Efficiency = {eff_supp:.3f}** against the >= 0.8 target. "
             f"Read honestly: this pair does NOT meet 0.8 on this box, and "
             f"we do not claim it does.")
+    # Direction-aware reading of the JVM-only vs mixed-pipeline comparison:
+    # which strategy scales better at 8->32 flips with the host's same-day
+    # behavior, and the narrative must follow the numbers, not a remembered
+    # story (one evening the kernel ceiling itself collapsed past 16 procs
+    # and the JVM-only channel collapsed with it).
+    if kmv_eff >= eff_supp:
+        kmv_read = (
+            "The delta between these two numbers is the cost of running\n"
+            "a Python worker fleet beside the JVM on one oversubscribed "
+            "box — on a real\ncluster the executor count, not the thread "
+            "count, grows, and each executor\nbrings its own cores and "
+            "memory channels.")
+    else:
+        kmv_read = (
+            "On this invocation the JVM-only channel scaled no better than "
+            "the mixed\npipeline — consistent with the kernel ceiling "
+            "above: when the box itself\nstops delivering compute past the "
+            "knee, JVM task threads collapse with it,\ni.e. the limiter "
+            "here is the hypervisor's effective-core budget, not the\n"
+            "Python worker fleet. Both strategies are reported side by "
+            "side every\ninvocation so the limiting factor is measured, "
+            "not assumed.")
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
     n_runs = os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence
@@ -141,10 +163,7 @@ same two sessions as the headline pair (one run per width):
 | B | local[32] | {kmv32} | {kmv_t32:.1f} |
 
 **8 -> 32 efficiency = {kmv_eff:.3f}** vs the mixed JVM+Python pipeline's
-{eff_supp:.3f}. The delta between these two numbers is the cost of running
-a Python worker fleet beside the JVM on one oversubscribed box — on a real
-cluster the executor count, not the thread count, grows, and each executor
-brings its own cores and memory channels.
+{eff_supp:.3f}. {kmv_read}
 
 ## Supporting: N={n_lo} -> 4N={n_hi} cores ({n_primary} conversations, {ra['bench_turns']} turns)
 
