@@ -659,6 +659,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_dedup_keep_best"] = doc_dedup_keep_best
+
+    def doc_source_overlap(spark, sf_dir):
+        """Cross-source duplication matrix over the documents table's own
+        source column: near+exact dup-pair counts per unordered source
+        pair — the crawl-vs-crawl overlap report run before merging."""
+        return doc_dedup.source_overlap(
+            load_table(spark, sf_dir, "documents"), threshold=0.3
+        )
+
+    q["doc_source_overlap"] = doc_source_overlap
+
+    # per-source ingest profile: counts, stored-metadata (n_chars) audit,
+    # exact-dup rate, mean quality — the which-corpora-to-keep table
+    q["doc_source_profile"] = lambda s, d: curation.source_profile(
+        load_table(s, d, "documents"))
+
+    def ann_label_purity(spark, sf_dir):
+        """k-NN label consistency per query vector (embeddings.label):
+        the embedding-space quality probe run before trusting cosine
+        thresholds for dedup/retrieval."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.knn_label_purity(
+            emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
+    q["ann_label_purity"] = ann_label_purity
     return q
 
 
@@ -823,6 +848,32 @@ def oracle_sql() -> dict[str, str]:
                round(len_score_raw, 6) AS len_score,
                round((alnum_ratio_raw + stop_ratio_raw + len_score_raw) / 3.0, 6) AS quality
         FROM ({quality_feat})
+    """
+    o["doc_source_profile"] = f"""
+        WITH qf AS ({quality_feat}),
+        pd AS (
+            SELECT d.doc_id, d.source, d.n_chars::BIGINT AS n_chars,
+                   CASE WHEN length(d.text)::BIGINT != d.n_chars::BIGINT
+                        THEN 1 ELSE 0 END AS chars_mismatch,
+                   CAST(round((alnum_ratio_raw + stop_ratio_raw
+                               + len_score_raw) / 3.0, 6)
+                        AS DECIMAL(18,6)) AS quality,
+                   md5(d.text) AS content_md5
+            FROM documents d JOIN qf ON qf.doc_id = d.doc_id
+        ),
+        r AS (SELECT content_md5, min(doc_id) AS rep_doc_id
+              FROM pd GROUP BY content_md5)
+        SELECT pd.source,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS n_chars_total,
+               sum(chars_mismatch)::BIGINT AS n_chars_mismatch,
+               sum(CASE WHEN pd.doc_id != r.rep_doc_id THEN 1 ELSE 0
+                   END)::BIGINT AS n_exact_dup,
+               round(sum(CASE WHEN pd.doc_id != r.rep_doc_id THEN 1 ELSE 0
+                         END)::DOUBLE / count(*), 6) AS exact_dup_rate,
+               round(sum(quality)::DOUBLE / count(*), 6) AS mean_quality
+        FROM pd JOIN r USING (content_md5)
+        GROUP BY pd.source
     """
     o["doc_dedup_keep_best"] = oq.doc_keep_best_sql(
         k=3, threshold=0.3,
@@ -1058,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_routed_lsh_pairs"] = oq.doc_minhash_lsh_sql(
         k=3, threshold=0.3, src=oq.ROUTED_DOC_SRC)
     o["doc_neardup_clusters"] = oq.doc_neardup_clusters_sql(k=3, threshold=0.3)
+    o["doc_source_overlap"] = oq.doc_source_overlap_sql(k=3, threshold=0.3)
     o["doc_tier_attribution"] = oq.doc_tier_attribution_sql(k=3, threshold=0.3)
     o["doc_recall_report"] = oq.doc_recall_sql(k=3, truth_threshold=0.5,
                                                design_threshold=0.3)
@@ -1111,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
     o["emb_pair_recall_report"] = oq.embedding_pair_recall_sql(threshold=0.4)
     o["ann_topk_ivf"] = oq.ann_ivf_sql(k=5)
     o["ann_recall_report"] = oq.ann_recall_sql(k=5)
+    o["ann_label_purity"] = oq.ann_label_purity_sql(k=5)
     o["multimodal_features"] = oq.multimodal_sql(media_fixture_path(n=64, seed=42))
 
     # ---- provenance (multi-source union) ----

@@ -407,3 +407,58 @@ def pack_assignments(
             ).cast("long"),
         )
     )
+
+
+def source_profile(docs: DataFrame) -> DataFrame:
+    """Per-source ingest profile — the first table a curation run looks at
+    when deciding which corpora to keep: document count, stored-metadata
+    consistency (does the upstream ``n_chars`` column match the text?),
+    exact-duplicate rate within the corpus, and mean quality. One row per
+    source: (source, n_docs, n_chars_total, n_chars_mismatch,
+    n_exact_dup, exact_dup_rate, mean_quality).
+
+    Exact-dup convention matches dedup_keep_first: a document counts as a
+    duplicate when it is NOT the min doc_id of its content-md5 group (the
+    group representative is not a duplicate), so summing n_exact_dup
+    across sources gives exactly the rows exact dedup would remove.
+
+    Determinism: mean_quality sums the per-doc 6dp-rounded quality as
+    decimal(18,6) (exact, order-independent) before the single double
+    division; both ratios round 6dp. Scale shape: one md5 hash aggregation
+    (the exact-dedup shuffle — partial-agg combine, so a viral identical
+    doc contributes one group) re-joined on content_md5 (AQE can split the
+    skewed join; a window over the md5 partition could not be split) + one
+    |sources|-group aggregate — the text column is scanned once, all
+    expressions JVM built-ins.
+    """
+    from .text import quality_col
+
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.length("text").cast("long") != F.col("n_chars").cast("long"))
+        .cast("int").alias("chars_mismatch"),
+        quality_col("text").cast("decimal(18,6)").alias("quality"),
+        F.md5("text").alias("content_md5"),
+    )
+    reps = per_doc.groupBy("content_md5").agg(
+        F.min("doc_id").alias("rep_doc_id")
+    )
+    flagged = per_doc.join(reps, "content_md5").withColumn(
+        "is_dup", (F.col("doc_id") != F.col("rep_doc_id")).cast("int")
+    )
+    n_docs = F.count(F.lit(1))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            n_docs.cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+            F.sum("chars_mismatch").cast("long").alias("n_chars_mismatch"),
+            F.sum("is_dup").cast("long").alias("n_exact_dup"),
+            F.round(F.sum("is_dup").cast("double") / n_docs, 6)
+            .alias("exact_dup_rate"),
+            F.round(F.sum("quality").cast("double") / n_docs, 6)
+            .alias("mean_quality"),
+        )
+    )

@@ -662,3 +662,54 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
                 F.round("cosine", 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def source_overlap(docs: DataFrame, cfg: DedupConfig | None = None,
+                   threshold: float = 0.3) -> DataFrame:
+    """Cross-source duplication matrix over the documents table's OWN
+    ``source`` column — the crawl-vs-crawl overlap report run before
+    merging corpora (the documents twin of the transcript pipeline's
+    tr_source_overlap, which synthesizes provenance; here the column is
+    real). Edge set = the same evidence neardup_clusters consumes: verified
+    MinHash-LSH near pairs UNION exact md5-star edges, distinct. One row
+    per unordered source pair: (source_a, source_b, n_pairs), source_a <=
+    source_b lexically.
+
+    Scale shape: edges come from the bucketed LSH path (never all-pairs);
+    the verified pair list is then bounded, so both source probes broadcast
+    the pair side into a plain (doc_id, source) corpus scan — the corpus is
+    never exchanged on a pair key (verify-stage join shape). The final
+    aggregate has at most |sources|^2 groups.
+    """
+    cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
+                             jaccard_threshold=threshold)
+    near = minhash_lsh_pairs(docs, cfg, threshold).select(
+        "doc_id_a", "doc_id_b"
+    )
+    eh = exact_hash(docs)
+    reps = (
+        eh.groupBy("content_md5")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    star = (
+        eh.join(reps, "content_md5")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_id_a"),
+                F.col("doc_id").alias("doc_id_b"))
+    )
+    edges = near.unionByName(star).distinct()
+    src = docs.select("doc_id", "source")
+    ea = src.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("source").alias("src_a")
+    ).join(F.broadcast(edges), "doc_id_a")
+    full = src.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("source").alias("src_b")
+    ).join(F.broadcast(ea), "doc_id_b")
+    return (
+        full.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

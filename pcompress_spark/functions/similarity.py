@@ -496,3 +496,43 @@ def ann_recall_report(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFra
     return one("lsh", hyperplane_lsh_topk(emb, queries, k=k)).unionByName(
         one("ivf", ivf_topk(emb, queries, k=k))
     )
+
+
+def knn_label_purity(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Per-query label consistency of the brute-force k-NN neighborhood —
+    the standard embedding-space quality probe a training-data pipeline
+    runs before trusting embedding-cosine near-dup thresholds: if a
+    vector's nearest neighbors rarely share its label, cosine distance in
+    this space is not meaningful for dedup/retrieval. One row per query:
+    (query_id, query_label, n_neighbors, n_match, purity), purity rounded
+    6dp.
+
+    Scale shape: the truth set is one corpus pass (cosine_topk_bruteforce
+    broadcasts the query sample). The (query_id, neighbor_id) pair list is
+    bounded by |queries| * k, so BOTH label probes broadcast the pair list
+    into a plain (vec_id, label) corpus scan — the corpus is never
+    exchanged on a pair key (same join shape as the pipeline verify
+    stage). The final aggregate groups on query_id: at most k rows per
+    group, skew-free by construction.
+    """
+    pairs = cosine_topk_bruteforce(emb, queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    labels = emb.select("vec_id", "label")
+    nb = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    ).join(F.broadcast(pairs), "neighbor_id")
+    enriched = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    ).join(F.broadcast(nb), "query_id")
+    match = F.when(
+        F.col("neighbor_label") == F.col("query_label"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return enriched.groupBy("query_id", "query_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.sum(match).cast("long").alias("n_match"),
+        F.round(
+            F.sum(match).cast("double") / F.count(F.lit(1)), 6
+        ).alias("purity"),
+    )

@@ -605,6 +605,59 @@ LEFT JOIN dsubrm s ON s.loser = e.doc_id""",
     )
 
 
+def doc_source_overlap_sql(k: int = 3, threshold: float = 0.3,
+                           cfg: DedupConfig | None = None) -> str:
+    """Twin for doc_dedup.source_overlap: the cluster edge set (verified
+    LSH near pairs UNION exact md5-star edges — the shared ``dedges``
+    staging) joined to each endpoint's source column, counted per
+    unordered source pair."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    return _script(
+        _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg),
+        _doc_cluster_stmts(threshold, cfg),
+        """SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM dedges e
+JOIN documents sa ON sa.doc_id = e.ma
+JOIN documents sb ON sb.doc_id = e.mb
+GROUP BY 1, 2""",
+    )
+
+
+def ann_label_purity_sql(k: int = 5, dim: int = 64) -> str:
+    """Twin for similarity.knn_label_purity: brute-force cosine top-k per
+    query (same staging as ann_recall_sql's truth set), each neighborhood
+    joined to the corpus label column, per-query label-match fraction."""
+    brute = f"""
+CREATE OR REPLACE TEMP TABLE bruteres AS
+WITH q_ AS (SELECT vec_id, v, nv FROM nrm WHERE vec_id % 100 = 0),
+scored_ AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(CASE WHEN q.nv > 0 AND c.nv > 0
+                         THEN {_dot("q.v", "c.v", dim)} / (q.nv * c.nv)
+                         ELSE 0.0 END, 6) AS cosine
+            FROM nrm c, q_ q WHERE q.vec_id != c.vec_id)
+SELECT query_id, neighbor_id
+FROM (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored_) WHERE rank <= {k};"""
+    n_match = "sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)"
+    return _script(
+        _emb_norm_stmt(),
+        brute,
+        f"""
+SELECT b.query_id, ql.label AS query_label,
+       count(*)::BIGINT AS n_neighbors,
+       {n_match}::BIGINT AS n_match,
+       round({n_match}::DOUBLE / count(*), 6) AS purity
+FROM bruteres b
+JOIN embeddings ql ON ql.vec_id = b.query_id
+JOIN embeddings nl ON nl.vec_id = b.neighbor_id
+GROUP BY 1, 2""",
+    )
+
+
 def doc_simhash_sql(max_hamming: int = 6, k: int = 3,
                     cfg: DedupConfig | None = None) -> str:
     cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)

@@ -287,3 +287,53 @@ def test_repetition_report_covers_corpus(spark, docs):
     assert len(rep) == docs.count()
     assert ((rep.dup_word_ratio >= 0) & (rep.dup_word_ratio < 1)).all()
     assert ((rep.top_2gram_frac >= 0) & (rep.top_2gram_frac <= 1)).all()
+
+
+def test_source_profile_invariants(spark, docs):
+    from pcompress_spark.functions import doc_dedup
+
+    prof = curation.source_profile(docs).toPandas()
+    # one row per distinct source, corpus fully partitioned across them
+    srcs = {r.source for r in docs.select("source").distinct().collect()}
+    assert set(prof.source) == srcs
+    assert prof.n_docs.sum() == docs.count()
+    # summed per-source dups == rows exact dedup would remove
+    n_kept = doc_dedup.dedup_keep_first(docs).count()
+    assert prof.n_exact_dup.sum() == docs.count() - n_kept
+    assert ((prof.mean_quality >= 0) & (prof.mean_quality <= 1)).all()
+    assert ((prof.exact_dup_rate >= 0) & (prof.exact_dup_rate <= 1)).all()
+    # the synthetic generator's n_chars column is consistent with the text
+    assert prof.n_chars_mismatch.sum() == 0
+    assert prof.n_chars_total.sum() > 0
+    # deterministic under input repartitioning
+    pdf2 = curation.source_profile(docs.repartition(7)).toPandas()
+    a = prof.sort_values("source").reset_index(drop=True)
+    b = pdf2.sort_values("source").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_source_overlap_matches_edge_count(spark, docs):
+    from pcompress_spark.functions import doc_dedup
+
+    ov = doc_dedup.source_overlap(docs, threshold=0.3).toPandas()
+    # unordered pair convention
+    assert (ov.source_a <= ov.source_b).all()
+    assert (ov.n_pairs > 0).all()
+    # total pairs == |near ∪ star| edge set (distinct)
+    near = doc_dedup.minhash_lsh_pairs(docs, threshold=0.3).select(
+        "doc_id_a", "doc_id_b"
+    )
+    eh = doc_dedup.exact_hash(docs)
+    reps = (
+        eh.groupBy("content_md5")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    star = (
+        eh.join(reps, "content_md5")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_id_a"),
+                F.col("doc_id").alias("doc_id_b"))
+    )
+    n_edges = near.unionByName(star).distinct().count()
+    assert ov.n_pairs.sum() == n_edges

@@ -334,3 +334,28 @@ def test_dedup_keep_best_policy(spark, docs):
     # singleton clusters keep themselves with n_members == 1
     singles = kept[kept.n_members == 1]
     assert (singles.doc_id == singles.cluster_id).all()
+
+
+def test_knn_label_purity_matches_bruteforce(spark, emb):
+    """Per-query purity equals a pandas recomputation over the brute top-k
+    set joined to the label column; every query appears exactly once."""
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    rep = similarity.knn_label_purity(emb, q, k=5).toPandas()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    brute = similarity.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+
+    assert sorted(rep.query_id) == sorted(
+        r.vec_id for r in q.select("vec_id").collect()
+    )
+    assert (rep.n_neighbors == 5).all()
+    assert ((rep.purity >= 0) & (rep.purity <= 1)).all()
+    by_q = brute.groupby("query_id")["neighbor_id"].apply(list)
+    for row in rep.itertuples(index=False):
+        assert row.query_label == labels[row.query_id]
+        n_match = sum(
+            1 for n in by_q[row.query_id] if labels[n] == row.query_label
+        )
+        assert row.n_match == n_match
+        assert abs(row.purity - round(n_match / 5, 6)) < 1e-9
