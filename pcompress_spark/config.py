@@ -56,6 +56,11 @@ class DedupConfig:
     #                                   (must be a multiple of shingle_k)
     substring_stride: int = 16        # content-defined selection rate (1/stride)
     substring_min_windows: int = 1    # windows that must match to flag a pair
+    # LCS verify scheme: "rolling" (rolling-hash binary search — vectorized,
+    # the default, and the math the DuckDB oracle twin reproduces) or
+    # "suffix_array" (the reference-literal qsufsort structure,
+    # bsdiff.c:142-254). Parity-tested bit-identical outputs.
+    substring_verify: str = "rolling"
 
     # --- skew handling (J6 eviction analog, but explicit + logged) ---
     bucket_cap: int = 256         # max conv_ids kept per LSH bucket (drops logged)
@@ -93,6 +98,9 @@ class DedupConfig:
             raise ValueError("simhash_bits must be 64 (only width implemented)")
         if self.substring_enabled and self.substring_window % self.shingle_k:
             raise ValueError("substring_window must be a multiple of shingle_k")
+        if self.substring_verify not in ("rolling", "suffix_array"):
+            raise ValueError(
+                f"unknown substring_verify {self.substring_verify!r}")
 
     def config_hash(self) -> str:
         """Stable hash of the config — keyed into checkpoint manifests so a

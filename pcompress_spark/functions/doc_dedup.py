@@ -409,7 +409,7 @@ def doc_substring_pairs(docs: DataFrame,
     salted/capped/logged ``bucket_members`` path -> JVM pair explosion ->
     exact longest-common-token-run verify (rolling-hash binary search in
     an Arrow-batched UDF) only over flagged pairs."""
-    from ..kernels import longest_common_run, tokens_to_hashes
+    from ..kernels import lcs_kernel, tokens_to_hashes
     from ..operators.candidates import bucket_members, bucket_pairs
 
     cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=True)
@@ -438,12 +438,13 @@ def doc_substring_pairs(docs: DataFrame,
         "doc_id_a", "doc_id_b", "n_windows", "text_a", "text_b"
     )
     max_chars = cfg.max_token_chars
+    lcs_fn = lcs_kernel(getattr(cfg, "substring_verify", "rolling"))
 
     def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lcs = [
-                longest_common_run(tokens_to_hashes(ta, max_chars),
-                                   tokens_to_hashes(tb, max_chars))
+                lcs_fn(tokens_to_hashes(ta, max_chars),
+                       tokens_to_hashes(tb, max_chars))
                 for ta, tb in zip(pdf["text_a"], pdf["text_b"])
             ]
             yield pd.DataFrame(

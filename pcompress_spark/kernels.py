@@ -866,6 +866,110 @@ def longest_common_run(th_a: np.ndarray, th_b: np.ndarray) -> int:
     return lo
 
 
+def _suffix_array_doubling(
+    s: np.ndarray,
+) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Suffix array of an int64 rank sequence via prefix doubling
+    (Manber–Myers — the same structure bsdiff builds with qsufsort,
+    /root/reference/bsdiff/bsdiff.c:142-209, re-expressed as numpy sorts).
+    Returns (sa, levels) where levels[t] = (L, rank_L) and rank_L[i] is
+    the dense rank of the length-L prefix of suffix i, padded past the
+    end with a -1 sentinel. Because real ranks are >= 0, rank_L[x] ==
+    rank_L[y] for x != y implies BOTH suffixes have >= L real tokens and
+    their first L tokens are equal (two distinct suffixes of one string
+    can only pad at the same relative offset if they are the same
+    suffix). O(n log n): one lexsort + one vectorized re-rank per
+    doubling."""
+    n = len(s)
+    order = np.argsort(s, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    vals = s[order]
+    inc = np.zeros(n, dtype=np.int64)
+    inc[1:] = vals[1:] != vals[:-1]
+    rank[order] = np.cumsum(inc)
+    levels = [(1, rank)]
+    L = 1
+    while rank[order[-1]] != n - 1:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - L] = rank[L:]
+        order = np.lexsort((key2, rank))
+        prev, cur = order[:-1], order[1:]
+        new = np.empty(n, dtype=np.int64)
+        new[order[0]] = 0
+        diff = ((rank[cur] != rank[prev])
+                | (key2[cur] != key2[prev])).astype(np.int64)
+        new[cur] = np.cumsum(diff)
+        rank = new
+        L *= 2
+        levels.append((L, rank))
+    return order, levels
+
+
+def lcs_suffix_array(th_a: np.ndarray, th_b: np.ndarray) -> int:
+    """Exact length of the longest common contiguous token run via a
+    LITERAL suffix array + LCP — the search structure the reference's
+    bsdiff long-match uses (qsufsort build + longest-match walk,
+    /root/reference/bsdiff/bsdiff.c:142-254), where longest_common_run
+    replaces it with a rolling-hash binary search. Same contract and
+    (collision-free, so always) the same answer; the two schemes are
+    parity-tested identical and dispatched by
+    DedupConfig.substring_verify.
+
+    Method: dense-rank the union token alphabet starting at 1 and join
+    the docs with a unique separator rank 0 (no common run can cross it,
+    and no cross-doc suffix pair can be fully identical). Build the
+    prefix-doubling rank tables once, then take the max LCP over
+    SA-adjacent suffix pairs drawn from different docs — any cross-doc
+    pair brackets an adjacent cross-doc pair with at least its LCP, so
+    the adjacent scan is exhaustive. The LCP walk is vectorized over all
+    adjacent cross pairs at once: one masked rank comparison per
+    doubling level, high to low (binary decomposition of each LCP)."""
+    na, nb = len(th_a), len(th_b)
+    if na == 0 or nb == 0:
+        return 0
+    a = th_a.astype(np.uint64, copy=False)
+    b = th_b.astype(np.uint64, copy=False)
+    uniq = np.unique(np.concatenate([a, b]))
+    s = np.empty(na + nb + 1, dtype=np.int64)
+    s[:na] = np.searchsorted(uniq, a) + 1
+    s[na] = 0
+    s[na + 1:] = np.searchsorted(uniq, b) + 1
+    sa, levels = _suffix_array_doubling(s)
+    n = len(s)
+    i, j = sa[:-1].astype(np.int64), sa[1:].astype(np.int64)
+    side_i = np.sign(i - na)  # -1 = doc a, 0 = separator, 1 = doc b
+    side_j = np.sign(j - na)
+    cross = side_i * side_j == -1
+    X = i[cross].copy()
+    Y = j[cross].copy()
+    if not len(X):
+        return 0
+    lcp = np.zeros(len(X), dtype=np.int64)
+    for L, rk in reversed(levels):
+        ok = np.flatnonzero((X < n) & (Y < n))
+        if not len(ok):
+            continue
+        eq = ok[rk[X[ok]] == rk[Y[ok]]]
+        if len(eq):
+            X[eq] += L
+            Y[eq] += L
+            lcp[eq] += L
+    return int(lcp.max())
+
+
+def lcs_kernel(scheme: str):
+    """Substring-verify scheme dispatch (DedupConfig.substring_verify):
+    'rolling' -> longest_common_run (vectorized hash probes, the default
+    and the shape the DuckDB oracle twin reproduces), 'suffix_array' ->
+    lcs_suffix_array (the reference-literal structure). Parity-tested
+    bit-identical outputs."""
+    if scheme == "suffix_array":
+        return lcs_suffix_array
+    if scheme != "rolling":
+        raise ValueError(f"unknown substring_verify scheme {scheme!r}")
+    return longest_common_run
+
+
 def tokens_to_hashes(text: str, max_token_chars: int = 64) -> np.ndarray:
     """Single-doc convenience: normalized token hashes for one raw text."""
     toks = normalize_one(text).split()

@@ -118,7 +118,7 @@ def verify_substring_pairs(
 
     import pandas as pd
 
-    from ..kernels import longest_common_run, tokens_to_hashes, trim_after
+    from ..kernels import lcs_kernel, tokens_to_hashes, trim_after
 
     a = assembled.select(F.col("conv_id").alias("conv_id_a"),
                          F.col("doc_text").alias("text_a"))
@@ -128,12 +128,13 @@ def verify_substring_pairs(
         "conv_id_a", "conv_id_b", "n_windows", "text_a", "text_b"
     )
     max_chars = cfg.max_token_chars
+    lcs_fn = lcs_kernel(getattr(cfg, "substring_verify", "rolling"))
 
     def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lcs = [
-                longest_common_run(tokens_to_hashes(ta, max_chars),
-                                   tokens_to_hashes(tb, max_chars))
+                lcs_fn(tokens_to_hashes(ta, max_chars),
+                       tokens_to_hashes(tb, max_chars))
                 for ta, tb in zip(pdf["text_a"], pdf["text_b"])
             ]
             yield pd.DataFrame(

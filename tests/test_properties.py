@@ -116,4 +116,7 @@ def test_longest_common_run_matches_naive(a, b):
 
     xa = np.asarray(a, dtype=np.uint64)
     xb = np.asarray(b, dtype=np.uint64)
-    assert K.longest_common_run(xa, xb) == naive(a, b)
+    expect = naive(a, b)
+    assert K.longest_common_run(xa, xb) == expect
+    # the suffix-array scheme is bit-identical to the rolling-hash scheme
+    assert K.lcs_suffix_array(xa, xb) == expect

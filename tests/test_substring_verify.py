@@ -126,3 +126,52 @@ def test_connected_components_long_chain(spark):
     assert dstats["path"] == "distributed_star"
     dlab = dict(zip(dout["conv_id"], dout["cluster_id"]))
     assert dlab == lab
+
+
+def test_lcs_suffix_array_parity_with_rolling():
+    """The reference-literal suffix-array scheme (bsdiff qsufsort analog)
+    must agree with the rolling-hash scheme on structured inputs: planted
+    runs, containment, self, empties, disjoint, and repetitive (small
+    alphabet, long equal runs) sequences."""
+    rng = np.random.default_rng(11)
+    run = rng.integers(1, 2**63, size=137).astype(np.uint64)
+    a = np.concatenate([rng.integers(1, 2**63, size=40).astype(np.uint64),
+                        run,
+                        rng.integers(1, 2**63, size=11).astype(np.uint64)])
+    b = np.concatenate([run,
+                        rng.integers(1, 2**63, size=7).astype(np.uint64)])
+    cases = [
+        (a, b), (a, a), (b, a),
+        (a, np.empty(0, dtype=np.uint64)),
+        (np.empty(0, dtype=np.uint64), b),
+        (rng.integers(1, 2**63, size=50).astype(np.uint64),
+         rng.integers(1, 2**63, size=60).astype(np.uint64)),
+        # b fully contained in a (the LCP walk exhausts a B-suffix)
+        (np.concatenate([a, b, a]), b),
+        # small alphabet, highly repetitive — many equal adjacent suffixes
+        (rng.integers(0, 3, size=200).astype(np.uint64),
+         rng.integers(0, 3, size=180).astype(np.uint64)),
+        # all-identical tokens
+        (np.zeros(64, dtype=np.uint64), np.zeros(31, dtype=np.uint64)),
+    ]
+    for ta, tb in cases:
+        assert K.lcs_suffix_array(ta, tb) == K.longest_common_run(ta, tb)
+    assert K.lcs_suffix_array(np.zeros(64, dtype=np.uint64),
+                              np.zeros(31, dtype=np.uint64)) == 31
+
+
+def test_verify_substring_pairs_scheme_parity(spark, smoke_transcripts):
+    """The pipeline verify stage yields bit-identical rows under both
+    substring_verify schemes (the oracle pins the rolling scheme; this
+    pins suffix_array to it end-to-end through the Arrow UDF)."""
+    asm = assemble(smoke_transcripts, parallelism=8).cache()
+    sig = compute_signatures(asm, CFG)
+    no_verified = spark.createDataFrame([], "conv_id_a string, conv_id_b string")
+    cand = substring_pairs(sig, no_verified, CFG).cache()
+    sa_cfg = DedupConfig(substring_verify="suffix_array")
+    roll = (verify_substring_pairs(cand, asm, CFG).toPandas()
+            .sort_values(["conv_id_a", "conv_id_b"]).reset_index(drop=True))
+    sa = (verify_substring_pairs(cand, asm, sa_cfg).toPandas()
+          .sort_values(["conv_id_a", "conv_id_b"]).reset_index(drop=True))
+    assert len(roll) > 0
+    assert roll.equals(sa)
