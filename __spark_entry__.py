@@ -363,6 +363,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # containment channel (long verbatim runs Jaccard misses)
     q["doc_substring_pairs"] = lambda s, d: doc_dedup.doc_substring_pairs(
         load_table(s, d, "documents"))
+    # same channel under the LITERAL suffix-array LCS scheme (north star's
+    # named pass; bit-identical to rolling-hash, so it shares the SQL twin)
+    q["doc_substring_sa_pairs"] = lambda s, d: doc_dedup.doc_substring_pairs(
+        load_table(s, d, "documents"),
+        cfg=DedupConfig(shingle_k=3, substring_enabled=True,
+                        substring_verify="suffix_array"))
     q["doc_fingerprints"] = lambda s, d: text_fns.doc_fingerprints(
         load_table(s, d, "documents"))
 
@@ -1104,6 +1110,9 @@ def oracle_sql() -> dict[str, str]:
     o["doc_incremental_clusters"] = oq.doc_incremental_clusters_sql(
         k=3, threshold=0.3)
     o["doc_substring_pairs"] = oq.doc_substring_sql(k=3)
+    # the suffix-array scheme returns bit-identical LCS values (parity
+    # tests), so the rolling-hash SQL twin is its oracle too
+    o["doc_substring_sa_pairs"] = oq.doc_substring_sql(k=3)
     o["doc_adaptive_k_pairs"] = oq.doc_adaptive_k_sql(k_airy=3, k_dense=5,
                                                       threshold=0.3)
     o["doc_routed_lsh_pairs"] = oq.doc_minhash_lsh_sql(
