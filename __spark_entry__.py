@@ -681,6 +681,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_source_profile"] = lambda s, d: curation.source_profile(
         load_table(s, d, "documents"))
 
+    # end-to-end curation verdict: admission -> near-dup keep-best ->
+    # repetition filter -> token-budget selection -> shard packing, one
+    # row per input doc — the composed table a training ingest ships
+    q["doc_curation"] = lambda s, d: curation.curate_corpus(
+        load_table(s, d, "documents"), threshold=0.3)
+
     def ann_label_purity(spark, sf_dir):
         """k-NN label consistency per query vector (embeddings.label):
         the embedding-space quality probe run before trusting cosine
@@ -924,7 +930,8 @@ def oracle_sql() -> dict[str, str]:
                sw_en, sw_es, sw_de, sw_fr
         FROM m
     """
-    o["doc_admission"] = f"""
+    # shared by o["doc_admission"] and the composed curation oracle
+    admission_body = f"""
         WITH base AS (
             SELECT doc_id, lower(text) AS lt, {words} AS words,
                    md5(text) AS content_md5
@@ -968,6 +975,9 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN reason = 'ok' THEN 'keep' ELSE 'drop' END AS decision
         FROM r
     """
+    o["doc_admission"] = admission_body
+    o["doc_curation"] = oq.doc_curation_sql(admission_body, k=3,
+                                            threshold=0.3)
     o["doc_census"] = """
         WITH feat AS (
             SELECT lang,

@@ -462,3 +462,118 @@ def source_profile(docs: DataFrame) -> DataFrame:
             .alias("mean_quality"),
         )
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    cfg=None,
+    quality_min: float = 0.25,
+    threshold: float = 0.3,
+    top_frac_max: float = 0.2,
+    dup_ratio_max: float = 0.3,
+    token_budget: int = 10_000,
+    n_buckets: int = 16,
+    pack_budget: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """End-to-end corpus curation verdict — the ONE table a training-data
+    ingest ships, composing the individually-oracled stages into a
+    first-match-wins cascade over every input document:
+
+      1. admission   exact_dup / empty / low_quality / unknown_lang
+                     (doc_dedup.corpus_admission)
+      2. near_dup    MinHash-LSH + exact-star clusters over admitted docs;
+                     per cluster keep the max-quality member (min doc_id on
+                     ties — the dedup_keep_best policy), drop the rest
+      3. repetitive  Gopher-style intra-doc repetition filter
+                     (repetition_report verdict)
+      4. over_budget quality-ordered greedy token-budget selection
+                     (budget_selection: kept = cum_before < token_budget)
+      5. kept        packed into training shards (pack_assignments:
+                     xxhash64 shard route + watermark packing)
+
+    One row per input doc: (doc_id, verdict, keeper_doc_id, quality,
+    n_tokens, shard, pack_id). keeper_doc_id points at the exact-dup
+    keeper or the near-dup cluster winner; shard/pack_id are non-null only
+    for kept docs. Reference analog: the whole per-chunk dispatch cascade
+    — exact index hit -> similarity delta -> store, with capacity-driven
+    eviction — run corpus-wide (/root/reference/rabin/rabin_dedup.c:
+    1236-1344 with /root/reference/pcompress.c:205-401).
+
+    Scale shape: every stage keeps its own audited plan (bucketed LSH —
+    never all-pairs; skew-safe CC; bucketed prefix sum — never a
+    single-partition window; shard-parallel packing). Stage composition
+    adds only id-keyed joins/anti-joins. The admission frame fans out to
+    three consumers and survivor id-sets feed two stages each, so both
+    are persisted (at warehouse scale, point them at stage tables the way
+    the transcript pipeline does).
+    """
+    from .. import cache
+    from .doc_dedup import corpus_admission, neardup_clusters
+
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    adm = cache.persist(corpus_admission(docs, quality_min))
+    s1 = cache.persist(
+        docs.join(adm.where(F.col("reason") == "ok").select("doc_id"),
+                  "doc_id")
+    )
+
+    clusters = neardup_clusters(s1, cfg, threshold)
+    scored = adm.select("doc_id", "quality").join(clusters, "doc_id")
+    best = scored.groupBy("cluster_id").agg(F.max("quality").alias("best_q"))
+    winners = (
+        scored.join(best, "cluster_id")
+        .where(F.col("quality") == F.col("best_q"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("winner"))
+    )
+    near_drops = cache.persist(
+        clusters.join(winners, "cluster_id")
+        .where(F.col("doc_id") != F.col("winner"))
+        .select("doc_id", "winner")
+    )
+
+    s2 = s1.join(near_drops.select("doc_id"), "doc_id", "left_anti")
+    rep = cache.persist(
+        repetition_report(s2, top_frac_max, dup_ratio_max)
+        .select("doc_id", "repetitive")
+    )
+    s3 = cache.persist(
+        s2.join(rep.where(~F.col("repetitive")).select("doc_id"), "doc_id")
+    )
+
+    bud = budget_selection(s3, token_budget, n_buckets)
+    kept_ids = bud.where(F.col("kept")).select("doc_id")
+    packed = pack_assignments(s3.join(kept_ids, "doc_id"),
+                              pack_budget, n_shards)
+
+    out = (
+        adm.select("doc_id", "quality", "keeper_doc_id", "reason")
+        .join(docs.select("doc_id", ntok.alias("n_tokens")), "doc_id")
+        .join(near_drops.withColumnRenamed("winner", "near_keeper"),
+              "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(bud.select("doc_id", "kept"), "doc_id", "left")
+        .join(packed.select("doc_id", "shard", "pack_id"), "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("reason") != "ok", F.col("reason"))
+        .when(F.col("near_keeper").isNotNull(), "near_dup")
+        .when(F.col("repetitive"), "repetitive")
+        .when(~F.col("kept"), "over_budget")
+        .otherwise("kept")
+    )
+    keeper = (
+        F.when(F.col("reason") == "exact_dup", F.col("keeper_doc_id"))
+        .when(F.col("near_keeper").isNotNull(), F.col("near_keeper"))
+        .cast("long")
+    )
+    return out.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        keeper.alias("keeper_doc_id"),
+        "quality",
+        "n_tokens",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+    )

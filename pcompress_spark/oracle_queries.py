@@ -1807,12 +1807,11 @@ FROM pii_s{last}
 """
 
 
-def doc_repetition_sql(top_frac_max: float = 0.2,
-                       dup_ratio_max: float = 0.3) -> str:
-    """curation.repetition_report twin: multiset n-gram lists (1-based
-    DuckDB indexing, end-exclusive range) + per-doc 2-gram mode via
-    unnest/group-by; the repetitive verdict compares the ROUNDED columns,
-    matching the Spark query."""
+def _repetition_stmts(src: str = "documents", top_frac_max: float = 0.2,
+                      dup_ratio_max: float = 0.3) -> str:
+    """TEMP TABLE ``rep_verdict`` (doc_id, n_words, dup ratios,
+    top_2gram_frac, repetitive) over ``src`` — the repetition_report twin
+    staged so composed oracles (doc_curation) can consume the verdict."""
     w = _WORDS.format(x="text")
     g2 = ("CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), "
           "i -> w[i] || ' ' || w[i+1]) ELSE [] END")
@@ -1827,7 +1826,7 @@ def doc_repetition_sql(top_frac_max: float = 0.2,
     return f"""
 CREATE OR REPLACE TEMP TABLE rep_g AS
 SELECT doc_id, w, {g2} AS g2, {g3} AS g3
-FROM (SELECT doc_id, {w} AS w FROM documents);
+FROM (SELECT doc_id, {w} AS w FROM {src});
 CREATE OR REPLACE TEMP TABLE rep_top AS
 SELECT doc_id, max(cnt)::BIGINT AS top2_n
 FROM (SELECT doc_id, gram, count(*) AS cnt
@@ -1844,24 +1843,35 @@ SELECT b.doc_id,
              THEN coalesce(t.top2_n, 0)::DOUBLE / len(b.g2)
              ELSE 0.0 END, 6) AS top_2gram_frac
 FROM rep_g b LEFT JOIN rep_top t USING (doc_id);
+CREATE OR REPLACE TEMP TABLE rep_verdict AS
 SELECT doc_id, n_words, dup_word_ratio, dup_2gram_ratio, dup_3gram_ratio,
        top_2gram_frac,
        (top_2gram_frac > {float(top_frac_max)}
         OR dup_3gram_ratio > {float(dup_ratio_max)}) AS repetitive
-FROM rep_stats
+FROM rep_stats;
 """
 
 
-def doc_pack_sql(budget: int = 2048, n_shards: int = 8) -> str:
-    """curation.pack_assignments twin: Spark-compatible xxhash64(doc_id)
-    shard route (xxh64_long_ctes, Spark's fixed seed 42), then watermark
-    packing — pack_id = floor(preceding shard tokens / budget) over the
-    doc_id order within each shard."""
-    return _script(f"""
+def doc_repetition_sql(top_frac_max: float = 0.2,
+                       dup_ratio_max: float = 0.3) -> str:
+    """curation.repetition_report twin: multiset n-gram lists (1-based
+    DuckDB indexing, end-exclusive range) + per-doc 2-gram mode via
+    unnest/group-by; the repetitive verdict compares the ROUNDED columns,
+    matching the Spark query."""
+    return (_repetition_stmts("documents", top_frac_max, dup_ratio_max)
+            + "\nSELECT * FROM rep_verdict")
+
+
+def _pack_stmts(src: str = "documents", budget: int = 2048,
+                n_shards: int = 8) -> str:
+    """TEMP TABLE ``pack_out`` (doc_id, shard, n_tokens, pack_id) over
+    ``src`` — the pack_assignments twin staged for composed oracles."""
+    return f"""
 CREATE OR REPLACE TEMP TABLE pack_base AS
 SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
-FROM documents;
+FROM {src};
+CREATE OR REPLACE TEMP TABLE pack_out AS
 WITH {osql.xxh64_long_ctes('pk', 'pack_base', ['doc_id', 'n_tokens'],
                            'doc_id', 'xh', seed=42)}
 SELECT doc_id,
@@ -1872,8 +1882,97 @@ SELECT doc_id,
                  ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
              0) / {int(budget)})::BIGINT AS pack_id
-FROM pkx5
-""")
+FROM pkx5;
+"""
+
+
+def doc_pack_sql(budget: int = 2048, n_shards: int = 8) -> str:
+    """curation.pack_assignments twin: Spark-compatible xxhash64(doc_id)
+    shard route (xxh64_long_ctes, Spark's fixed seed 42), then watermark
+    packing — pack_id = floor(preceding shard tokens / budget) over the
+    doc_id order within each shard."""
+    return _script(
+        _pack_stmts("documents", budget, n_shards),
+        "SELECT doc_id, shard, n_tokens, pack_id FROM pack_out",
+    )
+
+
+def doc_curation_sql(admission_sql: str, k: int = 3, threshold: float = 0.3,
+                     top_frac_max: float = 0.2, dup_ratio_max: float = 0.3,
+                     token_budget: int = 10_000, pack_budget: int = 2048,
+                     n_shards: int = 8,
+                     cfg: DedupConfig | None = None) -> str:
+    """Twin for curation.curate_corpus — the composed end-to-end cascade.
+    Every stage reuses the statement builder its standalone oracle uses
+    (admission SELECT passed in from the caller so the quality/lang/class
+    expressions live in exactly one place; cluster staging via
+    _doc_sig_stmts/_doc_cluster_stmts over the admitted survivors;
+    _repetition_stmts / _pack_stmts over the surviving subsets; the budget
+    stage is the doc_budget_selection window over cadm.quality)."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    return _script(
+        f"CREATE OR REPLACE TEMP TABLE cadm AS {admission_sql};",
+        """
+CREATE OR REPLACE TEMP TABLE csrc1 AS
+SELECT d.doc_id, d.text FROM documents d
+JOIN cadm a USING (doc_id) WHERE a.reason = 'ok';""",
+        _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg,
+                       src="csrc1"),
+        _doc_cluster_stmts(threshold, cfg),
+        """
+CREATE OR REPLACE TEMP TABLE cnear AS
+SELECT c.doc_id, w.winner FROM dclusters c
+JOIN (SELECT cluster_id, doc_id AS winner FROM (
+          SELECT c2.cluster_id, c2.doc_id,
+                 row_number() OVER (PARTITION BY c2.cluster_id
+                                    ORDER BY a.quality DESC, c2.doc_id)
+                     AS rn
+          FROM dclusters c2 JOIN cadm a USING (doc_id)) WHERE rn = 1) w
+    USING (cluster_id)
+WHERE c.doc_id != w.winner;
+CREATE OR REPLACE TEMP TABLE csrc2 AS
+SELECT s.doc_id, s.text FROM csrc1 s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM cnear);""",
+        _repetition_stmts("csrc2", top_frac_max, dup_ratio_max),
+        f"""
+CREATE OR REPLACE TEMP TABLE csrc3 AS
+SELECT s.doc_id, s.text FROM csrc2 s
+JOIN rep_verdict r USING (doc_id) WHERE NOT r.repetitive;
+CREATE OR REPLACE TEMP TABLE cbud AS
+SELECT doc_id,
+       coalesce(sum(n_tokens) OVER (
+           ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) < {int(token_budget)} AS kept
+FROM (SELECT s.doc_id, a.quality,
+             len(regexp_split_to_array(trim(s.text), '\\s+'))::BIGINT
+                 AS n_tokens
+      FROM csrc3 s JOIN cadm a USING (doc_id));
+CREATE OR REPLACE TEMP TABLE csrc4 AS
+SELECT s.doc_id, s.text FROM csrc3 s
+JOIN cbud b USING (doc_id) WHERE b.kept;""",
+        _pack_stmts("csrc4", pack_budget, n_shards),
+        """
+SELECT a.doc_id,
+       CASE WHEN a.reason != 'ok' THEN a.reason
+            WHEN n.winner IS NOT NULL THEN 'near_dup'
+            WHEN r.repetitive THEN 'repetitive'
+            WHEN NOT b.kept THEN 'over_budget'
+            ELSE 'kept' END AS verdict,
+       (CASE WHEN a.reason = 'exact_dup' THEN a.keeper_doc_id
+             WHEN n.winner IS NOT NULL THEN n.winner
+             ELSE NULL END)::BIGINT AS keeper_doc_id,
+       a.quality,
+       len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT AS n_tokens,
+       p.shard::BIGINT AS shard,
+       p.pack_id::BIGINT AS pack_id
+FROM cadm a
+JOIN documents d USING (doc_id)
+LEFT JOIN cnear n USING (doc_id)
+LEFT JOIN rep_verdict r USING (doc_id)
+LEFT JOIN cbud b USING (doc_id)
+LEFT JOIN pack_out p USING (doc_id)""",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -337,3 +337,44 @@ def test_source_overlap_matches_edge_count(spark, docs):
     )
     n_edges = near.unionByName(star).distinct().count()
     assert ov.n_pairs.sum() == n_edges
+
+
+def test_curate_corpus_cascade_invariants(spark, docs):
+    from pcompress_spark.functions import doc_dedup
+
+    out = curation.curate_corpus(docs, threshold=0.3).toPandas()
+    adm = doc_dedup.corpus_admission(docs).toPandas().set_index("doc_id")
+
+    # exactly one verdict per input document
+    assert len(out) == docs.count()
+    assert out.doc_id.is_unique
+    allowed = {"exact_dup", "empty", "low_quality", "unknown_lang",
+               "near_dup", "repetitive", "over_budget", "kept"}
+    assert set(out.verdict) <= allowed
+    # admission reasons pass through verbatim
+    for row in out.itertuples(index=False):
+        reason = adm.at[row.doc_id, "reason"]
+        if reason != "ok":
+            assert row.verdict == reason
+        else:
+            assert row.verdict in {"near_dup", "repetitive",
+                                   "over_budget", "kept"}
+    # keeper set iff a dedup verdict; shard/pack set iff kept
+    dedup = out.verdict.isin(["exact_dup", "near_dup"])
+    assert (out.keeper_doc_id.notna() == dedup).all()
+    kept = out.verdict == "kept"
+    assert (out.shard.notna() == kept).all()
+    assert (out.pack_id.notna() == kept).all()
+    assert kept.sum() > 0
+    # near-dup keepers are admitted docs with >= quality (min id on ties)
+    q = out.set_index("doc_id").quality
+    near = out[out.verdict == "near_dup"]
+    for row in near.itertuples(index=False):
+        k = int(row.keeper_doc_id)
+        assert adm.at[k, "reason"] == "ok"
+        assert (q[k], -k) >= (row.quality, -row.doc_id)
+    # deterministic under input repartitioning
+    out2 = curation.curate_corpus(docs.repartition(7), threshold=0.3).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
