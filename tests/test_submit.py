@@ -302,3 +302,33 @@ def test_run_incremental_transcripts_mode(tmp_path):
     # only admitted conversations folded into the signature state
     sig = pd.read_parquet(os.path.join(state, "sig"))
     assert len(sig) == n_corpus + res["admitted"]
+
+
+def test_run_curation_script_end_to_end(tmp_path):
+    """tools/run_curation.py runs the composed cascade from the CLI and
+    writes the verdict table plus the shard-partitioned kept output."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_DRIVER_MEM="4g")
+    out_dir = tmp_path / "curated"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_curation.py"),
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(out_dir), "--master", "local[4]",
+         "--shuffle-partitions", "4"],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["kept_rows"] > 0
+    import duckdb
+
+    n_in = duckdb.sql(
+        "SELECT count(*) FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')").fetchone()[0]
+    assert sum(res["verdicts"].values()) == n_in
+    # kept/ is shard-partitioned and its rows carry text + pack ids
+    shards = [d for d in os.listdir(out_dir / "kept") if d.startswith("shard=")]
+    assert shards
+    kept = duckdb.sql(
+        f"SELECT * FROM read_parquet('{out_dir}/kept/*/*.parquet')").df()
+    assert len(kept) == res["kept_rows"]
+    assert {"doc_id", "pack_id", "n_tokens", "text"} <= set(kept.columns)
