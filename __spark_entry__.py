@@ -687,6 +687,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_curation"] = lambda s, d: curation.curate_corpus(
         load_table(s, d, "documents"), threshold=0.3)
 
+    # the same composed cascade on the PRIMARY axis: one verdict row per
+    # conversation — assemble -> admission -> near-dup keep-best ->
+    # repetition -> token budget -> shard packing
+    q["tr_curation"] = lambda s, d: curation.curate_transcripts(
+        load_transcripts(s, d), threshold=0.3)
+
     def ann_label_purity(spark, sf_dir):
         """k-NN label consistency per query vector (embeddings.label):
         the embedding-space quality probe run before trusting cosine
@@ -930,12 +936,17 @@ def oracle_sql() -> dict[str, str]:
                sw_en, sw_es, sw_de, sw_fr
         FROM m
     """
-    # shared by o["doc_admission"] and the composed curation oracle
-    admission_body = f"""
+    # shared by o["doc_admission"], the composed doc curation oracle, and
+    # (over the md5_60-keyed tdocs view, lang gate off) the transcript
+    # curation oracle
+    def admission_sql_for(src: str, lang_gate: bool = True) -> str:
+        lang_when = ("WHEN lang_guess = 'und' THEN 'unknown_lang'"
+                     if lang_gate else "")
+        return f"""
         WITH base AS (
             SELECT doc_id, lower(text) AS lt, {words} AS words,
                    md5(text) AS content_md5
-            FROM documents
+            FROM {src}
         ), feat AS (
             SELECT doc_id, content_md5,
                 round((
@@ -966,7 +977,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id <> keeper_doc_id THEN 'exact_dup'
                         WHEN content_class = 'empty' THEN 'empty'
                         WHEN quality < 0.25 THEN 'low_quality'
-                        WHEN lang_guess = 'und' THEN 'unknown_lang'
+                        {lang_when}
                         ELSE 'ok' END AS reason
             FROM g JOIN keeper USING (content_md5)
         )
@@ -975,9 +986,12 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN reason = 'ok' THEN 'keep' ELSE 'drop' END AS decision
         FROM r
     """
+    admission_body = admission_sql_for("documents")
     o["doc_admission"] = admission_body
     o["doc_curation"] = oq.doc_curation_sql(admission_body, k=3,
                                             threshold=0.3)
+    o["tr_curation"] = oq.tr_curation_sql(
+        tr, admission_sql_for("tdocs", lang_gate=False), k=3, threshold=0.3)
     o["doc_census"] = """
         WITH feat AS (
             SELECT lang,

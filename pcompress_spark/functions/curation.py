@@ -475,6 +475,7 @@ def curate_corpus(
     n_buckets: int = 16,
     pack_budget: int = 2048,
     n_shards: int = 8,
+    lang_gate: bool = True,
 ) -> DataFrame:
     """End-to-end corpus curation verdict — the ONE table a training-data
     ingest ships, composing the individually-oracled stages into a
@@ -512,7 +513,7 @@ def curate_corpus(
     from .doc_dedup import corpus_admission, neardup_clusters
 
     ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    adm = cache.persist(corpus_admission(docs, quality_min))
+    adm = cache.persist(corpus_admission(docs, quality_min, lang_gate))
     s1 = cache.persist(
         docs.join(adm.where(F.col("reason") == "ok").select("doc_id"),
                   "doc_id")
@@ -576,4 +577,71 @@ def curate_corpus(
         "n_tokens",
         F.col("shard").cast("long").alias("shard"),
         F.col("pack_id").cast("long").alias("pack_id"),
+    )
+
+
+def curate_transcripts(
+    turns: DataFrame,
+    cfg=None,
+    quality_min: float = 0.25,
+    threshold: float = 0.3,
+    top_frac_max: float = 0.2,
+    dup_ratio_max: float = 0.3,
+    token_budget: int = 10_000,
+    n_buckets: int = 16,
+    pack_budget: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """curate_corpus on the PRIMARY axis: the end-to-end training-ingest
+    verdict for multi-turn conversation transcripts. One row per
+    conversation: (conv_id, verdict, keeper_conv_id, quality, n_tokens,
+    shard, pack_id) with the same first-match-wins cascade as documents —
+    exact_dup / empty / low_quality / unknown_lang -> near_dup (keep the
+    max-quality cluster member) -> repetitive -> over_budget -> kept, kept
+    conversations packed whole into training shards.
+
+    The language gate is OFF for transcripts: agent conversations carry
+    tool output, code, and ids — a natural-language stopword test
+    legitimately finds no evidence and would drop the entire corpus (the
+    admission cascade is otherwise identical).
+
+    Shape: assemble turns under stable turn_idx order (the one text
+    shuffle), key each conversation by the 60-bit md5 surrogate the KMV
+    channel uses (kmv.md5_60 — 8-byte keys through every cascade shuffle
+    instead of conv_id strings; DuckDB twin bit-for-bit), and run the
+    document cascade verbatim over (doc_id, text). conv_ids map back at
+    the end through two id-keyed joins. Exact-dup keepers are therefore
+    the min-SURROGATE member of a content group (deterministic and
+    order-free; near-dup keepers are quality-ranked regardless), and at
+    10^12 conversations the 60-bit key admits ~n^2/2^61 spurious key
+    collisions — far inside the recall budget, same bound the KMV channel
+    documents. The assembled/keyed frame fans out to the cascade and both
+    id maps, so it is persisted (point it at a stage table at warehouse
+    scale, as the transcript pipeline does)."""
+    from .. import cache
+    from ..operators.assemble import assemble
+    from .kmv import md5_60
+
+    asm = cache.persist(
+        assemble(turns).select(
+            "conv_id",
+            md5_60(F.col("conv_id")).alias("doc_id"),
+            F.col("doc_text").alias("text"),
+        )
+    )
+    verdict = curate_corpus(
+        asm.select("doc_id", "text"), cfg, quality_min, threshold,
+        top_frac_max, dup_ratio_max, token_budget, n_buckets,
+        pack_budget, n_shards, lang_gate=False,
+    )
+    ids = asm.select("doc_id", "conv_id")
+    keeper_ids = asm.select(
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.col("conv_id").alias("keeper_conv_id"),
+    )
+    return (
+        verdict.join(ids, "doc_id")
+        .join(keeper_ids, "keeper_doc_id", "left")
+        .select("conv_id", "verdict", "keeper_conv_id", "quality",
+                "n_tokens", "shard", "pack_id")
     )

@@ -57,7 +57,8 @@ def dedup_keep_first(docs: DataFrame) -> DataFrame:
     )
 
 
-def corpus_admission(docs: DataFrame, quality_min: float = 0.25) -> DataFrame:
+def corpus_admission(docs: DataFrame, quality_min: float = 0.25,
+                     lang_gate: bool = True) -> DataFrame:
     """Combined keep/drop admission decision per document — the single
     verdict table a training-data ingest emits, folding exact dedup and the
     text filters into one deterministic first-match-wins cascade (the
@@ -70,6 +71,9 @@ def corpus_admission(docs: DataFrame, quality_min: float = 0.25) -> DataFrame:
       2. empty          content_class == 'empty'
       3. low_quality    composite quality (rounded 6dp) < quality_min
       4. unknown_lang   stopword language guess found no evidence
+                        (``lang_gate=False`` skips this step — agent
+                        transcripts and code corpora legitimately carry
+                        no natural-language stopwords)
       5. ok             -> keep
 
     Scale shape: one hash aggregation + one shuffle join on content_md5
@@ -94,9 +98,10 @@ def corpus_admission(docs: DataFrame, quality_min: float = 0.25) -> DataFrame:
         F.when(F.col("doc_id") != F.col("keeper_doc_id"), "exact_dup")
         .when(F.col("content_class") == "empty", "empty")
         .when(F.col("quality") < F.lit(quality_min), "low_quality")
-        .when(F.col("lang_guess") == "und", "unknown_lang")
-        .otherwise("ok")
     )
+    if lang_gate:
+        reason = reason.when(F.col("lang_guess") == "und", "unknown_lang")
+    reason = reason.otherwise("ok")
     return enriched.select(
         "doc_id", "quality", "lang_guess", "content_class", "keeper_doc_id",
         reason.alias("reason"),

@@ -1897,24 +1897,28 @@ def doc_pack_sql(budget: int = 2048, n_shards: int = 8) -> str:
     )
 
 
-def doc_curation_sql(admission_sql: str, k: int = 3, threshold: float = 0.3,
-                     top_frac_max: float = 0.2, dup_ratio_max: float = 0.3,
-                     token_budget: int = 10_000, pack_budget: int = 2048,
-                     n_shards: int = 8,
-                     cfg: DedupConfig | None = None) -> str:
-    """Twin for curation.curate_corpus — the composed end-to-end cascade.
-    Every stage reuses the statement builder its standalone oracle uses
-    (admission SELECT passed in from the caller so the quality/lang/class
-    expressions live in exactly one place; cluster staging via
-    _doc_sig_stmts/_doc_cluster_stmts over the admitted survivors;
-    _repetition_stmts / _pack_stmts over the surviving subsets; the budget
-    stage is the doc_budget_selection window over cadm.quality)."""
+def _curation_stmts(admission_sql: str, src: str = "documents",
+                    k: int = 3, threshold: float = 0.3,
+                    top_frac_max: float = 0.2, dup_ratio_max: float = 0.3,
+                    token_budget: int = 10_000, pack_budget: int = 2048,
+                    n_shards: int = 8,
+                    cfg: DedupConfig | None = None) -> str:
+    """Statements for the composed curate_corpus cascade over ``src``
+    (any table with (doc_id BIGINT, text)), ending in TEMP TABLE
+    ``curation_out`` (doc_id, verdict, keeper_doc_id, quality, n_tokens,
+    shard, pack_id). Every stage reuses the statement builder its
+    standalone oracle uses (admission SELECT passed in from the caller so
+    the quality/lang/class expressions live in exactly one place; cluster
+    staging via _doc_sig_stmts/_doc_cluster_stmts over the admitted
+    survivors; _repetition_stmts / _pack_stmts over the surviving
+    subsets; the budget stage is the doc_budget_selection window over
+    cadm.quality)."""
     cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
-    return _script(
+    return "\n".join([
         f"CREATE OR REPLACE TEMP TABLE cadm AS {admission_sql};",
-        """
+        f"""
 CREATE OR REPLACE TEMP TABLE csrc1 AS
-SELECT d.doc_id, d.text FROM documents d
+SELECT d.doc_id, d.text FROM {src} d
 JOIN cadm a USING (doc_id) WHERE a.reason = 'ok';""",
         _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg,
                        src="csrc1"),
@@ -1952,7 +1956,8 @@ CREATE OR REPLACE TEMP TABLE csrc4 AS
 SELECT s.doc_id, s.text FROM csrc3 s
 JOIN cbud b USING (doc_id) WHERE b.kept;""",
         _pack_stmts("csrc4", pack_budget, n_shards),
-        """
+        f"""
+CREATE OR REPLACE TEMP TABLE curation_out AS
 SELECT a.doc_id,
        CASE WHEN a.reason != 'ok' THEN a.reason
             WHEN n.winner IS NOT NULL THEN 'near_dup'
@@ -1967,11 +1972,61 @@ SELECT a.doc_id,
        p.shard::BIGINT AS shard,
        p.pack_id::BIGINT AS pack_id
 FROM cadm a
-JOIN documents d USING (doc_id)
+JOIN {src} d USING (doc_id)
 LEFT JOIN cnear n USING (doc_id)
 LEFT JOIN rep_verdict r USING (doc_id)
 LEFT JOIN cbud b USING (doc_id)
-LEFT JOIN pack_out p USING (doc_id)""",
+LEFT JOIN pack_out p USING (doc_id);""",
+    ])
+
+
+def doc_curation_sql(admission_sql: str, k: int = 3, threshold: float = 0.3,
+                     top_frac_max: float = 0.2, dup_ratio_max: float = 0.3,
+                     token_budget: int = 10_000, pack_budget: int = 2048,
+                     n_shards: int = 8,
+                     cfg: DedupConfig | None = None) -> str:
+    """Twin for curation.curate_corpus — the composed end-to-end cascade
+    over the documents table (stages in _curation_stmts)."""
+    return _script(
+        _curation_stmts(admission_sql, "documents", k, threshold,
+                        top_frac_max, dup_ratio_max, token_budget,
+                        pack_budget, n_shards, cfg),
+        """
+SELECT doc_id, verdict, keeper_doc_id, quality, n_tokens, shard, pack_id
+FROM curation_out""",
+    )
+
+
+def tr_curation_sql(tr_path: str, admission_sql: str, k: int = 3,
+                    threshold: float = 0.3, top_frac_max: float = 0.2,
+                    dup_ratio_max: float = 0.3, token_budget: int = 10_000,
+                    pack_budget: int = 2048, n_shards: int = 8,
+                    cfg: DedupConfig | None = None) -> str:
+    """Twin for curation.curate_transcripts — the same composed cascade
+    over assembled conversations. Stages the engine's exact mapping:
+    assemble under stable turn order, key by md5_60(conv_id) (the
+    bit-identical macro twin of kmv.md5_60), run _curation_stmts over the
+    keyed view, then map surrogate ids back to conv_ids. ``admission_sql``
+    must SELECT over ``tdocs`` (the caller builds it from the same
+    template as the documents admission body)."""
+    return _script(
+        f"""
+CREATE OR REPLACE TEMP TABLE asm AS
+SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+FROM {_tr_src(tr_path)} GROUP BY conv_id;
+CREATE OR REPLACE TEMP TABLE tdocs AS
+SELECT md5_60(conv_id) AS doc_id, doc_text AS text FROM asm;
+CREATE OR REPLACE TEMP TABLE cmap AS
+SELECT md5_60(conv_id) AS doc_id, conv_id FROM asm;""",
+        _curation_stmts(admission_sql, "tdocs", k, threshold,
+                        top_frac_max, dup_ratio_max, token_budget,
+                        pack_budget, n_shards, cfg),
+        """
+SELECT m.conv_id, c.verdict, km.conv_id AS keeper_conv_id, c.quality,
+       c.n_tokens, c.shard, c.pack_id
+FROM curation_out c
+JOIN cmap m USING (doc_id)
+LEFT JOIN cmap km ON km.doc_id = c.keeper_doc_id""",
     )
 
 

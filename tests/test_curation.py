@@ -378,3 +378,49 @@ def test_curate_corpus_cascade_invariants(spark, docs):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_curate_transcripts_cascade_invariants(spark):
+    from pcompress_spark.operators.assemble import assemble
+    from pcompress_spark.sources.tables import load_transcripts
+
+    turns = load_transcripts(spark, SF).cache()
+    out = curation.curate_transcripts(turns, threshold=0.3).toPandas()
+    asm = assemble(turns).select("conv_id", "doc_text").toPandas()
+
+    # exactly one verdict per conversation, all conversations covered
+    assert len(out) == len(asm)
+    assert out.conv_id.is_unique
+    assert set(out.conv_id) == set(asm.conv_id)
+    allowed = {"exact_dup", "empty", "low_quality", "unknown_lang",
+               "near_dup", "repetitive", "over_budget", "kept"}
+    assert set(out.verdict) <= allowed
+    kept = out.verdict == "kept"
+    assert kept.sum() > 0
+
+    # keeper set iff a dedup verdict; shard/pack set iff kept
+    dedup = out.verdict.isin(["exact_dup", "near_dup"])
+    assert (out.keeper_conv_id.notna() == dedup).all()
+    assert (out.shard.notna() == kept).all()
+    assert (out.pack_id.notna() == kept).all()
+
+    # exact-dup keepers carry byte-identical assembled text
+    text = asm.set_index("conv_id").doc_text
+    exact = out[out.verdict == "exact_dup"]
+    assert len(exact) > 0, "fixture corpus must contain exact dup convs"
+    for row in exact.itertuples(index=False):
+        assert row.keeper_conv_id != row.conv_id
+        assert text[row.keeper_conv_id] == text[row.conv_id]
+
+    # near-dup keepers are corpus members of >= quality (max-quality wins)
+    qual = out.set_index("conv_id").quality
+    for row in out[out.verdict == "near_dup"].itertuples(index=False):
+        assert row.keeper_conv_id in qual.index
+        assert qual[row.keeper_conv_id] >= row.quality
+
+    # deterministic under input repartitioning
+    out2 = curation.curate_transcripts(
+        turns.repartition(7), threshold=0.3).toPandas()
+    a = out.sort_values("conv_id").reset_index(drop=True)
+    b = out2.sort_values("conv_id").reset_index(drop=True)
+    assert a.equals(b)
