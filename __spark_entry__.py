@@ -460,10 +460,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ann_recall_report(
             emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
 
+    def emb_kmeans(spark, sf_dir):
+        """Distributed spherical k-means over the embedding corpus — the
+        iterative numeric algorithm class (Lloyd's refinement of the IVF
+        anchors): final (vec_id, cluster, score) after 3 exact-mirrored
+        iterations."""
+        return similarity.kmeans_clusters(
+            load_table(spark, sf_dir, "embeddings"), n_clusters=8, n_iters=3)
+
     q["ann_topk_brute"] = ann_topk_brute
     q["ann_topk_lsh"] = ann_topk_lsh
     q["ann_topk_ivf"] = ann_topk_ivf
     q["ann_recall_report"] = ann_recall_report
+    q["emb_kmeans"] = emb_kmeans
 
     # ---- multimodal plumbing (binary payload -> content hash + feature;
     # real in-tree PNM + WAV decoders, real JPEG header parse (SOI/SOF
@@ -1196,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
     o["emb_pair_recall_report"] = oq.embedding_pair_recall_sql(threshold=0.4)
     o["ann_topk_ivf"] = oq.ann_ivf_sql(k=5)
     o["ann_recall_report"] = oq.ann_recall_sql(k=5)
+    o["emb_kmeans"] = oq.emb_kmeans_sql(n_clusters=8, n_iters=3, dim=64)
     o["ann_label_purity"] = oq.ann_label_purity_sql(k=5)
     o["multimodal_features"] = oq.multimodal_sql(media_fixture_path(n=64, seed=42))
 

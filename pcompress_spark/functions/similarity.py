@@ -247,6 +247,113 @@ def ivf_topk(
     return _topk(scored, k)
 
 
+def kmeans_clusters(
+    emb: DataFrame, n_clusters: int = 8, n_iters: int = 3
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd's iterations) over the
+    embedding corpus — the iterative-refinement generalization of the IVF
+    coarse quantizer (ivf_topk freezes the anchors; this re-estimates them
+    until the pass budget is spent). Returns one row per vector:
+    (vec_id, cluster, score) — the final cluster id and the cosine to its
+    centroid, rounded 6dp.
+
+    Determinism & oracle parity (every step is bit-reproducible across
+    partitionings AND engines):
+      - init: the ``n_clusters`` corpus vectors with smallest
+        xxhash64(vec_id) (the IVF anchor rule), components 6dp-rounded by
+        a JVM ``round`` at collect time;
+      - assignment: the same left-to-right fold_dot/fold_norm kernels the
+        brute/IVF paths use, zero-norm sentinel -2.0, ties -> larger cell
+        (max_by semantics, identical to the IVF assign kernel);
+      - update: per-component mean as an exact decimal(18,6) sum divided
+        once as double and 6dp-rounded — the repo's standard
+        order-independent float-aggregate recipe — so every centroid at
+        every iteration is a 6dp double identical in both engines. Empty
+        clusters carry their previous centroid forward.
+
+    Scale shape (100 TB design point): centroids are k x dim driver
+    floats shipped into a MAP-ONLY assignment kernel as a closure ndarray
+    (never plan-literal arrays). Each update is one posexplode + hash
+    aggregation with map-side partial combine — shuffle volume is
+    partitions x k x dim partial rows, never corpus-sized — plus a
+    k x dim driver collect (the same legitimate driver traffic MLlib's
+    own Lloyd's loop incurs). The corpus is read n_iters + 1 times from
+    the persisted prep stage; point it at a stage table at warehouse
+    scale, as the transcript pipeline does with signatures.
+    """
+    prepped = cache.persist(_prep(emb))
+    anchor_rows = (
+        prepped.withColumn("rk", F.xxhash64(F.col("vec_id")))
+        .orderBy("rk").limit(n_clusters)
+        .select(F.transform("v", lambda x: F.round(x, 6)).alias("cv"))
+        .collect()
+    )
+    cents = np.array([r["cv"] for r in anchor_rows], dtype=np.float64)
+
+    def assign(cents_arr: np.ndarray, with_score: bool) -> DataFrame:
+        cn = kernels.fold_norm(cents_arr)
+
+        @kernels.trim_after
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = _stack64(pdf["v"])
+                nv = pdf["norm"].to_numpy(dtype=np.float64)
+                S = np.empty((len(V), len(cents_arr)), dtype=np.float64)
+                for c in range(len(cents_arr)):
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        S[:, c] = np.where(
+                            (cn[c] > 0) & (nv > 0),
+                            kernels.fold_dot(V, cents_arr[c]) / (cn[c] * nv),
+                            -2.0,
+                        )
+                best = np.zeros(len(V), dtype=np.int64)
+                best_s = S[:, 0].copy()
+                for c in range(1, S.shape[1]):
+                    upd = S[:, c] >= best_s
+                    best[upd] = c
+                    best_s[upd] = S[upd, c]
+                out = {"vec_id": pdf["vec_id"].to_numpy(), "cell": best}
+                if with_score:
+                    out["score"] = best_s
+                else:
+                    out["v"] = pdf["v"]
+                yield pd.DataFrame(out)
+
+        schema = ("vec_id bigint, cell bigint, score double" if with_score
+                  else "vec_id bigint, cell bigint, v array<double>")
+        return prepped.mapInPandas(gen, schema)
+
+    for _ in range(n_iters):
+        rows = (
+            assign(cents, with_score=False)
+            .select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.round("val", 6).cast("decimal(18,6)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell", "pos",
+                F.round(F.col("s").cast("double") / F.col("n"), 6).alias("cval"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            new[r["cell"], r["pos"]] = r["cval"]
+        cents = new
+
+    return assign(cents, with_score=True).select(
+        "vec_id",
+        F.col("cell").alias("cluster"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int) -> np.ndarray:
     """Seed-deterministic hyperplane coefficients, uniform[-1, 1), shape
     (n_tables, n_planes, dim) — splitmix64 over a flat index, identical

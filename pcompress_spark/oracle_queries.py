@@ -1485,6 +1485,74 @@ def ann_ivf_sql(k: int = 5, n_cells: int = 16, n_probe: int = 4,
     return _script(*stmts, final)
 
 
+def emb_kmeans_sql(n_clusters: int = 8, n_iters: int = 3,
+                   dim: int = 64) -> str:
+    """Twin for similarity.kmeans_clusters: spherical Lloyd's with the IVF
+    anchor init, mirrored iteration-for-iteration as staged TEMP TABLEs
+    (cent{i} / asg{i}). Parity hinges on three shared rules the other ANN
+    twins already pin: the left-to-right _dot fold over bit-identical 6dp
+    centroid doubles, the ties->larger-cell argmax (ORDER BY score DESC,
+    cell DESC), and the exact-decimal mean (sum(round(x,6)::DECIMAL(18,6))
+    divided once as DOUBLE, rounded 6dp). Empty clusters carry the
+    previous centroid via the LEFT JOIN coalesce."""
+    cn_fold = _FOLD_SUM.format(xs="list_transform(cv, x -> x * x)")
+    pos_src = f"(SELECT unnest(range(1, {dim} + 1))::INT AS pos) p"
+
+    def cnorm(i: int) -> str:
+        return f"""
+CREATE OR REPLACE TEMP TABLE cnorm{i} AS
+SELECT cell, cv, sqrt({cn_fold}) AS cn FROM cent{i};"""
+
+    def best(i: int, select: str, where_rc: str) -> str:
+        dot = _dot("n.v", "c.cv", dim)
+        return f"""
+WITH s_ AS (SELECT n.vec_id, c.cell,
+                   CASE WHEN c.cn > 0 AND n.nv > 0
+                        THEN {dot} / (c.cn * n.nv) ELSE -2.0 END AS score
+            FROM nrm n CROSS JOIN cnorm{i} c)
+SELECT {select}
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, cell DESC) AS rc
+      FROM s_) {where_rc}"""
+
+    stmts = [
+        _emb_norm_stmt(),
+        f"""
+CREATE OR REPLACE TEMP TABLE cent0 AS
+WITH {osql.xxh64_long_ctes('r', 'nrm', ['vec_id'], 'vec_id', 'rk')}
+SELECT (row_number() OVER (ORDER BY tobig(x.rk)) - 1)::BIGINT AS cell,
+       list_transform(n.v, x -> round(x, 6)) AS cv
+FROM rx5 x JOIN nrm n USING (vec_id)
+ORDER BY tobig(x.rk) LIMIT {n_clusters};""",
+    ]
+    for i in range(1, n_iters + 1):
+        stmts.append(cnorm(i - 1))
+        stmts.append(
+            f"CREATE OR REPLACE TEMP TABLE asg{i} AS "
+            + best(i - 1, "vec_id, cell", "WHERE rc = 1") + ";"
+        )
+        stmts.append(f"""
+CREATE OR REPLACE TEMP TABLE cm{i} AS
+SELECT a.cell, p.pos,
+       round(sum(round(n.v[p.pos], 6)::DECIMAL(18,6))::DOUBLE
+             / count(*), 6) AS cval
+FROM asg{i} a JOIN nrm n USING (vec_id)
+CROSS JOIN {pos_src}
+GROUP BY a.cell, p.pos;
+CREATE OR REPLACE TEMP TABLE cent{i} AS
+SELECT c.cell, coalesce(m.cv, c.cv) AS cv
+FROM cent{i - 1} c
+LEFT JOIN (SELECT cell, list(cval ORDER BY pos) AS cv
+           FROM cm{i} GROUP BY cell) m USING (cell);""")
+    stmts.append(cnorm(n_iters))
+    final = best(
+        n_iters,
+        "vec_id, cell AS cluster, round(score, 6) AS score",
+        "WHERE rc = 1",
+    )
+    return _script(*stmts, final)
+
+
 def ann_recall_sql(k: int = 5, dim: int = 64) -> str:
     """Twin for similarity.ann_recall_report: recall@k of each approximate
     method (hyperplane LSH, IVF) against the brute-force cosine top-k truth

@@ -82,6 +82,73 @@ def test_ivf_anchor_broadcast_plan_size(spark, emb):
     assert df.count() > 0
 
 
+def test_kmeans_optimal_assignment_and_determinism(spark, emb):
+    """Lloyd's invariants, checked against an independent numpy replay:
+    every vector is assigned to its argmax-cosine centroid (ties ->
+    larger cell), more iterations never worsen the total objective, and
+    the result is identical under input repartitioning."""
+    import numpy as np
+
+    out = similarity.kmeans_clusters(emb, n_clusters=8, n_iters=3).toPandas()
+    n = emb.count()
+    assert len(out) == n and out.vec_id.is_unique
+    assert out.cluster.between(0, 7).all()
+
+    # independent replay: recompute the final centroids from the engine's
+    # own assignments at iteration 3 is circular — instead replay the WHOLE
+    # loop in numpy from the same deterministic init and compare.
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    rk = (
+        similarity._prep(emb).withColumn("rk", F.xxhash64(F.col("vec_id")))
+        .select("vec_id", "rk").toPandas().set_index("vec_id").rk
+    )
+    order = np.argsort(rk[ids].to_numpy(), kind="stable")
+    cents = np.round(V[order[:8]], 6)
+
+    def norms(M):
+        return np.sqrt((M * M).sum(axis=1))
+
+    def assign(C):
+        cn = norms(C)
+        nv = norms(V)
+        S = np.where(
+            (cn[None, :] > 0) & (nv[:, None] > 0),
+            V @ C.T / (nv[:, None] * cn[None, :]), -2.0,
+        )
+        # ties -> larger cell (the engine's max_by rule)
+        best = (S.shape[1] - 1) - np.argmax(S[:, ::-1], axis=1)
+        return best, S[np.arange(len(V)), best]
+
+    for _ in range(3):
+        best, _s = assign(cents)
+        new = cents.copy()
+        for c in range(8):
+            m = best == c
+            if m.any():
+                comp = np.round(V[m], 6)
+                new[c] = np.round(comp.sum(axis=0) / m.sum(), 6)
+        cents = new
+    best, score = assign(cents)
+    got = out.set_index("vec_id")
+    # np dot accumulates in a different order than fold_dot, so compare
+    # assignments (discrete) and scores loosely
+    assert (got.loc[ids].cluster.to_numpy() == best).all()
+    assert np.abs(got.loc[ids].score.to_numpy() - np.round(score, 6)).max() < 1e-5
+
+    # objective is (weakly) improved by iterating
+    one = similarity.kmeans_clusters(emb, n_clusters=8, n_iters=1).toPandas()
+    assert out.score.sum() >= one.score.sum() - 1e-6
+
+    # deterministic under repartitioning
+    out2 = similarity.kmeans_clusters(
+        emb.repartition(7), n_clusters=8, n_iters=3).toPandas()
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = out2.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_ann_lsh_subset_of_bruteforce_scores(spark, emb):
     """Every LSH result must carry the exact cosine the brute-force computes,
     and per-query recall should clear a floor."""
