@@ -398,6 +398,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             overlap_threshold=0.5)
 
     q["doc_decontamination"] = doc_decontamination
+
+    def tr_decontamination(spark, sf_dir):
+        """Benchmark decontamination on the primary axis: for every
+        non-benchmark conversation, the fraction of its assembled text's
+        distinct 3-grams that appear anywhere in the (deterministic
+        stand-in) eval suite — the leak test run before transcripts are
+        admitted to training. Same broadcast-gram plan as the doc twin;
+        the corpus text shuffles once (assemble) and never again."""
+        asm = assemble(load_transcripts(spark, sf_dir))
+        d = asm.select(F.col("conv_id").alias("doc_id"),
+                       F.col("doc_text").alias("text"))
+        is_bench = F.expr("CAST(substring(doc_id, 6) AS BIGINT) % 19 = 0")
+        return curation.decontaminate(
+            d.where(~is_bench), d.where(is_bench), n=3,
+            overlap_threshold=0.5,
+        ).withColumnRenamed("doc_id", "conv_id")
+
+    q["tr_decontamination"] = tr_decontamination
     # boilerplate phrase mining: 3-grams in >= 5 distinct documents
     q["doc_boilerplate_ngrams"] = lambda s, d: curation.boilerplate_ngrams(
         load_table(s, d, "documents"), n=3, min_df=5)
@@ -1125,6 +1143,8 @@ def oracle_sql() -> dict[str, str]:
     o["doc_stratified_sample"] = oq.doc_stratified_sample_sql(seed=7)
     o["doc_decontamination"] = oq.doc_decontamination_sql(
         bench_mod=19, overlap_threshold=0.5)
+    o["tr_decontamination"] = oq.tr_decontamination_sql(
+        tr, bench_mod=19, overlap_threshold=0.5)
     o["doc_boilerplate_ngrams"] = oq.doc_boilerplate_sql(min_df=5)
     o["doc_pack_assignments"] = oq.doc_pack_sql(budget=2048, n_shards=8)
     o["doc_pii_report"] = oq.doc_pii_report_sql()

@@ -1742,34 +1742,59 @@ FROM skx5
 """)
 
 
+def _deco_sql(src: str, id_col: str, bench_pred: str, out_id: str,
+              overlap_threshold: float = 0.5) -> str:
+    """curation.decontaminate twin over ``src`` (any FROM-able source with
+    ({id_col}, text)); ``bench_pred`` (over {id_col}) selects the stand-in
+    eval suite rows."""
+    w = _WORDS.format(x="text")
+    ratio = ("round(CASE WHEN len(g.grams) > 0 "
+             "THEN coalesce(h.n_overlap, 0)::DOUBLE / len(g.grams) "
+             "ELSE 0.0 END, 6)")
+    return f"""
+CREATE OR REPLACE TEMP TABLE deco_g AS
+SELECT sid, {_grams3_expr('w')} AS grams, is_bench
+FROM (SELECT {id_col} AS sid, ({bench_pred}) AS is_bench, {w} AS w
+      FROM {src});
+CREATE OR REPLACE TEMP TABLE deco_bench AS
+SELECT DISTINCT unnest(grams) AS gram FROM deco_g WHERE is_bench;
+CREATE OR REPLACE TEMP TABLE deco_hits AS
+SELECT c.sid, count(*)::BIGINT AS n_overlap
+FROM (SELECT sid, unnest(grams) AS gram FROM deco_g WHERE NOT is_bench) c
+JOIN deco_bench USING (gram) GROUP BY c.sid;
+SELECT g.sid AS {out_id}, len(g.grams)::BIGINT AS n_grams,
+       coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+       {ratio} AS overlap_ratio,
+       {ratio} >= {overlap_threshold} AS contaminated
+FROM deco_g g LEFT JOIN deco_hits h ON h.sid = g.sid
+WHERE NOT g.is_bench
+"""
+
+
 def doc_decontamination_sql(bench_mod: int = 19,
                             overlap_threshold: float = 0.5) -> str:
     """curation.decontaminate twin over the deterministic benchmark split
     doc_id % bench_mod == 0 (the stand-in eval suite)."""
-    w = _WORDS.format(x="text")
-    return f"""
-CREATE OR REPLACE TEMP TABLE deco_g AS
-SELECT doc_id, {_grams3_expr('w')} AS grams
-FROM (SELECT doc_id, {w} AS w FROM documents);
-CREATE OR REPLACE TEMP TABLE deco_bench AS
-SELECT DISTINCT unnest(grams) AS gram FROM deco_g
-WHERE doc_id % {bench_mod} = 0;
-CREATE OR REPLACE TEMP TABLE deco_hits AS
-SELECT c.doc_id, count(*)::BIGINT AS n_overlap
-FROM (SELECT doc_id, unnest(grams) AS gram FROM deco_g
-      WHERE doc_id % {bench_mod} != 0) c
-JOIN deco_bench USING (gram) GROUP BY c.doc_id;
-SELECT g.doc_id, len(g.grams)::BIGINT AS n_grams,
-       coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
-       round(CASE WHEN len(g.grams) > 0
-             THEN coalesce(h.n_overlap, 0)::DOUBLE / len(g.grams)
-             ELSE 0.0 END, 6) AS overlap_ratio,
-       round(CASE WHEN len(g.grams) > 0
-             THEN coalesce(h.n_overlap, 0)::DOUBLE / len(g.grams)
-             ELSE 0.0 END, 6) >= {overlap_threshold} AS contaminated
-FROM deco_g g LEFT JOIN deco_hits h USING (doc_id)
-WHERE g.doc_id % {bench_mod} != 0
-"""
+    return _deco_sql("documents", "doc_id", f"doc_id % {bench_mod} = 0",
+                     "doc_id", overlap_threshold)
+
+
+def tr_decontamination_sql(tr_path: str, bench_mod: int = 19,
+                           overlap_threshold: float = 0.5) -> str:
+    """Transcript twin: the same leak test over assembled conversations,
+    benchmark split on the numeric conv-id suffix (engine twin uses the
+    identical CAST(substring(conv_id, 6)) expression)."""
+    return (
+        f"""
+CREATE OR REPLACE TEMP TABLE asm AS
+SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+FROM {_tr_src(tr_path)} GROUP BY conv_id;"""
+        + _deco_sql(
+            "(SELECT conv_id, doc_text AS text FROM asm)", "conv_id",
+            f"CAST(substr(conv_id, 6) AS BIGINT) % {bench_mod} = 0",
+            "conv_id", overlap_threshold,
+        )
+    )
 
 
 def doc_boilerplate_sql(min_df: int = 8) -> str:

@@ -380,6 +380,45 @@ def test_curate_corpus_cascade_invariants(spark, docs):
     assert a.equals(b)
 
 
+def test_tr_decontamination_planted_leak(spark):
+    """A non-benchmark conversation that verbatim-copies a benchmark
+    conversation must report full 3-gram overlap; unrelated text reports
+    zero. Mirrors the tr_decontamination entry (suffix % 19 split)."""
+    import __spark_entry__ as entry
+
+    leak = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        ("conv-00000000", 0, "user", leak, None, None),      # bench (0 % 19)
+        ("conv-00000001", 0, "user", leak, None, None),      # verbatim leak
+        ("conv-00000002", 0, "user",
+         "completely unrelated words about spark shuffles and parquet io",
+         None, None),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    from pcompress_spark.operators.assemble import assemble
+    from pyspark.sql import functions as F2
+
+    asm = assemble(turns)
+    d = asm.select(F2.col("conv_id").alias("doc_id"),
+                   F2.col("doc_text").alias("text"))
+    is_bench = F2.expr("CAST(substring(doc_id, 6) AS BIGINT) % 19 = 0")
+    out = curation.decontaminate(
+        d.where(~is_bench), d.where(is_bench), n=3, overlap_threshold=0.5
+    ).toPandas().set_index("doc_id")
+    assert "conv-00000000" not in out.index
+    assert out.at["conv-00000001", "overlap_ratio"] == 1.0
+    assert bool(out.at["conv-00000001", "contaminated"])
+    assert out.at["conv-00000002", "n_overlap"] == 0
+    assert not bool(out.at["conv-00000002", "contaminated"])
+    # the registered query runs end-to-end on the fixture corpus
+    q = entry.queries()["tr_decontamination"]
+    res = q(spark, SF).toPandas()
+    assert len(res) > 0 and res.conv_id.is_unique
+    assert ((res.overlap_ratio >= 0.5) == res.contaminated).all()
+
+
 def test_curate_transcripts_cascade_invariants(spark):
     from pcompress_spark.operators.assemble import assemble
     from pcompress_spark.sources.tables import load_transcripts
