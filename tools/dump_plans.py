@@ -68,6 +68,9 @@ def main() -> None:
     budget_df = entry.queries()["doc_budget_selection"](spark, SF)
     kmv_doc_df = entry.queries()["doc_kmv_near_pairs"](spark, SF)
     kmv_tr_df = entry.queries()["tr_kmv_near_pairs"](spark, SF)
+    tr_cur_df = entry.queries()["tr_curation"](spark, SF)
+    tr_deco_df = entry.queries()["tr_decontamination"](spark, SF)
+    kmeans_df = entry.queries()["emb_kmeans"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -120,6 +123,12 @@ def main() -> None:
             kmv_doc_df,
         "KMV near-dup pairs, transcripts (assemble + KMV, whole chain JVM)":
             kmv_tr_df,
+        "transcript curation cascade (md5_60-keyed doc cascade + id map-back joins)":
+            tr_cur_df,
+        "transcript decontamination (broadcast eval grams over assembled convs)":
+            tr_deco_df,
+        "spherical k-means final assignment (map-only against closure centroids)":
+            kmeans_df,
     }
 
     checks: list[str] = []
@@ -302,6 +311,33 @@ def main() -> None:
         and "CartesianProduct" not in deco_plan
         and "BroadcastNestedLoopJoin" not in deco_plan
         else "FAIL doc_decontamination: benchmark grams not broadcast"
+    )
+    tr_deco_plan = plan_of(tr_deco_df)
+    checks.append(
+        "OK tr_decontamination: eval-gram set broadcast, no cartesian stage"
+        if "BroadcastHashJoin" in tr_deco_plan
+        and "CartesianProduct" not in tr_deco_plan
+        and "BroadcastNestedLoopJoin" not in tr_deco_plan
+        else "FAIL tr_decontamination: benchmark grams not broadcast"
+    )
+    tr_cur_plan = plan_of(tr_cur_df)
+    checks.append(
+        "OK tr_curation: no cartesian/nested-loop stage; hot-bucket salt "
+        "broadcast inside the near-dup stage"
+        if "CartesianProduct" not in tr_cur_plan
+        and "BroadcastNestedLoopJoin" not in tr_cur_plan
+        and "BroadcastHashJoin" in tr_cur_plan
+        else "FAIL tr_curation: quadratic stage or missing broadcast salt"
+    )
+    kmeans_plan = plan_of(kmeans_df)
+    checks.append(
+        "OK emb_kmeans: final assignment is map-only over the persisted "
+        "prep (no exchange; centroids are closure floats, not plan "
+        "literals)"
+        if "Exchange" not in kmeans_plan
+        and "CartesianProduct" not in kmeans_plan
+        and "InMemoryTableScan" in kmeans_plan
+        else "FAIL emb_kmeans: assignment stage shuffles or lost the cache"
     )
 
     tr_recall_plan = plan_of(tr_recall_df)
