@@ -81,6 +81,35 @@ def _pii_overlay(docs: DataFrame) -> DataFrame:
     return docs.withColumn("text", F.concat(*parts))
 
 
+def _tr_pii_overlay(turns: DataFrame) -> DataFrame:
+    """Turn-granular twin of _pii_overlay: append synthetic PII spans to a
+    deterministic subset of TURNS, keyed by k = conv_num * 1000 + turn_idx
+    (conv_num = the numeric conv-id suffix, the same substring(conv_id, 6)
+    expression tr_decontamination uses). The DuckDB oracle rebuilds the
+    identical overlay (oracle_queries.TR_PII_OVERLAY_SQL)."""
+    k = (F.expr("CAST(substring(conv_id, 6) AS BIGINT)") * 1000
+         + F.col("turn_idx").cast("long"))
+    s = lambda c: c.cast("string")  # noqa: E731
+    parts = [
+        F.col("text"),
+        F.when(k % 7 == 0, F.concat(
+            F.lit(" contact user"), s(k), F.lit("@example.com now"))
+        ).otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.concat(
+            F.lit(" call 555-"), s(k % 900 + 100), F.lit("-"),
+            s(k % 9000 + 1000))
+        ).otherwise(F.lit("")),
+        F.when(k % 13 == 0, F.concat(
+            F.lit(" host 10."), s(k % 256), F.lit(".0."), s(k % 254 + 1))
+        ).otherwise(F.lit("")),
+        F.when(k % 17 == 0, F.concat(
+            F.lit(" ssn "), s(k % 900 + 100), F.lit("-"), s(k % 90 + 10),
+            F.lit("-"), s(k % 8000 + 2000))
+        ).otherwise(F.lit("")),
+    ]
+    return turns.withColumn("text", F.concat(*parts))
+
+
 def _pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Run (or resume from checkpoint) the dedup pipeline for this scale."""
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -416,6 +445,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("doc_id", "conv_id")
 
     q["tr_decontamination"] = tr_decontamination
+
+    def tr_pii_turns(spark, sf_dir):
+        """Turn-granular PII census on the primary axis: (conv_id,
+        turn_idx, per-class counts, n_pii, has_pii). Agent transcripts
+        leak PII through tool output and user turns, and scrubbing has to
+        happen per TURN — before assembly — so the redacted corpus keeps
+        its conversation structure. Same map-only sequential-count plan as
+        doc_pii_report; positives come from the deterministic per-turn
+        overlay the oracle reproduces bit-for-bit."""
+        return curation.pii_report(
+            _tr_pii_overlay(load_transcripts(spark, sf_dir)),
+            id_cols=("conv_id", "turn_idx"),
+        )
+
+    def tr_pii_redact(spark, sf_dir):
+        """Redacted transcript view: every turn's text with PII spans
+        replaced by class tokens, keyed (conv_id, turn_idx) — the corpus a
+        training ingest actually ships. Map-only; redacted TEXT is
+        value-checked against the DuckDB twin, not just counts."""
+        return curation.pii_redact(
+            _tr_pii_overlay(load_transcripts(spark, sf_dir)),
+            id_cols=("conv_id", "turn_idx"),
+        )
+
+    def tr_repetition_report(spark, sf_dir):
+        """Gopher-style repetition signals per CONVERSATION: assemble
+        under stable turn order, then the same dup-ngram / modal-2-gram
+        verdict as doc_repetition_report. Degenerate agent loops (a tool
+        call retried hundreds of times) surface here as repetitive=true
+        long before they distort training mixes."""
+        asm = assemble(load_transcripts(spark, sf_dir))
+        d = asm.select(F.col("conv_id").alias("doc_id"),
+                       F.col("doc_text").alias("text"))
+        return (curation.repetition_report(d)
+                .withColumnRenamed("doc_id", "conv_id"))
+
+    q["tr_pii_turns"] = tr_pii_turns
+    q["tr_pii_redact"] = tr_pii_redact
+    q["tr_repetition_report"] = tr_repetition_report
     # boilerplate phrase mining: 3-grams in >= 5 distinct documents
     q["doc_boilerplate_ngrams"] = lambda s, d: curation.boilerplate_ngrams(
         load_table(s, d, "documents"), n=3, min_df=5)
@@ -1149,6 +1217,10 @@ def oracle_sql() -> dict[str, str]:
     o["doc_pack_assignments"] = oq.doc_pack_sql(budget=2048, n_shards=8)
     o["doc_pii_report"] = oq.doc_pii_report_sql()
     o["doc_pii_redact"] = oq.doc_pii_redact_sql()
+    o["tr_pii_turns"] = oq.tr_pii_report_sql(tr)
+    o["tr_pii_redact"] = oq.tr_pii_redact_sql(tr)
+    o["tr_repetition_report"] = oq.tr_repetition_sql(
+        tr, top_frac_max=0.2, dup_ratio_max=0.3)
     o["doc_repetition_report"] = oq.doc_repetition_sql(
         top_frac_max=0.2, dup_ratio_max=0.3)
     o["doc_fingerprints"] = oq.doc_fingerprints_sql(k=5, keep=16)

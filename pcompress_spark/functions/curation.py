@@ -163,14 +163,23 @@ def _pii_progressive(lower: Column) -> tuple[dict[str, Column], Column]:
     return counts, red
 
 
-def pii_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document PII census: (doc_id, n_email, n_phone, n_ipv4, n_ssn,
+def pii_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-row PII census: (*id_cols, n_email, n_phone, n_ipv4, n_ssn,
     n_pii, has_pii) — the scrub-before-training audit pass. Counting is
     sequential over progressively-redacted text (_pii_progressive), so a
     span never double-counts across classes and n_pii is exactly the
     number of replacements pii_redact would perform. Reference analog: the
     type-specific content detectors that route payloads to special
     handling (/root/reference/filters/analyzer/analyzer.c:33-98).
+
+    id_cols names the row key: ("doc_id",) for documents, ("conv_id",
+    "turn_idx") for turn-granular transcript scans — PII scrubbing of
+    agent transcripts has to happen per turn, before assembly, so the
+    redacted corpus keeps its conversation structure.
 
     Scale: map-only JVM projection, whole-stage codegen, no shuffle, no
     Python — runs at scan speed on any corpus size."""
@@ -179,15 +188,19 @@ def pii_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for c in counts.values():
         total = c if total is None else total + c
     return docs.select(
-        "doc_id",
+        *id_cols,
         *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
         total.alias("n_pii"),
         (total > 0).alias("has_pii"),
     )
 
 
-def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Redacted corpus view: (doc_id, clean_text, n_redacted) with every
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Redacted corpus view: (*id_cols, clean_text, n_redacted) with every
     PII match replaced by its class token (<EMAIL>, <PHONE>, <IPV4>,
     <SSN>), applied in the fixed PII_PATTERNS order over lowercased text.
     Tokens contain no digits or '@', so a replacement can never create a
@@ -200,7 +213,7 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for c in counts.values():
         n = c if n is None else n + c
     return docs.select(
-        "doc_id", red.alias("clean_text"), n.alias("n_redacted")
+        *id_cols, red.alias("clean_text"), n.alias("n_redacted")
     )
 
 

@@ -1829,18 +1829,22 @@ PII_OVERLAY_SQL = (
 )
 
 
-def _pii_steps_stmt() -> str:
+def _pii_steps_stmt(src: str = "documents", id_sql: str = "doc_id",
+                    overlay_sql: str = PII_OVERLAY_SQL) -> str:
     """Staged progressive redaction, the exact twin of
     curation._pii_progressive: pii_steps carries t0 (lowered overlay text)
     and t1..tK with classes 1..K already replaced, so class k's count
     (n_<class>) is taken on t{k-1} — sequential-disjoint, per-class counts
     sum to the replacements performed. One chained temp table per step
-    (plain CTEs would re-expand the regexp chain per reference)."""
+    (plain CTEs would re-expand the regexp chain per reference).
+
+    Parameterized over (src relation, id column list, overlay text expr)
+    so the transcript twin stages the same chain per TURN row."""
     from .functions.curation import PII_PATTERNS
 
     stmts = [f"""
 CREATE OR REPLACE TEMP TABLE pii_s0 AS
-SELECT doc_id, lower({PII_OVERLAY_SQL}) AS t0 FROM documents;
+SELECT {id_sql}, lower({overlay_sql}) AS t0 FROM {src};
 """]
     for i, (_, pat, token) in enumerate(PII_PATTERNS):
         stmts.append(f"""
@@ -1898,6 +1902,89 @@ SELECT doc_id,
        ({total})::BIGINT AS n_redacted
 FROM pii_s{last}
 """
+
+
+# Exact SQL twin of __spark_entry__._tr_pii_overlay: the per-TURN PII
+# fixture keyed by k = conv_num * 1000 + turn_idx (conv_num is the numeric
+# conv-id suffix, the same substr(conv_id, 6) expression the engine uses).
+TR_PII_KEY_SQL = "(CAST(substr(conv_id, 6) AS BIGINT) * 1000 + turn_idx)"
+TR_PII_OVERLAY_SQL = (
+    "text"
+    f" || CASE WHEN {TR_PII_KEY_SQL} % 7 = 0 THEN ' contact user' ||"
+    f" CAST({TR_PII_KEY_SQL} AS VARCHAR) || '@example.com now' ELSE '' END"
+    f" || CASE WHEN {TR_PII_KEY_SQL} % 11 = 0 THEN ' call 555-' ||"
+    f" CAST({TR_PII_KEY_SQL} % 900 + 100 AS VARCHAR) || '-' ||"
+    f" CAST({TR_PII_KEY_SQL} % 9000 + 1000 AS VARCHAR) ELSE '' END"
+    f" || CASE WHEN {TR_PII_KEY_SQL} % 13 = 0 THEN ' host 10.' ||"
+    f" CAST({TR_PII_KEY_SQL} % 256 AS VARCHAR) || '.0.' ||"
+    f" CAST({TR_PII_KEY_SQL} % 254 + 1 AS VARCHAR) ELSE '' END"
+    f" || CASE WHEN {TR_PII_KEY_SQL} % 17 = 0 THEN ' ssn ' ||"
+    f" CAST({TR_PII_KEY_SQL} % 900 + 100 AS VARCHAR) || '-' ||"
+    f" CAST({TR_PII_KEY_SQL} % 90 + 10 AS VARCHAR) || '-' ||"
+    f" CAST({TR_PII_KEY_SQL} % 8000 + 2000 AS VARCHAR) ELSE '' END"
+)
+
+
+def tr_pii_report_sql(tr_path: str) -> str:
+    """curation.pii_report twin at TURN granularity over the transcript
+    fixture + deterministic per-turn overlay."""
+    from .functions.curation import PII_PATTERNS
+
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    last = len(PII_PATTERNS)
+    return f"""
+{_pii_steps_stmt(_tr_src(tr_path), "conv_id, turn_idx", TR_PII_OVERLAY_SQL)}
+CREATE OR REPLACE TEMP TABLE pii_cnt AS
+SELECT conv_id, turn_idx,
+       {_pii_count_cols()}
+FROM pii_s{last};
+SELECT conv_id, turn_idx, n_email, n_phone, n_ipv4, n_ssn,
+       ({total})::BIGINT AS n_pii,
+       ({total}) > 0 AS has_pii
+FROM pii_cnt
+"""
+
+
+def tr_pii_redact_sql(tr_path: str) -> str:
+    """curation.pii_redact twin at TURN granularity: redacted turn text
+    keyed (conv_id, turn_idx), so the scrubbed corpus keeps its
+    conversation structure."""
+    from .functions.curation import PII_PATTERNS
+
+    total = " + ".join(
+        f"len(regexp_extract_all(t{i}, '{pat}'))"
+        for i, (_, pat, _) in enumerate(PII_PATTERNS)
+    )
+    last = len(PII_PATTERNS)
+    return f"""
+{_pii_steps_stmt(_tr_src(tr_path), "conv_id, turn_idx", TR_PII_OVERLAY_SQL)}
+SELECT conv_id, turn_idx,
+       t{last} AS clean_text,
+       ({total})::BIGINT AS n_redacted
+FROM pii_s{last}
+"""
+
+
+def tr_repetition_sql(tr_path: str, top_frac_max: float = 0.2,
+                      dup_ratio_max: float = 0.3) -> str:
+    """curation.repetition_report twin on the PRIMARY axis: assemble
+    conversations under stable turn order (the same string_agg twin as
+    tr_decontamination_sql), then the staged repetition verdict per
+    conversation."""
+    return (
+        f"""
+CREATE OR REPLACE TEMP TABLE asm AS
+SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+FROM {_tr_src(tr_path)} GROUP BY conv_id;"""
+        + _repetition_stmts(
+            "(SELECT conv_id AS doc_id, doc_text AS text FROM asm)",
+            top_frac_max, dup_ratio_max,
+        )
+        + """
+SELECT doc_id AS conv_id, n_words, dup_word_ratio, dup_2gram_ratio,
+       dup_3gram_ratio, top_2gram_frac, repetitive
+FROM rep_verdict"""
+    )
 
 
 def _repetition_stmts(src: str = "documents", top_frac_max: float = 0.2,

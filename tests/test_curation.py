@@ -463,3 +463,52 @@ def test_curate_transcripts_cascade_invariants(spark):
     a = out.sort_values("conv_id").reset_index(drop=True)
     b = out2.sort_values("conv_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_pii_turn_keyed_report_and_redact(spark):
+    """id_cols generalization: PII ops keyed (conv_id, turn_idx) must
+    report and redact per TURN — transcript scrubbing happens before
+    assembly so the conversation structure survives."""
+    rows = [
+        ("conv-1", 0, "user", "mail me at a@b.co", None),
+        ("conv-1", 1, "assistant", "noted 555-123-4567", None),
+        ("conv-2", 0, "user", "all clean here", None),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string")
+    rep = curation.pii_report(
+        turns, id_cols=("conv_id", "turn_idx")
+    ).toPandas().set_index(["conv_id", "turn_idx"])
+    assert list(rep.columns) == [
+        "n_email", "n_phone", "n_ipv4", "n_ssn", "n_pii", "has_pii"]
+    assert rep.loc[("conv-1", 0)].n_email == 1
+    assert rep.loc[("conv-1", 1)].n_phone == 1
+    assert rep.loc[("conv-2", 0)].n_pii == 0
+    red = curation.pii_redact(
+        turns, id_cols=("conv_id", "turn_idx")
+    ).toPandas().set_index(["conv_id", "turn_idx"])
+    assert red.loc[("conv-1", 0)].clean_text == "mail me at <EMAIL>"
+    assert red.loc[("conv-1", 1)].clean_text == "noted <PHONE>"
+    assert (red.n_redacted == rep.n_pii).all()
+
+
+def test_tr_repetition_planted_loop(spark):
+    """A degenerate agent loop (the same turn retried over and over) must
+    come out repetitive=true after assembly; a diverse conversation must
+    not. Exercises the assemble -> repetition_report composition the
+    tr_repetition_report query ships."""
+    from pcompress_spark.operators.assemble import assemble
+
+    loop = [("conv-1", i, "assistant", "retry tool call now", None)
+            for i in range(12)]
+    ok = [("conv-2", i, "user", t, None) for i, t in enumerate(
+        ["alpha beta gamma", "delta epsilon zeta", "eta theta iota kappa"])]
+    turns = spark.createDataFrame(
+        loop + ok,
+        "conv_id string, turn_idx int, role string, text string, tool string")
+    d = assemble(turns).select(
+        F.col("conv_id").alias("doc_id"), F.col("doc_text").alias("text"))
+    rep = curation.repetition_report(d).toPandas().set_index("doc_id")
+    assert bool(rep.loc["conv-1"].repetitive)
+    assert rep.loc["conv-1"].dup_3gram_ratio > 0.5
+    assert not bool(rep.loc["conv-2"].repetitive)
