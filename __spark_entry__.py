@@ -554,11 +554,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.kmeans_clusters(
             load_table(spark, sf_dir, "embeddings"), n_clusters=8, n_iters=3)
 
+    def emb_semdedup(spark, sf_dir):
+        """SemDeDup (Abbas et al. 2023): k-means partitions the embedding
+        space, intra-cell pairs at cosine >= 0.4 form semantic-dup groups,
+        each group keeps its least-centroid-similar member — one
+        (vec_id, cluster, score, group_id, keep) row per vector."""
+        return similarity.semdedup(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=0.4, n_clusters=8, n_iters=3)
+
     q["ann_topk_brute"] = ann_topk_brute
     q["ann_topk_lsh"] = ann_topk_lsh
     q["ann_topk_ivf"] = ann_topk_ivf
     q["ann_recall_report"] = ann_recall_report
     q["emb_kmeans"] = emb_kmeans
+    q["emb_semdedup"] = emb_semdedup
 
     # ---- multimodal plumbing (binary payload -> content hash + feature;
     # real in-tree PNM + WAV decoders, real JPEG header parse (SOI/SOF
@@ -1298,6 +1308,8 @@ def oracle_sql() -> dict[str, str]:
     o["ann_topk_ivf"] = oq.ann_ivf_sql(k=5)
     o["ann_recall_report"] = oq.ann_recall_sql(k=5)
     o["emb_kmeans"] = oq.emb_kmeans_sql(n_clusters=8, n_iters=3, dim=64)
+    o["emb_semdedup"] = oq.emb_semdedup_sql(
+        threshold=0.4, n_clusters=8, n_iters=3, dim=64)
     o["ann_label_purity"] = oq.ann_label_purity_sql(k=5)
     o["multimodal_features"] = oq.multimodal_sql(media_fixture_path(n=64, seed=42))
 

@@ -281,6 +281,21 @@ def kmeans_clusters(
     the persisted prep stage; point it at a stage table at warehouse
     scale, as the transcript pipeline does with signatures.
     """
+    _prepped, final = _kmeans_fit(emb, n_clusters, n_iters)
+    return final.select(
+        "vec_id",
+        F.col("cell").alias("cluster"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _kmeans_fit(
+    emb: DataFrame, n_clusters: int, n_iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared k-means core -> (prepped vectors, raw final assignment
+    (vec_id, cell, score<unrounded>)). kmeans_clusters exposes the
+    assignment alone; semdedup needs the persisted prep stage too (its
+    intra-cluster rescore joins vectors back per candidate pair)."""
     prepped = cache.persist(_prep(emb))
     anchor_rows = (
         prepped.withColumn("rk", F.xxhash64(F.col("vec_id")))
@@ -347,10 +362,91 @@ def kmeans_clusters(
             new[r["cell"], r["pos"]] = r["cval"]
         cents = new
 
-    return assign(cents, with_score=True).select(
-        "vec_id",
-        F.col("cell").alias("cluster"),
-        F.round("score", 6).alias("score"),
+    return prepped, assign(cents, with_score=True)
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 8,
+    n_iters: int = 3,
+    cfg=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means partitioning — spherical k-means carves the
+    embedding space into ``n_clusters`` cells, pair comparison happens ONLY
+    within a cell (the paper's trick for avoiding the all-pairs corpus
+    scan), pairs at-or-above the cosine ``threshold`` (the paper's
+    1 - eps) are semantic-duplicate edges, and each connected group keeps
+    exactly ONE representative: the member LEAST similar to its centroid —
+    the paper's keep-low-centroid-similarity choice (§4: keeping examples
+    far from the cluster center preserved the most diverse subset), ties
+    broken by min vec_id. Singletons form their own group and are kept.
+
+    Returns one row per corpus vector:
+    (vec_id, cluster, score, group_id, keep) — the k-means cell, the 6dp
+    cosine to its centroid, the semantic-dup group label (min vec_id of
+    the component), and the keep verdict.
+
+    Scale shape (100 TB design point): the k-means stages are
+    kmeans_clusters' audited plan (map-only assignment against broadcast
+    centroids, decimal-exact partial-agg updates); intra-cell pair
+    generation routes through THE shared salted/capped/logged
+    ``bucket_members`` with the cell id as the bucket key, so a degenerate
+    cell (one mega-cluster of near-identical vectors) is deterministically
+    sampled to ``cfg.bucket_cap`` members instead of exploding
+    quadratically — at real scale n_clusters is sized so cells land under
+    the cap (the paper uses corpus_size/10k clusters). Rescore joins move
+    only candidate-pair vectors; the group label rides the shared long-key
+    agg+join connected-components operator; the keep verdict is one
+    skew-safe groupBy(group).min(struct) + an id-keyed join back.
+    """
+    from ..config import DedupConfig
+    from ..operators.candidates import bucket_members, bucket_pairs
+    from ..operators.cluster import connected_components
+
+    cfg = cfg or DedupConfig()
+    prepped, raw = _kmeans_fit(emb, n_clusters, n_iters)
+    # referenced four times (banding, CC nodes, winner agg, output join)
+    asg = cache.persist(raw.select(
+        "vec_id", F.col("cell").alias("cluster"),
+        F.round("score", 6).alias("score")))
+    banded = asg.select(
+        "vec_id", F.lit(0).alias("band_idx"),
+        F.col("cluster").alias("band_hash"))
+    buckets, _stats = bucket_members(
+        banded, cfg, id_col="vec_id", persist_sizes=False)
+    # one band (the cell id) -> pairs are already distinct
+    pairs = bucket_pairs(buckets, "vec_id_a", "vec_id_b")
+    a = prepped.select(F.col("vec_id").alias("vec_id_a"),
+                       F.col("v").alias("vq"), F.col("norm").alias("nq"))
+    b = prepped.select(F.col("vec_id").alias("vec_id_b"),
+                       F.col("v").alias("vc"), F.col("norm").alias("nc"))
+    cand = (
+        pairs.join(a, "vec_id_a").join(b, "vec_id_b")
+        .select(F.col("vec_id_a").alias("query_id"),
+                F.col("vec_id_b").alias("neighbor_id"),
+                "vq", "nq", "vc", "nc")
+    )
+    edges = (
+        _score_pairs(cand)
+        .where(F.round("cosine", 6) >= threshold)
+        .select(F.col("query_id").alias("ih_a"),
+                F.col("neighbor_id").alias("ih_b"))
+    )
+    nodes = asg.select(F.col("vec_id").alias("conv_id"),
+                       F.col("vec_id").alias("id_hash"))
+    cc = connected_components(nodes, edges, cfg)
+    labeled = asg.join(
+        cc.select(F.col("conv_id").cast("long").alias("vec_id"),
+                  F.col("cluster_id").cast("long").alias("group_id")),
+        "vec_id")
+    winners = labeled.groupBy("group_id").agg(
+        F.min(F.struct(F.col("score"), F.col("vec_id"))).alias("w"))
+    return (
+        labeled.join(winners, "group_id")
+        .select("vec_id", "cluster", "score", "group_id",
+                (F.col("vec_id") == F.col("w.vec_id")).alias("keep"))
     )
 
 

@@ -1485,16 +1485,19 @@ def ann_ivf_sql(k: int = 5, n_cells: int = 16, n_probe: int = 4,
     return _script(*stmts, final)
 
 
-def emb_kmeans_sql(n_clusters: int = 8, n_iters: int = 3,
-                   dim: int = 64) -> str:
-    """Twin for similarity.kmeans_clusters: spherical Lloyd's with the IVF
-    anchor init, mirrored iteration-for-iteration as staged TEMP TABLEs
-    (cent{i} / asg{i}). Parity hinges on three shared rules the other ANN
-    twins already pin: the left-to-right _dot fold over bit-identical 6dp
-    centroid doubles, the ties->larger-cell argmax (ORDER BY score DESC,
-    cell DESC), and the exact-decimal mean (sum(round(x,6)::DECIMAL(18,6))
-    divided once as DOUBLE, rounded 6dp). Empty clusters carry the
-    previous centroid via the LEFT JOIN coalesce."""
+def _kmeans_parts(n_clusters: int = 8, n_iters: int = 3,
+                  dim: int = 64) -> tuple[list, str]:
+    """(setup statements, final SELECT) for the spherical-k-means twin —
+    split so emb_semdedup_sql can stage the final assignment into a TEMP
+    TABLE and keep composing. Twin for similarity._kmeans_fit: Lloyd's
+    with the IVF anchor init, mirrored iteration-for-iteration as staged
+    TEMP TABLEs (cent{i} / asg{i}). Parity hinges on three shared rules
+    the other ANN twins already pin: the left-to-right _dot fold over
+    bit-identical 6dp centroid doubles, the ties->larger-cell argmax
+    (ORDER BY score DESC, cell DESC), and the exact-decimal mean
+    (sum(round(x,6)::DECIMAL(18,6)) divided once as DOUBLE, rounded 6dp).
+    Empty clusters carry the previous centroid via the LEFT JOIN
+    coalesce."""
     cn_fold = _FOLD_SUM.format(xs="list_transform(cv, x -> x * x)")
     pos_src = f"(SELECT unnest(range(1, {dim} + 1))::INT AS pos) p"
 
@@ -1550,7 +1553,68 @@ LEFT JOIN (SELECT cell, list(cval ORDER BY pos) AS cv
         "vec_id, cell AS cluster, round(score, 6) AS score",
         "WHERE rc = 1",
     )
+    return stmts, final
+
+
+def emb_kmeans_sql(n_clusters: int = 8, n_iters: int = 3,
+                   dim: int = 64) -> str:
+    """Twin for similarity.kmeans_clusters (see _kmeans_parts)."""
+    stmts, final = _kmeans_parts(n_clusters, n_iters, dim)
     return _script(*stmts, final)
+
+
+def emb_semdedup_sql(threshold: float = 0.4, n_clusters: int = 8,
+                     n_iters: int = 3, dim: int = 64,
+                     cfg: DedupConfig | None = None) -> str:
+    """Twin for similarity.semdedup: the staged k-means assignment ->
+    intra-cell pairs under the shared salted/capped bucket rule (cell id
+    as the bucket key, vec_id as the salt) -> exact-cosine edges at the
+    rounded threshold -> recursive-reach groups (min vec_id label,
+    singletons self) -> keep = the group's (score ASC, vec_id ASC) arg-min
+    (SemDeDup's keep-low-centroid-similarity representative)."""
+    cfg = cfg or DedupConfig()
+    kstmts, kfinal = _kmeans_parts(n_clusters, n_iters, dim)
+    return _script(
+        *kstmts,
+        f"CREATE OR REPLACE TEMP TABLE kasg AS {kfinal};",
+        """
+CREATE OR REPLACE TEMP TABLE kbands AS
+SELECT vec_id AS mem, vec_id AS salt, 0 AS band_idx, cluster AS key
+FROM kasg;""",
+        _bucket_pair_stmt("kbands", cfg.bucket_cap, out="kcand"),
+        f"""
+CREATE OR REPLACE TEMP TABLE kpairs AS
+SELECT vec_id_a, vec_id_b FROM (
+    SELECT c.ma AS vec_id_a, c.mb AS vec_id_b,
+           round(CASE WHEN a.nv > 0 AND b.nv > 0
+                 THEN {_dot("a.v", "b.v", dim)} / (a.nv * b.nv)
+                 ELSE 0.0 END, 6) AS cosine
+    FROM kcand c
+    JOIN nrm a ON a.vec_id = c.ma
+    JOIN nrm b ON b.vec_id = c.mb)
+WHERE cosine >= {threshold};""",
+        """
+CREATE OR REPLACE TEMP TABLE ksym AS
+SELECT vec_id_a AS a, vec_id_b AS b FROM kpairs
+UNION SELECT vec_id_b AS a, vec_id_a AS b FROM kpairs;""",
+        """
+CREATE OR REPLACE TEMP TABLE kcc AS
+WITH RECURSIVE reach(src, dst) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT r.src, s.b FROM reach r JOIN ksym s ON r.dst = s.a)
+SELECT src::BIGINT AS vec_id, min(dst)::BIGINT AS group_id
+FROM reach GROUP BY src;""",
+        """
+WITH w_ AS (SELECT group_id, vec_id AS wvec FROM (
+    SELECT c.group_id, k.vec_id,
+           row_number() OVER (PARTITION BY c.group_id
+                              ORDER BY k.score ASC, k.vec_id ASC) AS rn
+    FROM kcc c JOIN kasg k USING (vec_id)) WHERE rn = 1)
+SELECT k.vec_id, k.cluster, k.score, c.group_id,
+       (k.vec_id = w.wvec) AS keep
+FROM kasg k JOIN kcc c USING (vec_id) JOIN w_ w USING (group_id)""",
+    )
 
 
 def ann_recall_sql(k: int = 5, dim: int = 64) -> str:

@@ -149,6 +149,36 @@ def test_kmeans_optimal_assignment_and_determinism(spark, emb):
     assert a.equals(b)
 
 
+def test_semdedup_invariants(spark, emb):
+    """SemDeDup structural invariants: one row per vector; exactly one
+    keeper per semantic-dup group; the keeper is the group's
+    (score ASC, vec_id ASC) arg-min (keep-low-centroid-similarity);
+    groups never span k-means cells (pairs are generated intra-cell
+    only); cluster/score columns agree with kmeans_clusters at the same
+    config."""
+    out = similarity.semdedup(
+        emb, threshold=0.4, n_clusters=8, n_iters=3).toPandas()
+    n = emb.count()
+    assert len(out) == n and out.vec_id.is_unique
+
+    per_group = out.groupby("group_id")
+    assert (per_group.keep.sum() == 1).all(), "exactly one keeper per group"
+    for _gid, g in per_group:
+        w = g.sort_values(["score", "vec_id"]).iloc[0]
+        assert g.loc[g.keep, "vec_id"].iloc[0] == w.vec_id
+        assert g.cluster.nunique() == 1, "group spans k-means cells"
+
+    # at least one non-trivial group at this threshold on the fixture
+    assert (per_group.size() >= 2).any()
+    dropped = out.loc[~out.keep]
+    assert len(dropped) == n - out.group_id.nunique()
+
+    km = similarity.kmeans_clusters(emb, n_clusters=8, n_iters=3).toPandas()
+    a = out[["vec_id", "cluster", "score"]].sort_values("vec_id").reset_index(drop=True)
+    b = km.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_ann_lsh_subset_of_bruteforce_scores(spark, emb):
     """Every LSH result must carry the exact cosine the brute-force computes,
     and per-query recall should clear a floor."""
