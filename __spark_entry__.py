@@ -428,6 +428,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_decontamination"] = doc_decontamination
 
+    # near-dup decontamination: the paraphrase-leak companion — train docs
+    # that are a verified MinHash near-dup of a benchmark doc (%17 split,
+    # distinct from the exact-gram query's %19 so both stay non-trivial)
+    def doc_neardup_decontam(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        is_bench = (F.col("doc_id") % 17) == 0
+        return curation.neardup_decontaminate(
+            docs.where(~is_bench), docs.where(is_bench), threshold=0.3)
+
+    q["doc_neardup_decontam"] = doc_neardup_decontam
+
     def tr_decontamination(spark, sf_dir):
         """Benchmark decontamination on the primary axis: for every
         non-benchmark conversation, the fraction of its assembled text's
@@ -1221,6 +1232,8 @@ def oracle_sql() -> dict[str, str]:
     o["doc_stratified_sample"] = oq.doc_stratified_sample_sql(seed=7)
     o["doc_decontamination"] = oq.doc_decontamination_sql(
         bench_mod=19, overlap_threshold=0.5)
+    o["doc_neardup_decontam"] = oq.doc_neardup_decontam_sql(
+        k=3, threshold=0.3)
     o["tr_decontamination"] = oq.tr_decontamination_sql(
         tr, bench_mod=19, overlap_threshold=0.5)
     o["doc_boilerplate_ngrams"] = oq.doc_boilerplate_sql(min_df=5)

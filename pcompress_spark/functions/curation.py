@@ -113,6 +113,75 @@ def decontaminate(
     )
 
 
+def neardup_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.3,
+    cfg=None,
+) -> DataFrame:
+    """Near-duplicate decontamination: training documents that are a
+    verified MinHash near-dup (shingle Jaccard >= threshold) of ANY
+    benchmark document — the paraphrase-leak companion to
+    ``decontaminate``'s exact n-gram test (a lightly rewritten eval item
+    shares few exact word n-grams but keeps high shingle Jaccard).
+
+    Returns one row per CONTAMINATED training document:
+    (doc_id, n_bench_hits, max_jaccard, top_bench_id), top_bench_id being
+    the (jaccard DESC, bench id ASC) arg-max partner. Clean docs are
+    absent — anti-join the result against the corpus to drop leaks.
+
+    Plan shape (the 100 TB path): rides incremental_lsh_pairs with the
+    benchmark as the delta — the corpus band table is probed with a
+    broadcast semi-join on the benchmark's bucket keys, so per-run work
+    is O(benchmark + touched buckets), never O(corpus); at scale pass the
+    corpus's persisted signature/band stage tables exactly as the daily
+    admission loop does. Honest recall note: symmetric-Jaccard banding
+    means a SHORT eval item embedded inside a LONG training doc can evade
+    the bands — that containment case is ``decontaminate``'s (exact
+    grams) and the substring channel's job; this operator targets
+    whole-document near-copies of eval items.
+    """
+    from ..config import DedupConfig
+    from .incremental import incremental_lsh_pairs
+
+    cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
+                             jaccard_threshold=threshold)
+    pairs = incremental_lsh_pairs(docs, benchmark, cfg=cfg,
+                                  threshold=threshold)
+    bids = benchmark.select(F.col("doc_id").alias("bid"))
+    # orient the >=1-bench-endpoint pair set to (train doc, bench doc);
+    # bench-bench pairs (possible when the benchmark self-duplicates) are
+    # dropped — they are the eval suite's hygiene problem, not the corpus's
+    p1 = (
+        pairs.join(F.broadcast(bids), F.col("doc_id_b") == F.col("bid"),
+                   "left_semi")
+        .join(F.broadcast(bids), F.col("doc_id_a") == F.col("bid"),
+              "left_anti")
+        .select(F.col("doc_id_a").alias("doc_id"),
+                F.col("doc_id_b").alias("bench_id"), "jaccard")
+    )
+    p2 = (
+        pairs.join(F.broadcast(bids), F.col("doc_id_a") == F.col("bid"),
+                   "left_semi")
+        .join(F.broadcast(bids), F.col("doc_id_b") == F.col("bid"),
+              "left_anti")
+        .select(F.col("doc_id_b").alias("doc_id"),
+                F.col("doc_id_a").alias("bench_id"), "jaccard")
+    )
+    hits = p1.unionByName(p2)
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+            F.min(F.struct((-F.col("jaccard")).alias("nj"),
+                           F.col("bench_id").alias("b"))).alias("w"),
+        )
+        .select("doc_id", "n_bench_hits", "max_jaccard",
+                F.col("w.b").alias("top_bench_id"))
+    )
+
+
 def boilerplate_ngrams(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFrame:
     """Word n-grams appearing in >= min_df distinct documents, with their
     document frequency: (gram, df). The frequency-analysis half of

@@ -303,6 +303,41 @@ def doc_incremental_pairs_sql(k: int = 3, threshold: float = 0.3,
     )
 
 
+BENCH_PRED = "{x} % 17 = 0"  # the deterministic train/benchmark split used
+# by doc_neardup_decontam (engine twin in __spark_entry__.py)
+
+
+def doc_neardup_decontam_sql(k: int = 3, threshold: float = 0.3,
+                             cfg: DedupConfig | None = None) -> str:
+    """Twin for curation.neardup_decontaminate over the %17 benchmark
+    split: the shared incremental pair staging (delta predicate = bench),
+    oriented to exactly-one-bench-endpoint (train, bench) hits, then one
+    per-train-doc rollup with the (jaccard DESC, bench ASC) arg-max
+    partner."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    b = BENCH_PRED
+    return _script(
+        _doc_incr_pair_stmts(k, threshold, cfg, delta=b),
+        f"""
+WITH hits_ AS (
+    SELECT doc_id_a AS doc_id, doc_id_b AS bench_id, jaccard FROM ipairs
+    WHERE {b.format(x='doc_id_b')} AND NOT ({b.format(x='doc_id_a')})
+    UNION ALL
+    SELECT doc_id_b AS doc_id, doc_id_a AS bench_id, jaccard FROM ipairs
+    WHERE {b.format(x='doc_id_a')} AND NOT ({b.format(x='doc_id_b')})),
+w_ AS (SELECT doc_id, bench_id AS top_bench_id FROM (
+    SELECT doc_id, bench_id,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY jaccard DESC, bench_id ASC) AS rn
+    FROM hits_) WHERE rn = 1)
+SELECT h.doc_id, count(*)::BIGINT AS n_bench_hits,
+       round(max(h.jaccard), 6) AS max_jaccard,
+       min(w.top_bench_id)::BIGINT AS top_bench_id
+FROM hits_ h JOIN w_ w USING (doc_id)
+GROUP BY h.doc_id""",
+    )
+
+
 def doc_incremental_dedup_sql(k: int = 3, threshold: float = 0.3,
                               cfg: DedupConfig | None = None) -> str:
     """Admission twin for incremental.incremental_admission: exact (md5 vs

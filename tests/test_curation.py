@@ -78,6 +78,31 @@ def test_decontaminate_flags_benchmark_copies(spark, docs):
     assert rep2.overlap_ratio.iloc[0] == 1.0
 
 
+def test_neardup_decontaminate_flags_planted_copy(spark, docs):
+    """An exact clone of a benchmark doc must surface with jaccard 1.0;
+    every reported row is a train doc, every partner a bench doc, and
+    max_jaccard clears the threshold."""
+    is_bench = (F.col("doc_id") % 17) == 0
+    bench = docs.where(is_bench).select("doc_id", "text")
+    corpus = docs.where(~is_bench).select("doc_id", "text")
+    # plant a byte-identical copy of a long benchmark doc under a fresh id
+    donor = bench.where(F.length("text") >= 50).limit(1)
+    clone = donor.select((F.lit(10_000_001) + F.col("doc_id")).alias("doc_id"),
+                         "text")
+    rep = curation.neardup_decontaminate(
+        corpus.unionByName(clone), bench, threshold=0.3).toPandas()
+    bench_ids = set(bench.toPandas().doc_id)
+    assert set(rep.doc_id).isdisjoint(bench_ids)
+    assert rep.doc_id.is_unique
+    assert (rep.max_jaccard >= 0.3).all()
+    assert set(rep.top_bench_id) <= bench_ids
+    assert (rep.n_bench_hits >= 1).all()
+    planted = rep[rep.doc_id >= 10_000_001]
+    assert len(planted) == 1 and planted.max_jaccard.iloc[0] == 1.0
+    donor_id = donor.toPandas().doc_id.iloc[0]
+    assert planted.doc_id.iloc[0] - 10_000_001 == donor_id
+
+
 def test_boilerplate_ngrams_df_counts(spark, docs):
     """df counts distinct documents (grams are distinct per doc before the
     explode), and every reported gram really occurs in >= min_df docs."""
