@@ -71,6 +71,8 @@ def main() -> None:
     tr_cur_df = entry.queries()["tr_curation"](spark, SF)
     tr_deco_df = entry.queries()["tr_decontamination"](spark, SF)
     kmeans_df = entry.queries()["emb_kmeans"](spark, SF)
+    semdedup_df = entry.queries()["emb_semdedup"](spark, SF)
+    nd_deco_df = entry.queries()["doc_neardup_decontam"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -129,6 +131,10 @@ def main() -> None:
             tr_deco_df,
         "spherical k-means final assignment (map-only against closure centroids)":
             kmeans_df,
+        "SemDeDup (k-means cells -> shared salted intra-cell pairs -> CC -> keep arg-min)":
+            semdedup_df,
+        "near-dup decontamination (benchmark as delta: broadcast touched-bucket semi-join)":
+            nd_deco_df,
     }
 
     checks: list[str] = []
@@ -434,6 +440,29 @@ def main() -> None:
             "exchanged on a single pair-end key / missing broadcast / "
             "quadratic stage"
         )
+
+    semdedup_plan = plan_of(semdedup_df)
+    checks.append(
+        "OK emb_semdedup: intra-cell pairs via broadcast salted buckets, "
+        "no cartesian/nested-loop stage"
+        if "BroadcastHashJoin" in semdedup_plan
+        and "CartesianProduct" not in semdedup_plan
+        and "BroadcastNestedLoopJoin" not in semdedup_plan
+        else "FAIL emb_semdedup: quadratic stage or missing broadcast salt"
+    )
+    nd_deco_plan = plan_of(nd_deco_df)
+    bad_nd_exchange = re.search(
+        r"hashpartitioning\(doc_id_[ab]#\d+L, \d+\)", nd_deco_plan)
+    checks.append(
+        "OK doc_neardup_decontam: touched-bucket/endpoint/orientation joins "
+        "broadcast; no corpus-keyed array exchange; no cartesian stage"
+        if "LeftSemi" in nd_deco_plan
+        and nd_deco_plan.count("BroadcastHashJoin") >= 3
+        and not bad_nd_exchange
+        and "CartesianProduct" not in nd_deco_plan
+        else "FAIL doc_neardup_decontam: semi-joins not broadcast or "
+        "corpus-keyed exchange / quadratic stage"
+    )
 
     out.append("## Plan-quality checks\n")
     out.extend(f"- {c}" for c in checks)
