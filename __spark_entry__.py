@@ -457,6 +457,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tr_decontamination"] = tr_decontamination
 
+    # near-dup decontamination on the primary axis: train conversations
+    # duplicating a benchmark conversation through the near (LSH) or
+    # exact (content hash) channel; %17 conv-suffix split
+    def tr_neardup_decontam(spark, sf_dir):
+        t = load_transcripts(spark, sf_dir)
+        is_bench = F.expr("CAST(substring(conv_id, 6) AS BIGINT) % 17 = 0")
+        return curation.neardup_decontaminate_transcripts(
+            t.where(~is_bench), t.where(is_bench), CFG)
+
+    q["tr_neardup_decontam"] = tr_neardup_decontam
+
     def tr_pii_turns(spark, sf_dir):
         """Turn-granular PII census on the primary axis: (conv_id,
         turn_idx, per-class counts, n_pii, has_pii). Agent transcripts
@@ -1273,6 +1284,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_simhash_pairs"] = oq.doc_simhash_sql(max_hamming=6, k=3)
     o["tr_near_pairs"] = oq.tr_near_pairs_sql(tr, CFG)
     o["tr_incremental_pairs"] = oq.tr_incremental_pairs_sql(tr, CFG)
+    o["tr_neardup_decontam"] = oq.tr_neardup_decontam_sql(tr, CFG)
     o["tr_incremental_clusters"] = oq.tr_incremental_clusters_sql(tr, CFG)
     o["tr_incremental_dedup"] = oq.tr_incremental_dedup_sql(tr, CFG)
     o["tr_simhash_pairs"] = oq.tr_simhash_sql(tr, max_hamming=6, cfg=CFG)

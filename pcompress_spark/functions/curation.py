@@ -182,6 +182,88 @@ def neardup_decontaminate(
     )
 
 
+def neardup_decontaminate_transcripts(
+    corpus_tr: DataFrame,
+    benchmark_tr: DataFrame,
+    cfg=None,
+) -> DataFrame:
+    """Near-dup decontamination on the PRIMARY axis: training
+    conversations that duplicate a benchmark conversation, by either
+    channel — verified LSH near-dup (shingle Jaccard over the assembled
+    conversation) or byte-exact content hash. Returns one row per
+    CONTAMINATED training conversation:
+    (conv_id, n_bench_hits, max_jaccard, top_bench_id), top_bench_id the
+    (jaccard DESC, bench conv ASC) arg-max partner.
+
+    The exact channel probes content hashes DIRECTLY (train signatures
+    joined against a broadcast of the benchmark's per-hash min conv_id)
+    rather than reusing the pipeline's exact star: star edges connect
+    members to their group REP, so a train copy in a group whose rep is
+    another train conv would never meet the bench member through the
+    star. Near evidence rides incremental_transcript_pairs with the
+    benchmark as the delta (O(benchmark + touched buckets) per run — the
+    corpus is never re-paired; pass persisted stage tables at scale).
+    Tiny conversations below the shingle floor have no bands and are
+    caught by the exact channel only — a paraphrased tiny conv is
+    invisible to both, which is the documented LSH floor trade-off."""
+    from ..config import DedupConfig
+    from ..operators.assemble import assemble
+    from ..operators.signatures import compute_signatures
+    from .. import cache
+    from .incremental import incremental_transcript_pairs
+
+    cfg = cfg or DedupConfig()
+    csig = cache.persist(compute_signatures(assemble(corpus_tr), cfg))
+    bsig = cache.persist(compute_signatures(assemble(benchmark_tr), cfg))
+    near = incremental_transcript_pairs(
+        corpus_tr, benchmark_tr, cfg, corpus_sig=csig, delta_sig=bsig
+    ).where(F.col("match_kind") == "near")
+    bids = bsig.select(F.col("conv_id").alias("bid"))
+    p1 = (
+        near.join(F.broadcast(bids), F.col("conv_id_b") == F.col("bid"),
+                  "left_semi")
+        .join(F.broadcast(bids), F.col("conv_id_a") == F.col("bid"),
+              "left_anti")
+        .select(F.col("conv_id_a").alias("conv_id"),
+                F.col("conv_id_b").alias("bench_id"),
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+    p2 = (
+        near.join(F.broadcast(bids), F.col("conv_id_a") == F.col("bid"),
+                  "left_semi")
+        .join(F.broadcast(bids), F.col("conv_id_b") == F.col("bid"),
+              "left_anti")
+        .select(F.col("conv_id_b").alias("conv_id"),
+                F.col("conv_id_a").alias("bench_id"),
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+    bench_hash = bsig.groupBy("content_hash").agg(
+        F.min("conv_id").alias("bench_id"))
+    ex = (
+        csig.join(F.broadcast(bench_hash), "content_hash")
+        .select("conv_id", "bench_id",
+                F.lit(1.0).cast("double").alias("jaccard"))
+    )
+    # a pair can surface through both channels (identical text also
+    # collides in LSH) — collapse to one hit per (train, bench) first
+    hits = (
+        p1.unionByName(p2).unionByName(ex)
+        .groupBy("conv_id", "bench_id")
+        .agg(F.max("jaccard").alias("jaccard"))
+    )
+    return (
+        hits.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+            F.min(F.struct((-F.col("jaccard")).alias("nj"),
+                           F.col("bench_id").alias("b"))).alias("w"),
+        )
+        .select("conv_id", "n_bench_hits", "max_jaccard",
+                F.col("w.b").alias("top_bench_id"))
+    )
+
+
 def boilerplate_ngrams(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFrame:
     """Word n-grams appearing in >= min_df distinct documents, with their
     document frequency: (gram, df). The frequency-analysis half of

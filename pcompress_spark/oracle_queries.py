@@ -920,6 +920,62 @@ WHERE {d.format(x='conv_id_a')} OR {d.format(x='conv_id_b')}""",
     )
 
 
+TR_BENCH_PRED = "(CAST(substr({x}, 6) AS BIGINT) % 17 = 0)"
+
+
+def tr_neardup_decontam_sql(tr_path: str,
+                            cfg: DedupConfig | None = None) -> str:
+    """Twin for curation.neardup_decontaminate_transcripts over the %17
+    conv-suffix benchmark split: the shared ``allpairs`` staging supplies
+    the near channel (oriented to exactly-one-bench-endpoint hits; the
+    engine's incremental pair set equals the full set restricted to a
+    bench endpoint — same equivalence tr_incremental_pairs pins); the
+    exact channel joins train content hashes directly against the
+    benchmark's per-hash min conv (the star-rep blindspot fix documented
+    in the engine); channels collapse per (train, bench) before the
+    per-conversation rollup with the (jaccard DESC, bench ASC) arg-max
+    partner."""
+    cfg = cfg or DedupConfig()
+    b = TR_BENCH_PRED
+    return _script(
+        _tr_pairs_stmts(tr_path, cfg),
+        f"""
+WITH nearh_ AS (
+    SELECT conv_id_a AS conv_id, conv_id_b AS bench_id,
+           round(jaccard, 6) AS jaccard
+    FROM allpairs
+    WHERE match_kind = 'near' AND {b.format(x='conv_id_b')}
+      AND NOT {b.format(x='conv_id_a')}
+    UNION ALL
+    SELECT conv_id_b AS conv_id, conv_id_a AS bench_id,
+           round(jaccard, 6) AS jaccard
+    FROM allpairs
+    WHERE match_kind = 'near' AND {b.format(x='conv_id_a')}
+      AND NOT {b.format(x='conv_id_b')}),
+exh_ AS (
+    SELECT t.conv_id, bh.bench_id, 1.0 AS jaccard
+    FROM tsig t
+    JOIN (SELECT chash, min(conv_id) AS bench_id FROM tsig
+          WHERE {b.format(x='conv_id')} GROUP BY chash) bh
+      ON t.chash = bh.chash
+    WHERE NOT {b.format(x='t.conv_id')}),
+hits_ AS (
+    SELECT conv_id, bench_id, max(jaccard) AS jaccard
+    FROM (SELECT * FROM nearh_ UNION ALL SELECT * FROM exh_)
+    GROUP BY conv_id, bench_id),
+w_ AS (SELECT conv_id, bench_id AS top_bench_id FROM (
+    SELECT conv_id, bench_id,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY jaccard DESC, bench_id ASC) AS rn
+    FROM hits_) WHERE rn = 1)
+SELECT h.conv_id, count(*)::BIGINT AS n_bench_hits,
+       round(max(h.jaccard), 6) AS max_jaccard,
+       min(w.top_bench_id) AS top_bench_id
+FROM hits_ h JOIN w_ w USING (conv_id)
+GROUP BY h.conv_id""",
+    )
+
+
 def tr_incremental_dedup_sql(tr_path: str,
                              cfg: DedupConfig | None = None) -> str:
     """Twin for incremental.incremental_transcript_admission: per delta

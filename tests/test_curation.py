@@ -177,6 +177,37 @@ def test_pack_assignments_shard_route_is_hash(spark, docs):
     assert sizes.max() <= 4 * max(1, sizes.min())
 
 
+def test_tr_neardup_decontaminate_exact_and_near_channels(spark):
+    """A train conversation byte-identical to a benchmark conversation is
+    flagged at jaccard 1.0 even when its exact-dup group rep is another
+    TRAIN conversation (the star-rep blindspot the direct hash probe
+    exists for); reported rows are train-only with bench partners."""
+    from pcompress_spark.sources.tables import load_transcripts
+
+    turns = load_transcripts(spark, SF)
+    is_bench = F.expr("CAST(substring(conv_id, 6) AS BIGINT) % 17 = 0")
+    bench = turns.where(is_bench)
+    corpus = turns.where(~is_bench)
+    # clone one bench conversation into TWO train convs whose ids sort
+    # BELOW every bench id — the exact star's rep is then a train conv,
+    # so star edges alone would miss the second clone
+    donor_id = bench.select("conv_id").distinct().orderBy("conv_id").limit(1)
+    donor = bench.join(donor_id, "conv_id")
+    c1 = donor.withColumn("conv_id", F.concat(F.lit("aaaa-1-"), "conv_id"))
+    c2 = donor.withColumn("conv_id", F.concat(F.lit("aaaa-2-"), "conv_id"))
+    rep = curation.neardup_decontaminate_transcripts(
+        corpus.unionByName(c1).unionByName(c2), bench).toPandas()
+    bench_ids = set(bench.select("conv_id").distinct().toPandas().conv_id)
+    assert set(rep.conv_id).isdisjoint(bench_ids)
+    assert set(rep.top_bench_id) <= bench_ids
+    assert rep.conv_id.is_unique and (rep.n_bench_hits >= 1).all()
+    dn = donor_id.toPandas().conv_id.iloc[0]
+    planted = rep[rep.conv_id.str.startswith("aaaa-")].set_index("conv_id")
+    assert len(planted) == 2, "both clones must be flagged (star rep is train)"
+    assert (planted.max_jaccard == 1.0).all()
+    assert (planted.top_bench_id == dn).all()
+
+
 @pytest.fixture(scope="module")
 def pii_docs(spark):
     rows = [
