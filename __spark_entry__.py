@@ -214,6 +214,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  min_convs=4, min_chars=16)
 
     q["tr_boilerplate_turns"] = tr_boilerplate_turns
+
+    def tr_remove_boilerplate(spark, sf_dir):
+        """The applying transform: the turn table with cross-conversation
+        boilerplate turns removed — every input column preserved
+        (value-checked against the oracle, including the rewritten row
+        set's text and timestamps)."""
+        from pcompress_spark.operators.turns import remove_boilerplate_turns
+        return remove_boilerplate_turns(load_transcripts(spark, sf_dir),
+                                        min_convs=4, min_chars=16)
+
+    q["tr_remove_boilerplate"] = tr_remove_boilerplate
     q["tr_tool_profile"] = tr_tool_profile
     q["tr_turn_dedup_index"] = tr_turn_dedup_index
     q["tr_turn_dedup_stats"] = tr_turn_dedup_stats
@@ -1308,6 +1319,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT e.conv_id, e.turn_idx, hot.n_convs
         FROM elig e JOIN hot USING (th)
+    """
+    # the applying transform: all input columns, boilerplate rows dropped
+    # via an anti-join on the turn hash (hot hashes are at-floor only)
+    o["tr_remove_boilerplate"] = f"""
+        WITH h AS (
+            SELECT conv_id, turn_idx, role, text, tool, ts,
+                   sha256({_NORM.format(x='text')}) AS th,
+                   length({_NORM.format(x='text')}) AS n_chars
+            FROM read_parquet('{tr}')
+        ),
+        hot AS (
+            SELECT th FROM h WHERE n_chars >= 16
+            GROUP BY th HAVING count(DISTINCT conv_id) >= 4
+        )
+        SELECT h.conv_id, h.turn_idx, h.role, h.text, h.tool, h.ts
+        FROM h LEFT JOIN hot ON h.th = hot.th
+        WHERE hot.th IS NULL
     """
     o["tr_tool_profile"] = f"""
         SELECT tool,

@@ -209,3 +209,32 @@ def boilerplate_turns(
         .where(F.col("n_convs") >= int(min_convs))
     )
     return h.join(hot, "th").select("conv_id", "turn_idx", "n_convs")
+
+
+def remove_boilerplate_turns(
+    transcripts: DataFrame, min_convs: int = 4, min_chars: int = 16
+) -> DataFrame:
+    """The APPLYING transform for ``boilerplate_turns``: the corpus with
+    flagged turns REMOVED — every input column preserved, rows dropped
+    when their normalized text occurs in >= min_convs distinct
+    conversations (and clears the min_chars floor). This is the rewrite a
+    hygiene pass actually ships, not just the report.
+
+    The drop is a bare-hash LEFT ANTI join against the (small by
+    construction) hot-hash set: a hash in the hot set can only come from
+    at-floor text, and equal normalized text implies equal length, so no
+    below-floor row can collide into a drop — the floor exemption needs
+    no extra predicate. Same plan shape as the report: count-distinct
+    partial agg on (hash, conv) pairs, AQE-broadcast anti-join back, the
+    corpus text scanned once and never shuffled, no UDF."""
+    norm = norm_text_col(F.col("text"))
+    t = transcripts.withColumn("th", F.sha2(norm, 256)).withColumn(
+        "nn", F.length(norm))
+    hot = (
+        t.where(F.col("nn") >= int(min_chars))
+        .groupBy("th")
+        .agg(F.countDistinct("conv_id").alias("n_convs"))
+        .where(F.col("n_convs") >= int(min_convs))
+        .select("th")
+    )
+    return t.join(hot, "th", "left_anti").select(*transcripts.columns)

@@ -102,3 +102,29 @@ def test_boilerplate_turns_df_threshold(spark):
     flagged = set(map(tuple, out[["conv_id", "turn_idx"]].values))
     assert flagged == {("c1", 0), ("c1", 1), ("c2", 0), ("c3", 0), ("c4", 0)}
     assert (out.n_convs == 4).all()
+
+
+def test_remove_boilerplate_is_exact_complement(spark):
+    """The applying transform drops exactly the report's rows — all input
+    columns preserved, below-floor viral turns kept."""
+    from pcompress_spark.operators.turns import (
+        boilerplate_turns,
+        remove_boilerplate_turns,
+    )
+
+    rows = []
+    canned = "thanks for contacting support, how can I help you today?"
+    for c in ["c1", "c2", "c3", "c4"]:
+        rows.append((c, 0, canned))
+        rows.append((c, 1, f"unique content for {c} that stays in place"))
+    for c in ["c1", "c2", "c3", "c4", "c5"]:
+        rows.append((c, 9, "ok!"))  # viral but below the char floor
+    df = _mk(spark, rows)
+    rep = boilerplate_turns(df, min_convs=4).toPandas()
+    kept = remove_boilerplate_turns(df, min_convs=4).toPandas()
+    assert list(kept.columns) == df.columns
+    assert len(kept) == df.count() - len(rep)
+    flagged = set(map(tuple, rep[["conv_id", "turn_idx"]].values))
+    assert flagged.isdisjoint(set(zip(kept.conv_id, kept.turn_idx)))
+    # the short viral turn survives the rewrite
+    assert len(kept[(kept.turn_idx == 9)]) == 5
