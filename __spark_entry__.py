@@ -825,6 +825,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_curation"] = lambda s, d: curation.curate_corpus(
         load_table(s, d, "documents"), threshold=0.3)
 
+    # the cascade with the SemDeDup stage enabled (embeddings.vec_id is
+    # the documents table's doc_id): near_dup -> semantic_dup ->
+    # repetitive -> over_budget -> kept
+    q["doc_curation_sem"] = lambda s, d: curation.curate_corpus(
+        load_table(s, d, "documents"), threshold=0.3,
+        embeddings=load_table(s, d, "embeddings"))
+
     # the same composed cascade on the PRIMARY axis: one verdict row per
     # conversation — assemble -> admission -> near-dup keep-best ->
     # repetition -> token budget -> shard packing
@@ -1128,6 +1135,8 @@ def oracle_sql() -> dict[str, str]:
     o["doc_admission"] = admission_body
     o["doc_curation"] = oq.doc_curation_sql(admission_body, k=3,
                                             threshold=0.3)
+    o["doc_curation_sem"] = oq.doc_curation_sql(
+        admission_body, k=3, threshold=0.3, with_semantic=True)
     o["tr_curation"] = oq.tr_curation_sql(
         tr, admission_sql_for("tdocs", lang_gate=False), k=3, threshold=0.3)
     o["doc_census"] = """

@@ -640,6 +640,10 @@ def curate_corpus(
     pack_budget: int = 2048,
     n_shards: int = 8,
     lang_gate: bool = True,
+    embeddings: DataFrame | None = None,
+    sem_threshold: float = 0.4,
+    sem_clusters: int = 8,
+    sem_iters: int = 3,
 ) -> DataFrame:
     """End-to-end corpus curation verdict — the ONE table a training-data
     ingest ships, composing the individually-oracled stages into a
@@ -650,6 +654,13 @@ def curate_corpus(
       2. near_dup    MinHash-LSH + exact-star clusters over admitted docs;
                      per cluster keep the max-quality member (min doc_id on
                      ties — the dedup_keep_best policy), drop the rest
+      2b. semantic_dup (only when ``embeddings`` is given: a (vec_id ==
+                     doc_id, embedding) frame) — SemDeDup verdicts from
+                     similarity.semdedup over the FULL embedding table
+                     (cluster structure is an embedding-space property,
+                     independent of the text-level filters), applied to
+                     the docs still alive after the near stage: a
+                     non-keeper is dropped in favor of its group's keeper
       3. repetitive  Gopher-style intra-doc repetition filter
                      (repetition_report verdict)
       4. over_budget quality-ordered greedy token-budget selection
@@ -699,6 +710,28 @@ def curate_corpus(
     )
 
     s2 = s1.join(near_drops.select("doc_id"), "doc_id", "left_anti")
+
+    if embeddings is not None:
+        from .similarity import semdedup
+
+        sem = cache.persist(
+            semdedup(embeddings, sem_threshold, sem_clusters, sem_iters))
+        keepers = sem.where(F.col("keep")).select(
+            "group_id", F.col("vec_id").alias("sem_keeper"))
+        # only docs still alive after the near stage take the semantic
+        # verdict (first-match-wins); the keeper attribution may point at
+        # a doc an earlier stage dropped — same as the near stage's winner
+        sem_drops = cache.persist(
+            s2.select("doc_id").join(
+                sem.where(~F.col("keep"))
+                .join(keepers, "group_id")
+                .select(F.col("vec_id").alias("doc_id"), "sem_keeper"),
+                "doc_id")
+        )
+        s2 = s2.join(sem_drops.select("doc_id"), "doc_id", "left_anti")
+    else:
+        sem_drops = None
+
     rep = cache.persist(
         repetition_report(s2, top_frac_max, dup_ratio_max)
         .select("doc_id", "repetitive")
@@ -721,9 +754,14 @@ def curate_corpus(
         .join(bud.select("doc_id", "kept"), "doc_id", "left")
         .join(packed.select("doc_id", "shard", "pack_id"), "doc_id", "left")
     )
+    if sem_drops is not None:
+        out = out.join(sem_drops, "doc_id", "left")
+    else:
+        out = out.withColumn("sem_keeper", F.lit(None).cast("long"))
     verdict = (
         F.when(F.col("reason") != "ok", F.col("reason"))
         .when(F.col("near_keeper").isNotNull(), "near_dup")
+        .when(F.col("sem_keeper").isNotNull(), "semantic_dup")
         .when(F.col("repetitive"), "repetitive")
         .when(~F.col("kept"), "over_budget")
         .otherwise("kept")
@@ -731,6 +769,7 @@ def curate_corpus(
     keeper = (
         F.when(F.col("reason") == "exact_dup", F.col("keeper_doc_id"))
         .when(F.col("near_keeper").isNotNull(), F.col("near_keeper"))
+        .when(F.col("sem_keeper").isNotNull(), F.col("sem_keeper"))
         .cast("long")
     )
     return out.select(

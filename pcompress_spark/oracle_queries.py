@@ -1654,18 +1654,20 @@ def emb_kmeans_sql(n_clusters: int = 8, n_iters: int = 3,
     return _script(*stmts, final)
 
 
-def emb_semdedup_sql(threshold: float = 0.4, n_clusters: int = 8,
-                     n_iters: int = 3, dim: int = 64,
-                     cfg: DedupConfig | None = None) -> str:
-    """Twin for similarity.semdedup: the staged k-means assignment ->
-    intra-cell pairs under the shared salted/capped bucket rule (cell id
-    as the bucket key, vec_id as the salt) -> exact-cosine edges at the
-    rounded threshold -> recursive-reach groups (min vec_id label,
-    singletons self) -> keep = the group's (score ASC, vec_id ASC) arg-min
-    (SemDeDup's keep-low-centroid-similarity representative)."""
+def _semdedup_stmts(threshold: float = 0.4, n_clusters: int = 8,
+                    n_iters: int = 3, dim: int = 64,
+                    cfg: DedupConfig | None = None) -> list:
+    """Statements for the similarity.semdedup twin, ending in TEMP TABLE
+    ``sem`` (vec_id, cluster, score, group_id, keep): the staged k-means
+    assignment -> intra-cell pairs under the shared salted/capped bucket
+    rule (cell id as the bucket key, vec_id as the salt) -> exact-cosine
+    edges at the rounded threshold -> recursive-reach groups (min vec_id
+    label, singletons self) -> keep = the group's (score ASC, vec_id ASC)
+    arg-min (SemDeDup's keep-low-centroid-similarity representative).
+    Split out so the curation cascade twin can chain the same stage."""
     cfg = cfg or DedupConfig()
     kstmts, kfinal = _kmeans_parts(n_clusters, n_iters, dim)
-    return _script(
+    return [
         *kstmts,
         f"CREATE OR REPLACE TEMP TABLE kasg AS {kfinal};",
         """
@@ -1697,6 +1699,7 @@ WITH RECURSIVE reach(src, dst) AS (
 SELECT src::BIGINT AS vec_id, min(dst)::BIGINT AS group_id
 FROM reach GROUP BY src;""",
         """
+CREATE OR REPLACE TEMP TABLE sem AS
 WITH w_ AS (SELECT group_id, vec_id AS wvec FROM (
     SELECT c.group_id, k.vec_id,
            row_number() OVER (PARTITION BY c.group_id
@@ -1704,7 +1707,17 @@ WITH w_ AS (SELECT group_id, vec_id AS wvec FROM (
     FROM kcc c JOIN kasg k USING (vec_id)) WHERE rn = 1)
 SELECT k.vec_id, k.cluster, k.score, c.group_id,
        (k.vec_id = w.wvec) AS keep
-FROM kasg k JOIN kcc c USING (vec_id) JOIN w_ w USING (group_id)""",
+FROM kasg k JOIN kcc c USING (vec_id) JOIN w_ w USING (group_id);""",
+    ]
+
+
+def emb_semdedup_sql(threshold: float = 0.4, n_clusters: int = 8,
+                     n_iters: int = 3, dim: int = 64,
+                     cfg: DedupConfig | None = None) -> str:
+    """Twin for similarity.semdedup (see _semdedup_stmts)."""
+    return _script(
+        *_semdedup_stmts(threshold, n_clusters, n_iters, dim, cfg),
+        "SELECT vec_id, cluster, score, group_id, keep FROM sem",
     )
 
 
@@ -2237,7 +2250,10 @@ def _curation_stmts(admission_sql: str, src: str = "documents",
                     top_frac_max: float = 0.2, dup_ratio_max: float = 0.3,
                     token_budget: int = 10_000, pack_budget: int = 2048,
                     n_shards: int = 8,
-                    cfg: DedupConfig | None = None) -> str:
+                    cfg: DedupConfig | None = None,
+                    with_semantic: bool = False,
+                    sem_threshold: float = 0.4, sem_clusters: int = 8,
+                    sem_iters: int = 3, sem_dim: int = 64) -> str:
     """Statements for the composed curate_corpus cascade over ``src``
     (any table with (doc_id BIGINT, text)), ending in TEMP TABLE
     ``curation_out`` (doc_id, verdict, keeper_doc_id, quality, n_tokens,
@@ -2249,6 +2265,30 @@ def _curation_stmts(admission_sql: str, src: str = "documents",
     subsets; the budget stage is the doc_budget_selection window over
     cadm.quality)."""
     cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    # optional stage 2b (semantic_dup): the shared semdedup staging over
+    # the embeddings view (vec_id == doc_id), applied to near-stage
+    # survivors; downstream stages then read csrc2b instead of csrc2
+    if with_semantic:
+        sem_sql = "\n".join([
+            *_semdedup_stmts(sem_threshold, sem_clusters, sem_iters,
+                             sem_dim, cfg),
+            """
+CREATE OR REPLACE TEMP TABLE csem AS
+SELECT s.doc_id, kp.vec_id AS sem_keeper
+FROM csrc2 s
+JOIN sem g ON g.vec_id = s.doc_id AND NOT g.keep
+JOIN (SELECT group_id, vec_id FROM sem WHERE keep) kp
+  ON kp.group_id = g.group_id;
+CREATE OR REPLACE TEMP TABLE csrc2b AS
+SELECT s.doc_id, s.text FROM csrc2 s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM csem);""",
+        ])
+    else:
+        sem_sql = """
+CREATE OR REPLACE TEMP TABLE csem AS
+SELECT NULL::BIGINT AS doc_id, NULL::BIGINT AS sem_keeper WHERE FALSE;
+CREATE OR REPLACE TEMP TABLE csrc2b AS
+SELECT doc_id, text FROM csrc2;"""
     return "\n".join([
         f"CREATE OR REPLACE TEMP TABLE cadm AS {admission_sql};",
         f"""
@@ -2272,10 +2312,11 @@ WHERE c.doc_id != w.winner;
 CREATE OR REPLACE TEMP TABLE csrc2 AS
 SELECT s.doc_id, s.text FROM csrc1 s
 WHERE s.doc_id NOT IN (SELECT doc_id FROM cnear);""",
-        _repetition_stmts("csrc2", top_frac_max, dup_ratio_max),
+        sem_sql,
+        _repetition_stmts("csrc2b", top_frac_max, dup_ratio_max),
         f"""
 CREATE OR REPLACE TEMP TABLE csrc3 AS
-SELECT s.doc_id, s.text FROM csrc2 s
+SELECT s.doc_id, s.text FROM csrc2b s
 JOIN rep_verdict r USING (doc_id) WHERE NOT r.repetitive;
 CREATE OR REPLACE TEMP TABLE cbud AS
 SELECT doc_id,
@@ -2296,11 +2337,13 @@ CREATE OR REPLACE TEMP TABLE curation_out AS
 SELECT a.doc_id,
        CASE WHEN a.reason != 'ok' THEN a.reason
             WHEN n.winner IS NOT NULL THEN 'near_dup'
+            WHEN sm.sem_keeper IS NOT NULL THEN 'semantic_dup'
             WHEN r.repetitive THEN 'repetitive'
             WHEN NOT b.kept THEN 'over_budget'
             ELSE 'kept' END AS verdict,
        (CASE WHEN a.reason = 'exact_dup' THEN a.keeper_doc_id
              WHEN n.winner IS NOT NULL THEN n.winner
+             WHEN sm.sem_keeper IS NOT NULL THEN sm.sem_keeper
              ELSE NULL END)::BIGINT AS keeper_doc_id,
        a.quality,
        len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT AS n_tokens,
@@ -2309,6 +2352,7 @@ SELECT a.doc_id,
 FROM cadm a
 JOIN {src} d USING (doc_id)
 LEFT JOIN cnear n USING (doc_id)
+LEFT JOIN csem sm USING (doc_id)
 LEFT JOIN rep_verdict r USING (doc_id)
 LEFT JOIN cbud b USING (doc_id)
 LEFT JOIN pack_out p USING (doc_id);""",
@@ -2319,13 +2363,16 @@ def doc_curation_sql(admission_sql: str, k: int = 3, threshold: float = 0.3,
                      top_frac_max: float = 0.2, dup_ratio_max: float = 0.3,
                      token_budget: int = 10_000, pack_budget: int = 2048,
                      n_shards: int = 8,
-                     cfg: DedupConfig | None = None) -> str:
+                     cfg: DedupConfig | None = None,
+                     with_semantic: bool = False) -> str:
     """Twin for curation.curate_corpus — the composed end-to-end cascade
-    over the documents table (stages in _curation_stmts)."""
+    over the documents table (stages in _curation_stmts); with_semantic
+    adds the SemDeDup stage between near-dup and repetition."""
     return _script(
         _curation_stmts(admission_sql, "documents", k, threshold,
                         top_frac_max, dup_ratio_max, token_budget,
-                        pack_budget, n_shards, cfg),
+                        pack_budget, n_shards, cfg,
+                        with_semantic=with_semantic),
         """
 SELECT doc_id, verdict, keeper_doc_id, quality, n_tokens, shard, pack_id
 FROM curation_out""",

@@ -208,6 +208,39 @@ def test_tr_neardup_decontaminate_exact_and_near_channels(spark):
     assert (planted.top_bench_id == dn).all()
 
 
+def test_curation_semantic_stage(spark, docs):
+    """The optional SemDeDup stage: earlier-stage verdicts are unchanged
+    vs the base cascade, every semantic_dup doc is a semdedup non-keeper
+    whose keeper_doc_id is its group's keeper, and no kept doc is a
+    non-keeper."""
+    from pcompress_spark.functions import similarity
+    from pcompress_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    base = curation.curate_corpus(docs, threshold=0.3).toPandas()
+    sem = curation.curate_corpus(
+        docs, threshold=0.3, embeddings=emb).toPandas()
+    b = base.set_index("doc_id").sort_index()
+    s = sem.set_index("doc_id").sort_index()
+    pre = ["exact_dup", "empty", "low_quality", "unknown_lang", "near_dup"]
+    early = b[b.verdict.isin(pre)]
+    assert (s.loc[early.index].verdict == early.verdict).all()
+
+    sd = s[s.verdict == "semantic_dup"]
+    assert len(sd) > 0, "semantic stage must fire on the fixture corpus"
+    verd = similarity.semdedup(emb, 0.4, 8, 3).toPandas()
+    m = verd.set_index("vec_id")
+    for did, row in sd.iterrows():
+        assert not m.loc[did].keep
+        g = m.loc[did].group_id
+        keeper = verd[(verd.group_id == g) & verd.keep].vec_id.iloc[0]
+        assert row.keeper_doc_id == keeper
+    # a kept doc is never a semdedup non-keeper (it would have been
+    # dropped at stage 2b before reaching the budget stage)
+    kept_ids = s[s.verdict == "kept"].index
+    assert m.loc[kept_ids].keep.all()
+
+
 @pytest.fixture(scope="module")
 def pii_docs(spark):
     rows = [
