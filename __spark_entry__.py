@@ -226,6 +226,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tr_remove_boilerplate"] = tr_remove_boilerplate
     q["tr_tool_profile"] = tr_tool_profile
+
+    def tr_tool_ngrams(spark, sf_dir):
+        """Consecutive tool-invocation bigrams per conversation — the
+        agent-behavior chain census (which tool sequences dominate)."""
+        from pcompress_spark.operators.turns import tool_sequence_ngrams
+        return tool_sequence_ngrams(load_transcripts(spark, sf_dir), n=2)
+
+    q["tr_tool_ngrams"] = tr_tool_ngrams
     q["tr_turn_dedup_index"] = tr_turn_dedup_index
     q["tr_turn_dedup_stats"] = tr_turn_dedup_stats
     q["tr_simhash_pairs"] = tr_simhash_pairs
@@ -1355,6 +1363,24 @@ def oracle_sql() -> dict[str, str]:
                round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 6)
                    AS avg_turn_tokens
         FROM read_parquet('{tr}') WHERE tool IS NOT NULL GROUP BY tool
+    """
+    # consecutive tool bigrams in stable turn order (non-tool turns
+    # between calls are skipped; window runs off the end -> dropped)
+    o["tr_tool_ngrams"] = f"""
+        WITH t AS (
+            SELECT conv_id, turn_idx, tool FROM read_parquet('{tr}')
+            WHERE tool IS NOT NULL AND tool != ''
+        ),
+        s AS (
+            SELECT conv_id, tool,
+                   lead(tool, 1) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS t1
+            FROM t
+        )
+        SELECT tool || '>' || t1 AS tools,
+               count(*)::BIGINT AS n_occurrences,
+               count(DISTINCT conv_id)::BIGINT AS n_convs
+        FROM s WHERE t1 IS NOT NULL GROUP BY 1
     """
     o["tr_assistant_near_pairs"] = oq.tr_near_pairs_sql(
         f"(SELECT conv_id, turn_idx, text FROM read_parquet('{tr}') "

@@ -238,3 +238,42 @@ def remove_boilerplate_turns(
         .select("th")
     )
     return t.join(hot, "th", "left_anti").select(*transcripts.columns)
+
+
+def tool_sequence_ngrams(
+    transcripts: DataFrame, n: int = 2, min_convs: int = 1
+) -> DataFrame:
+    """Agent-behavior census over the input schema's ``tool`` column:
+    frequency of CONSECUTIVE tool-invocation n-grams per conversation —
+    which tool chains (search>browser, editor>bash>bash, ...) dominate
+    the corpus. Non-tool turns between calls are skipped: the sequence is
+    the conversation's tool turns in stable turn order, exactly as
+    ``assemble`` orders text. Returns (tools, n_occurrences, n_convs)
+    with ``tools`` the '>'-joined n-gram, counted per occurrence and per
+    distinct conversation, filtered to n_convs >= min_convs.
+
+    Plan shape: one hash exchange on conv_id feeds the lead() window
+    (per-conversation state only — never a global sort), then a
+    count-distinct partial agg on the (gram, conv_id) pairs; text is
+    never read, no UDF, whole-stage codegen end to end."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.where(
+        F.col("tool").isNotNull() & (F.col("tool") != "")
+    ).select("conv_id", "turn_idx", "tool")
+    cols = [F.col("tool")] + [
+        F.lead("tool", i).over(w) for i in range(1, int(n))
+    ]
+    grams = t.select(
+        "conv_id", F.concat_ws(">", *cols).alias("tools"),
+        cols[-1].isNotNull().alias("full"),
+    ).where(F.col("full"))
+    return (
+        grams.groupBy("tools")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+        .where(F.col("n_convs") >= int(min_convs))
+    )

@@ -104,6 +104,41 @@ def test_boilerplate_turns_df_threshold(spark):
     assert (out.n_convs == 4).all()
 
 
+def test_tool_sequence_ngrams_skip_and_order(spark):
+    """Bigrams follow stable turn order over TOOL turns only: non-tool
+    turns in between are skipped, sequences never cross conversations,
+    and a single-tool conversation yields no bigram."""
+    from pcompress_spark.operators.turns import tool_sequence_ngrams
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        # c1: search -> (text) -> bash -> editor  => search>bash, bash>editor
+        ("c1", 0, "user", "find the bug", "", ts),
+        ("c1", 1, "tool", "results", "search", ts),
+        ("c1", 2, "assistant", "let me check", None, ts),
+        ("c1", 3, "tool", "ran", "bash", ts),
+        ("c1", 4, "tool", "edited", "editor", ts),
+        # c2: bash -> editor again, plus a lone trailing search
+        ("c2", 0, "tool", "ran", "bash", ts),
+        ("c2", 1, "tool", "edited", "editor", ts),
+        # c3: single tool turn -> nothing
+        ("c3", 0, "tool", "x", "search", ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = tool_sequence_ngrams(df, n=2).toPandas().set_index("tools")
+    assert set(out.index) == {"search>bash", "bash>editor"}
+    assert out.loc["bash>editor"].n_occurrences == 2
+    assert out.loc["bash>editor"].n_convs == 2
+    assert out.loc["search>bash"].n_convs == 1
+    # trigrams: only c1 has three consecutive tool turns
+    tri = tool_sequence_ngrams(df, n=3).toPandas()
+    assert list(tri.tools) == ["search>bash>editor"]
+
+
 def test_remove_boilerplate_is_exact_complement(spark):
     """The applying transform drops exactly the report's rows — all input
     columns preserved, below-floor viral turns kept."""
