@@ -855,6 +855,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
 
     q["ann_label_purity"] = ann_label_purity
+
+    def ann_hard_negatives(spark, sf_dir):
+        """Hard-negative mining: per query, the k most-similar corpus
+        vectors with a DIFFERENT label — contrastive-training fuel."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.hard_negatives(
+            emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
+    q["ann_hard_negatives"] = ann_hard_negatives
     return q
 
 
@@ -1399,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
     o["emb_semdedup"] = oq.emb_semdedup_sql(
         threshold=0.4, n_clusters=8, n_iters=3, dim=64)
     o["ann_label_purity"] = oq.ann_label_purity_sql(k=5)
+    o["ann_hard_negatives"] = oq.ann_hard_negatives_sql(k=5)
     o["multimodal_features"] = oq.multimodal_sql(media_fixture_path(n=64, seed=42))
 
     # ---- provenance (multi-source union) ----

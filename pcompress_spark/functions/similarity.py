@@ -701,6 +701,47 @@ def ann_recall_report(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFra
     )
 
 
+def hard_negatives(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per query
+    vector, the k most-cosine-similar corpus vectors with a DIFFERENT
+    label — the near-miss examples a contrastive loss learns the most
+    from (same construction as dense-retriever training sets mined from
+    an ANN index). One row per (query, negative):
+    (query_id, query_label, neighbor_id, neighbor_label, cosine, rank).
+
+    Scale shape: labels ride the pair BUILDER (corpus side joined
+    id-to-id before the broadcast-query cross), so the same-label filter
+    runs before scoring and the rank window sees negatives only; the
+    |queries| x k result re-attaches labels through broadcast-pair joins
+    (the knn_label_purity shape) — the corpus is never exchanged on a
+    pair key."""
+    labels = emb.select("vec_id", "label")
+    c = _prep(emb).join(labels, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vc"),
+        F.col("norm").alias("nc"), F.col("label").alias("nl"))
+    q = _prep(queries).join(labels, "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
+        F.col("norm").alias("nq"), F.col("label").alias("ql"))
+    cand = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("nl") != F.col("ql")),
+    )
+    scored = _score_pairs(cand).withColumn("cosine", F.round("cosine", 6))
+    top = _topk(scored, k)
+    enriched = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    ).join(F.broadcast(top), "neighbor_id")
+    return (
+        labels.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").alias("query_label"))
+        .join(F.broadcast(enriched), "query_id")
+        .select("query_id", "query_label", "neighbor_id",
+                "neighbor_label", "cosine", "rank")
+    )
+
+
 def knn_label_purity(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Per-query label consistency of the brute-force k-NN neighborhood —
     the standard embedding-space quality probe a training-data pipeline

@@ -693,6 +693,35 @@ GROUP BY 1, 2""",
     )
 
 
+def ann_hard_negatives_sql(k: int = 5, dim: int = 64) -> str:
+    """Twin for similarity.hard_negatives: the brute cosine scoring
+    restricted to DIFFERENT-label pairs before the per-query rank window,
+    labels re-attached in the final projection."""
+    return _script(
+        _emb_norm_stmt(),
+        f"""
+CREATE OR REPLACE TEMP TABLE negres AS
+WITH q_ AS (SELECT n.vec_id, n.v, n.nv, e.label
+            FROM nrm n JOIN embeddings e USING (vec_id)
+            WHERE n.vec_id % 100 = 0),
+scored_ AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+                   c.vec_id AS neighbor_id, ce.label AS neighbor_label,
+                   round(CASE WHEN q.nv > 0 AND c.nv > 0
+                         THEN {_dot("q.v", "c.v", dim)} / (q.nv * c.nv)
+                         ELSE 0.0 END, 6) AS cosine
+            FROM nrm c JOIN embeddings ce USING (vec_id), q_ q
+            WHERE q.vec_id != c.vec_id AND ce.label != q.label)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+       rank::BIGINT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+      FROM scored_) WHERE rank <= {k};""",
+        """SELECT query_id, query_label, neighbor_id, neighbor_label,
+cosine, rank FROM negres""",
+    )
+
+
 def doc_simhash_sql(max_hamming: int = 6, k: int = 3,
                     cfg: DedupConfig | None = None) -> str:
     cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)

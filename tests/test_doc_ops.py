@@ -179,6 +179,30 @@ def test_semdedup_invariants(spark, emb):
     assert a.equals(b)
 
 
+def test_hard_negatives_are_top_mismatched(spark, emb):
+    """Every mined negative has a different label from its query, ranks
+    run 1..k, and the negatives are exactly the best-cosine mismatched
+    neighbors from the full brute ranking."""
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    neg = similarity.hard_negatives(emb, q, k=5).toPandas()
+    assert (neg.query_label != neg.neighbor_label).all()
+    assert set(neg.groupby("query_id")["rank"].apply(
+        lambda s: tuple(sorted(s)))) == {(1, 2, 3, 4, 5)}
+    # brute list filtered to mismatches reproduces the same top-5
+    full = similarity.cosine_topk_bruteforce(emb, q, k=10**6).toPandas()
+    labels = emb.select("vec_id", "label").toPandas().set_index("vec_id").label
+    full["ql"] = labels[full.query_id].to_numpy()
+    full["nl"] = labels[full.neighbor_id].to_numpy()
+    mm = full[full.ql != full.nl]
+    for qid, grp in neg.groupby("query_id"):
+        want = (mm[mm.query_id == qid]
+                .sort_values(["cosine", "neighbor_id"],
+                             ascending=[False, True]).head(5))
+        got = grp.sort_values("rank")
+        assert list(got.neighbor_id) == list(want.neighbor_id)
+        assert (got.cosine.to_numpy() == want.cosine.to_numpy()).all()
+
+
 def test_ann_lsh_subset_of_bruteforce_scores(spark, emb):
     """Every LSH result must carry the exact cosine the brute-force computes,
     and per-query recall should clear a floor."""
