@@ -703,6 +703,63 @@ def compact_near_dup_store(spark, work_dir: str,
                 f"compaction rename failed: {tmp} -> batch=c{tag}")
 
 
+def start_decontam_stream(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    work_dir: str,
+    n: int = 3,
+    overlap_threshold: float = 0.5,
+    watermark: str = "10 minutes",
+    trigger_available_now: bool = True,
+):
+    """Ingest-time benchmark decontamination gate — the streaming twin of
+    curation.decontaminate, run the moment a conversation closes instead
+    of in a nightly batch. Conversations are assembled under the
+    watermark (assemble_windowed, stable turn order); each micro-batch of
+    CLOSED conversations is scored against the static ``benchmark``
+    (doc_id, text) suite: per-conversation n-gram leak ratio via the
+    broadcast eval-gram join. Reports land in
+    ``work_dir/report/batch=N/`` as (conv_id, n_grams, n_overlap,
+    overlap_ratio, contaminated) — batch-keyed OVERWRITE, so an
+    at-least-once replay is idempotent (same rule as the near-dup
+    stream's subdirs). Returns the started StreamingQuery; read with
+    ``spark.read.parquet(work_dir + "/report")``.
+
+    Unlike the near-dup stream this gate needs NO cross-batch store: a
+    conversation's verdict depends only on its own text and the static
+    benchmark, so per-batch work is O(batch) with the gram set broadcast
+    — the streaming form is exactly the batch op applied per micro-batch
+    (the batch-parity test asserts equality row-for-row). The benchmark
+    gram set is recomputed per micro-batch from the (small) suite; cache
+    the benchmark DataFrame if the suite is large."""
+    import os
+
+    from ..functions.curation import decontaminate
+
+    asm = assemble_windowed(stream, watermark)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select(
+            F.col("conv_id").alias("doc_id"),
+            F.col("doc_text").alias("text"),
+        )
+        rep = decontaminate(
+            docs, benchmark, n=n, overlap_threshold=overlap_threshold
+        ).withColumnRenamed("doc_id", "conv_id")
+        rep.write.mode("overwrite").parquet(
+            os.path.join(work_dir, "report", f"batch={batch_id}")
+        )
+
+    writer = (
+        asm.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_exact_dedup(stream: DataFrame, cfg: DedupConfig | None = None,
                           watermark: str = "10 minutes") -> DataFrame:
     """Exact-dup suppression within the watermark horizon: first conversation

@@ -225,6 +225,41 @@ def test_streaming_near_dup_pairs_match_batch(spark, timed_transcripts,
     assert len(got) == len(got.drop_duplicates(["conv_id_a", "conv_id_b"]))
 
 
+def test_streaming_decontam_matches_batch(spark, timed_transcripts,
+                                          stream_input_dir, tmp_path):
+    """The ingest-time decontamination gate equals the batch op applied
+    to the closed conversations, row for row (no cross-batch state)."""
+    from pcompress_spark.functions.curation import decontaminate
+    from pcompress_spark.streaming.dedup_stream import start_decontam_stream
+
+    batch_df = spark.createDataFrame(timed_transcripts)
+    # stand-in eval suite: every 7th conversation's assembled text
+    asm_b = assemble(batch_df).select(
+        F.col("conv_id").alias("doc_id"), F.col("doc_text").alias("text"))
+    bench = asm_b.where(
+        F.expr("CAST(substring(doc_id, 6) AS BIGINT) % 7 = 0"))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_input_dir)
+    )
+    wd = str(tmp_path / "deco_wd")
+    q = start_decontam_stream(stream, bench, wd, n=3, overlap_threshold=0.5)
+    assert q.awaitTermination(300), "decontam stream did not finish"
+    got = spark.read.parquet(f"{wd}/report").drop("batch").toPandas()
+    assert len(got) > 0 and got.conv_id.is_unique
+    want = decontaminate(asm_b, bench, n=3, overlap_threshold=0.5).toPandas()
+    want = want[want.doc_id.isin(set(got.conv_id))].rename(
+        columns={"doc_id": "conv_id"})
+    g = got.sort_values("conv_id").reset_index(drop=True)
+    w = want.sort_values("conv_id").reset_index(drop=True)[g.columns]
+    assert g.equals(w)
+    # benchmark members themselves report full overlap (they ARE the suite)
+    bench_ids = set(bench.toPandas().doc_id)
+    hit = g[g.conv_id.isin(bench_ids) & (g.n_grams > 0)]
+    assert len(hit) and (hit.overlap_ratio == 1.0).all()
+
+
 def test_near_dup_process_replay_idempotent(spark, timed_transcripts, tmp_path):
     """foreachBatch is at-least-once: replaying the same (batch_df, batch_id)
     must leave store and pairs unchanged (batch-keyed overwrite)."""
