@@ -332,3 +332,27 @@ def test_run_curation_script_end_to_end(tmp_path):
         f"SELECT * FROM read_parquet('{out_dir}/kept/*/*.parquet')").df()
     assert len(kept) == res["kept_rows"]
     assert {"doc_id", "pack_id", "n_tokens", "text"} <= set(kept.columns)
+
+
+def test_run_curation_script_semantic_stage(tmp_path):
+    """--embeddings enables the SemDeDup stage: semantic_dup verdicts
+    appear and the verdict partition still covers every input doc."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_DRIVER_MEM="4g")
+    out_dir = tmp_path / "curated_sem"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_curation.py"),
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+         "--output", str(out_dir), "--master", "local[4]",
+         "--shuffle-partitions", "4"],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["verdicts"].get("semantic_dup", 0) > 0
+    import duckdb
+
+    n_in = duckdb.sql(
+        "SELECT count(*) FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')").fetchone()[0]
+    assert sum(res["verdicts"].values()) == n_in

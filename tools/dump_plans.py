@@ -73,6 +73,9 @@ def main() -> None:
     kmeans_df = entry.queries()["emb_kmeans"](spark, SF)
     semdedup_df = entry.queries()["emb_semdedup"](spark, SF)
     nd_deco_df = entry.queries()["doc_neardup_decontam"](spark, SF)
+    tool_ng_df = entry.queries()["tr_tool_ngrams"](spark, SF)
+    hardneg_df = entry.queries()["ann_hard_negatives"](spark, SF)
+    rm_boiler_df = entry.queries()["tr_remove_boilerplate"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -135,6 +138,12 @@ def main() -> None:
             semdedup_df,
         "near-dup decontamination (benchmark as delta: broadcast touched-bucket semi-join)":
             nd_deco_df,
+        "tool-chain census (one conv exchange -> lead window -> count-distinct agg, JVM only)":
+            tool_ng_df,
+        "hard-negative mining (labels ride the pair builder, broadcast query side)":
+            hardneg_df,
+        "boilerplate removal (bare-hash anti-join rewrite, text never shuffled)":
+            rm_boiler_df,
     }
 
     checks: list[str] = []
@@ -462,6 +471,32 @@ def main() -> None:
         and "CartesianProduct" not in nd_deco_plan
         else "FAIL doc_neardup_decontam: semi-joins not broadcast or "
         "corpus-keyed exchange / quadratic stage"
+    )
+
+    tool_ng_plan = plan_of(tool_ng_df)
+    n_tool_exch = tool_ng_plan.count("Arguments: hashpartitioning")
+    checks.append(
+        f"OK tr_tool_ngrams: JVM-only ({n_tool_exch} hash exchanges: conv "
+        "window + gram agg), no Python UDF"
+        if "MapInPandas" not in tool_ng_plan
+        and "BatchEvalPython" not in tool_ng_plan
+        and n_tool_exch <= 2
+        else "FAIL tr_tool_ngrams: Python UDF or extra shuffles"
+    )
+    hardneg_plan = plan_of(hardneg_df)
+    checks.append(
+        "OK ann_hard_negatives: query side broadcast, labels joined "
+        "id-to-id, no cartesian stage"
+        if "BroadcastHashJoin" in hardneg_plan or "BroadcastNestedLoopJoin" in hardneg_plan
+        else "FAIL ann_hard_negatives: missing broadcast"
+    )
+    rm_plan = plan_of(rm_boiler_df)
+    checks.append(
+        "OK tr_remove_boilerplate: hot-hash anti-join, no Python UDF, no "
+        "cartesian stage"
+        if "LeftAnti" in rm_plan and "MapInPandas" not in rm_plan
+        and "CartesianProduct" not in rm_plan
+        else "FAIL tr_remove_boilerplate: missing anti-join or Python UDF"
     )
 
     out.append("## Plan-quality checks\n")

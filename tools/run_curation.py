@@ -54,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--token-budget", type=int, default=10_000)
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--n-shards", type=int, default=8)
+    ap.add_argument("--embeddings", default=None,
+                    help="optional embeddings table (vec_id == doc_id): "
+                    "enables the SemDeDup semantic_dup stage between "
+                    "near-dup and repetition")
+    ap.add_argument("--sem-threshold", type=float, default=0.4,
+                    help="semantic-dup cosine threshold (1 - eps)")
+    ap.add_argument("--sem-clusters", type=int, default=8,
+                    help="k-means cells for the SemDeDup pair search")
     ap.add_argument("--config-json", default=None,
                     help="DedupConfig field overrides as a JSON object")
     args = ap.parse_args(argv)
@@ -78,10 +86,17 @@ def main(argv: list[str] | None = None) -> int:
     else:
         docs = spark.read.table(args.input)
 
+    emb = None
+    if args.embeddings:
+        emb = (spark.read.parquet(args.embeddings)
+               if args.format == "parquet"
+               else spark.read.table(args.embeddings))
     verdict = curate_corpus(
         docs, cfg=cfg, quality_min=args.quality_min,
         threshold=args.threshold, token_budget=args.token_budget,
         pack_budget=args.pack_budget, n_shards=args.n_shards,
+        embeddings=emb, sem_threshold=args.sem_threshold,
+        sem_clusters=args.sem_clusters,
     )
     verdict_dir = os.path.join(args.output, "verdict")
     verdict.write.mode("overwrite").parquet(verdict_dir)
