@@ -234,6 +234,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tool_sequence_ngrams(load_transcripts(spark, sf_dir), n=2)
 
     q["tr_tool_ngrams"] = tr_tool_ngrams
+
+    def tr_turn_census(spark, sf_dir):
+        """Per-role x content-class turn census — what each role emits
+        (shared classifier with doc_census and the D6 routing path)."""
+        from pcompress_spark.operators.turns import turn_census
+        return turn_census(load_transcripts(spark, sf_dir))
+
+    q["tr_turn_census"] = tr_turn_census
     q["tr_turn_dedup_index"] = tr_turn_dedup_index
     q["tr_turn_dedup_stats"] = tr_turn_dedup_stats
     q["tr_simhash_pairs"] = tr_simhash_pairs
@@ -1390,6 +1398,23 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_occurrences,
                count(DISTINCT conv_id)::BIGINT AS n_convs
         FROM s WHERE t1 IS NOT NULL GROUP BY 1
+    """
+    # per-role turn census through the SAME content classifier the doc
+    # census and routing path use
+    o["tr_turn_census"] = f"""
+        WITH feat AS (
+            SELECT conv_id, role,
+                   CASE WHEN length(lower(text)) = 0 THEN 'empty'
+                        WHEN length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
+                             / length(lower(text)) > 0.10 THEN 'numeric'
+                        WHEN length(regexp_replace(lower(text), '[^ ]', '', 'g'))::DOUBLE
+                             / length(lower(text)) > 0.25 THEN 'airy'
+                        ELSE 'dense' END AS content_class
+            FROM read_parquet('{tr}')
+        )
+        SELECT role, content_class, count(*)::BIGINT AS n_turns,
+               count(DISTINCT conv_id)::BIGINT AS n_convs
+        FROM feat GROUP BY role, content_class
     """
     o["tr_assistant_near_pairs"] = oq.tr_near_pairs_sql(
         f"(SELECT conv_id, turn_idx, text FROM read_parquet('{tr}') "

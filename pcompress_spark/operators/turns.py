@@ -240,6 +240,29 @@ def remove_boilerplate_turns(
     return t.join(hot, "th", "left_anti").select(*transcripts.columns)
 
 
+def turn_census(transcripts: DataFrame) -> DataFrame:
+    """Per-role x content-class turn census — the transcript twin of the
+    documents table's type census (A4), answering "what does each role
+    actually emit" (assistant prose vs tool numeric dumps vs airy logs).
+    Reuses THE shared character-class classifier
+    (functions.text.content_class_col — the reference's byte-histogram
+    analyzer analog, /root/reference/filters/analyzer/analyzer.c:33-98)
+    so the routing path, the doc census, and this census can never
+    disagree on a class. Returns (role, content_class, n_turns, n_convs).
+    Map-only classify + one count-distinct partial agg; no UDF."""
+    from ..functions.text import content_class_col
+
+    return (
+        transcripts.select(
+            "conv_id", "role", content_class_col().alias("content_class"))
+        .groupBy("role", "content_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+    )
+
+
 def tool_sequence_ngrams(
     transcripts: DataFrame, n: int = 2, min_convs: int = 1
 ) -> DataFrame:
