@@ -495,6 +495,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tr_neardup_decontam"] = tr_neardup_decontam
 
+    # the conv-x-benchmark PURE probe: bench-only bucket caps (a static
+    # probe index, reusable across corpora/batches — the streaming gate's
+    # per-batch verdicts equal the batch run's by construction)
+    def tr_bench_probe(spark, sf_dir):
+        from pcompress_spark.operators.signatures import compute_signatures
+        t = load_transcripts(spark, sf_dir)
+        is_bench = F.expr("CAST(substring(conv_id, 6) AS BIGINT) % 17 = 0")
+        bsig = compute_signatures(assemble(t.where(is_bench)), CFG)
+        csig = compute_signatures(assemble(t.where(~is_bench)), CFG)
+        buckets, bs, md5 = curation.bench_probe_index(bsig, CFG)
+        return curation.probe_bench_neardup(csig, buckets, bs, md5, CFG)
+
+    q["tr_bench_probe"] = tr_bench_probe
+
     def tr_pii_turns(spark, sf_dir):
         """Turn-granular PII census on the primary axis: (conv_id,
         turn_idx, per-class counts, n_pii, has_pii). Agent transcripts
@@ -1330,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
     o["tr_near_pairs"] = oq.tr_near_pairs_sql(tr, CFG)
     o["tr_incremental_pairs"] = oq.tr_incremental_pairs_sql(tr, CFG)
     o["tr_neardup_decontam"] = oq.tr_neardup_decontam_sql(tr, CFG)
+    o["tr_bench_probe"] = oq.tr_bench_probe_sql(tr, CFG)
     o["tr_incremental_clusters"] = oq.tr_incremental_clusters_sql(tr, CFG)
     o["tr_incremental_dedup"] = oq.tr_incremental_dedup_sql(tr, CFG)
     o["tr_simhash_pairs"] = oq.tr_simhash_sql(tr, max_hamming=6, cfg=CFG)

@@ -264,6 +264,105 @@ def neardup_decontaminate_transcripts(
     )
 
 
+def bench_probe_index(benchmark_sig: DataFrame, cfg=None):
+    """Static probe-side assets for the conv-x-benchmark near-dup gate:
+    -> (buckets, bench_sig, bench_md5). ``buckets`` is the benchmark's
+    banded LSH index capped on BENCH membership alone (the shared
+    salted/capped ``bucket_members`` with min_size=1 — a single-member
+    bucket is still a probe target); ``bench_md5`` maps each benchmark
+    content hash to its min conv_id (the exact channel). Build ONCE per
+    benchmark suite, then probe any number of corpora/batches against it
+    — the index never changes, which is what makes the streaming gate's
+    per-batch verdicts equal the batch run's verdicts row for row
+    (contamination is a property of conv x benchmark, independent of the
+    rest of the corpus — unlike the corpus-capped pair semantics of
+    neardup_decontaminate_transcripts)."""
+    from ..config import DedupConfig
+    from ..operators.candidates import band_explode, bucket_members
+
+    cfg = cfg or DedupConfig()
+    banded = band_explode(benchmark_sig, cfg)
+    buckets, _stats = bucket_members(
+        banded, cfg, min_size=1, persist_sizes=False)
+    md5 = benchmark_sig.groupBy("content_hash").agg(
+        F.min("conv_id").alias("bench_id"))
+    return buckets, benchmark_sig, md5
+
+
+def probe_bench_neardup(
+    sig: DataFrame,
+    bench_buckets: DataFrame,
+    bench_sig: DataFrame,
+    bench_md5: DataFrame,
+    cfg=None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Probe a corpus (or micro-batch) signature table against a static
+    benchmark probe index (bench_probe_index): one row per CONTAMINATED
+    conversation — (conv_id, n_bench_hits, max_jaccard, top_bench_id),
+    same rollup contract as neardup_decontaminate_transcripts. Channels:
+    near = band collision against the capped bench buckets, verified by
+    exact shingle Jaccard at the rounded threshold (no est-Jaccard
+    prefilter — the probe set is benchmark-bounded, so the prefilter's
+    recall/cost trade is not worth taking here); exact = content-hash hit
+    against the bench md5 index (catches below-shingle-floor convs the
+    bands never see). A pair surfacing through both channels collapses
+    to its max jaccard.
+
+    Plan shape: the bench index is BROADCAST (eval suites are small);
+    candidate pairs are benchmark-bounded, so the verify rides the
+    audited double-broadcast composite-key shape — the corpus signature
+    table is scanned, never exchanged on a pair-end key."""
+    from ..config import DedupConfig
+    from ..operators.candidates import band_explode
+
+    cfg = cfg or DedupConfig()
+    threshold = cfg.jaccard_threshold if threshold is None else threshold
+    cbands = band_explode(sig, cfg)
+    cand = (
+        cbands.join(F.broadcast(bench_buckets), ["band_idx", "band_hash"])
+        .select(F.col("id_hash").alias("ih_c"), F.explode("ids").alias("ih_b"))
+        .where(F.col("ih_c") != F.col("ih_b"))
+        .distinct()
+    )
+    bare = F.broadcast(cand)
+    a = sig.select(F.col("id_hash").alias("ih_c"), "conv_id",
+                   F.col("shingles").alias("sh_a")).join(bare, "ih_c")
+    b = bench_sig.select(F.col("id_hash").alias("ih_b"),
+                         F.col("conv_id").alias("bench_id"),
+                         F.col("shingles").alias("sh_b")).join(bare, "ih_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+    near = (
+        a.join(b, ["ih_c", "ih_b"])
+        .select("conv_id", "bench_id", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    ex = (
+        sig.join(F.broadcast(bench_md5), "content_hash")
+        .where(F.col("conv_id") != F.col("bench_id"))
+        .select("conv_id", "bench_id",
+                F.lit(1.0).cast("double").alias("jaccard"))
+    )
+    hits = (
+        near.unionByName(ex)
+        .groupBy("conv_id", "bench_id")
+        .agg(F.max("jaccard").alias("jaccard"))
+    )
+    return (
+        hits.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+            F.min(F.struct((-F.col("jaccard")).alias("nj"),
+                           F.col("bench_id").alias("b"))).alias("w"),
+        )
+        .select("conv_id", "n_bench_hits", "max_jaccard",
+                F.col("w.b").alias("top_bench_id"))
+    )
+
+
 def boilerplate_ngrams(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFrame:
     """Word n-grams appearing in >= min_df distinct documents, with their
     document frequency: (gram, df). The frequency-analysis half of

@@ -103,6 +103,7 @@ def bucket_members(
     id_col: str = "id_hash",
     salt_col: str | None = None,
     persist_sizes: bool = True,
+    min_size: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (buckets, bucket_stats). THE shared salted/capped/logged bucket
     implementation (see module docstring).
@@ -120,6 +121,11 @@ def bucket_members(
     repeated callers that ignore stats (e.g. the per-micro-batch streaming
     path) — Spark's cache holds strong references, so per-batch persists
     would accumulate for the life of a stream.
+
+    min_size: self-join callers keep the default 2 (a singleton bucket
+    can't pair); BIPARTITE probes (a foreign key set probing these
+    buckets, e.g. the benchmark probe index) pass 1 — a single-member
+    bucket is still a valid probe target.
     """
     salt_col = salt_col or id_col
     sizes = banded.groupBy("band_idx", "band_hash").agg(
@@ -145,7 +151,7 @@ def bucket_members(
     buckets = (
         salted.groupBy("band_idx", "band_hash")
         .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, cfg.bucket_cap).alias("ids"))
-        .where(F.size("ids") >= 2)
+        .where(F.size("ids") >= int(min_size))
     )
     stats = sizes.select(
         F.count(F.lit(1)).alias("n_buckets"),

@@ -1005,6 +1005,84 @@ GROUP BY h.conv_id""",
     )
 
 
+def tr_bench_probe_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
+    """Twin for curation.bench_probe_index + probe_bench_neardup over the
+    %17 conv-suffix benchmark split: bench-only bands -> the shared
+    salted/capped bucket rule WITHOUT the >= 2 floor (min_size=1 — a
+    singleton bench bucket is still a probe target), corpus bands joined
+    in, near channel = exact shingle Jaccard at the rounded threshold (no
+    est prefilter, by design), exact channel = content-hash hit against
+    the bench per-hash min conv, channels collapsed per (conv, bench),
+    then the standard per-conversation rollup."""
+    cfg = cfg or DedupConfig()
+    r, cap = cfg.rows, cfg.bucket_cap
+    thr = cfg.jaccard_threshold
+    b = TR_BENCH_PRED
+    bands_src = (
+        f"SELECT ih AS mem, b.b AS band_idx, "
+        f"mh[b.b * {r} + 1 : b.b * {r} + {r}] AS key "
+        f"FROM tsig CROSS JOIN "
+        f"(SELECT unnest(range(0, {cfg.bands}))::INT AS b) b "
+        f"WHERE len(sh) > 0"
+    )
+    return _script(
+        _tr_sig_stmts(tr_path, cfg),
+        f"""
+CREATE OR REPLACE TEMP TABLE pb_buckets AS
+WITH bb_ AS ({bands_src} AND {b.format(x='conv_id')}),
+bsize_ AS (SELECT band_idx, key, count(*) AS m FROM bb_
+           GROUP BY band_idx, key),
+bkept_ AS (SELECT bd.mem, bd.band_idx, bd.key
+           FROM bb_ bd
+           JOIN bsize_ s ON s.band_idx = bd.band_idx AND s.key = bd.key
+           WHERE s.m <= {cap}
+              OR pymod(bd.mem, (s.m + {cap - 1}) // {cap}) = 0)
+SELECT band_idx, key, list_sort(list(mem))[1 : {cap}] AS ids
+FROM bkept_ GROUP BY band_idx, key;""",
+        f"""
+CREATE OR REPLACE TEMP TABLE pb_cand0 AS
+SELECT cb.mem AS ih_c, unnest(k.ids) AS ih_b
+FROM ({bands_src} AND NOT {b.format(x='conv_id')}) cb
+JOIN pb_buckets k ON k.band_idx = cb.band_idx AND k.key = cb.key;
+CREATE OR REPLACE TEMP TABLE pb_cand AS
+SELECT DISTINCT ih_c, ih_b FROM pb_cand0 WHERE ih_c != ih_b;""",
+        f"""
+CREATE OR REPLACE TEMP TABLE pb_hits AS
+WITH ver_ AS (SELECT a.conv_id, bb.conv_id AS bench_id,
+                     len(a.sh) AS la, len(bb.sh) AS lb,
+                     len(list_intersect(a.sh, bb.sh)) AS inter
+              FROM pb_cand c
+              JOIN tsig a ON a.ih = c.ih_c
+              JOIN tsig bb ON bb.ih = c.ih_b),
+near_ AS (SELECT conv_id, bench_id,
+                 round(CASE WHEN la + lb - inter > 0
+                       THEN inter::DOUBLE / (la + lb - inter)
+                       ELSE 1.0 END, 6) AS jaccard
+          FROM ver_),
+nearf_ AS (SELECT * FROM near_ WHERE jaccard >= {thr}),
+ex_ AS (SELECT t.conv_id, bh.bench_id, 1.0 AS jaccard
+        FROM tsig t
+        JOIN (SELECT chash, min(conv_id) AS bench_id FROM tsig
+              WHERE {b.format(x='conv_id')} GROUP BY chash) bh
+          ON t.chash = bh.chash
+        WHERE NOT {b.format(x='t.conv_id')})
+SELECT conv_id, bench_id, max(jaccard) AS jaccard
+FROM (SELECT * FROM nearf_ UNION ALL SELECT * FROM ex_)
+GROUP BY conv_id, bench_id;""",
+        """
+WITH w_ AS (SELECT conv_id, bench_id AS top_bench_id FROM (
+    SELECT conv_id, bench_id,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY jaccard DESC, bench_id ASC) AS rn
+    FROM pb_hits) WHERE rn = 1)
+SELECT h.conv_id, count(*)::BIGINT AS n_bench_hits,
+       round(max(h.jaccard), 6) AS max_jaccard,
+       min(w.top_bench_id) AS top_bench_id
+FROM pb_hits h JOIN w_ w USING (conv_id)
+GROUP BY h.conv_id""",
+    )
+
+
 def tr_incremental_dedup_sql(tr_path: str,
                              cfg: DedupConfig | None = None) -> str:
     """Twin for incremental.incremental_transcript_admission: per delta

@@ -760,6 +760,67 @@ def start_decontam_stream(
     return writer.start()
 
 
+def start_bench_probe_stream(
+    stream: DataFrame,
+    benchmark_tr: DataFrame,
+    work_dir: str,
+    cfg: DedupConfig | None = None,
+    watermark: str = "10 minutes",
+    threshold: float | None = None,
+    trigger_available_now: bool = True,
+):
+    """Paraphrase-leak gate at ingest: every closed conversation is probed
+    against a STATIC benchmark near-dup index (curation.bench_probe_index
+    — bench-only bucket caps, broadcast) the moment its watermark window
+    closes. Near channel = band collision + exact shingle Jaccard; exact
+    channel = content-hash hit. Reports land in ``work_dir/report/batch=N``
+    (batch-keyed overwrite — replay idempotent) with one
+    (conv_id, n_bench_hits, max_jaccard, top_bench_id) row per
+    contaminated conversation.
+
+    Because the index is capped on BENCH membership alone, a
+    conversation's verdict is independent of every other conversation —
+    per-batch verdicts equal a batch run's verdicts row for row (the
+    parity test pins it), and per-batch work is O(batch + index) with the
+    index broadcast. The static assets are persisted for the stream's
+    lifetime (they are benchmark-sized); unpersist after stopping the
+    stream if the session lives on."""
+    import os
+
+    from ..functions.curation import bench_probe_index, probe_bench_neardup
+    from ..operators.assemble import assemble
+    from ..operators.signatures import compute_signatures
+
+    cfg = cfg or DedupConfig()
+    bsig = compute_signatures(assemble(benchmark_tr), cfg)
+    buckets, bs, md5 = bench_probe_index(bsig, cfg)
+    buckets, bs, md5 = buckets.persist(), bs.persist(), md5.persist()
+    sigs = stateful_assemble_signatures(stream, cfg, gap=watermark)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # audit trail: WHICH conversations this batch gated (the report
+        # carries only the contaminated ones) — also what lets the
+        # parity test compare against exactly the closed population
+        batch_df = batch_df.persist()
+        batch_df.select("conv_id").write.mode("overwrite").parquet(
+            os.path.join(work_dir, "probed", f"batch={batch_id}")
+        )
+        rep = probe_bench_neardup(batch_df, buckets, bs, md5, cfg, threshold)
+        rep.write.mode("overwrite").parquet(
+            os.path.join(work_dir, "report", f"batch={batch_id}")
+        )
+        batch_df.unpersist()
+
+    writer = (
+        sigs.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_exact_dedup(stream: DataFrame, cfg: DedupConfig | None = None,
                           watermark: str = "10 minutes") -> DataFrame:
     """Exact-dup suppression within the watermark horizon: first conversation

@@ -260,6 +260,50 @@ def test_streaming_decontam_matches_batch(spark, timed_transcripts,
     assert len(hit) and (hit.overlap_ratio == 1.0).all()
 
 
+def test_streaming_bench_probe_matches_batch(spark, timed_transcripts,
+                                             stream_input_dir, tmp_path):
+    """The static-index paraphrase-leak gate: streamed per-batch verdicts
+    equal the batch probe over the closed conversations ROW FOR ROW (the
+    index is bench-capped, so a verdict is per-conversation independent)."""
+    from pcompress_spark.functions.curation import (
+        bench_probe_index,
+        probe_bench_neardup,
+    )
+    from pcompress_spark.streaming.dedup_stream import start_bench_probe_stream
+
+    batch_df = spark.createDataFrame(timed_transcripts)
+    is_bench = F.expr("CAST(substring(conv_id, 6) AS BIGINT) % 7 = 0")
+    bench_tr = batch_df.where(is_bench)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_input_dir)
+    )
+    wd = str(tmp_path / "probe_wd")
+    q = start_bench_probe_stream(stream, bench_tr, wd, CFG,
+                                 watermark="10 minutes")
+    assert q.awaitTermination(300), "bench-probe stream did not finish"
+    got = spark.read.parquet(f"{wd}/report").drop("batch").toPandas()
+    assert len(got) > 0 and got.conv_id.is_unique
+
+    # batch twin over the SAME population (all conversations), restricted
+    # to the ones that closed in the stream
+    all_sig = compute_signatures(assemble(batch_df), CFG)
+    bsig = compute_signatures(assemble(bench_tr), CFG)
+    buckets, bs, md5 = bench_probe_index(bsig, CFG)
+    want = probe_bench_neardup(all_sig, buckets, bs, md5, CFG).toPandas()
+    closed = set(spark.read.parquet(f"{wd}/probed").toPandas().conv_id)
+    assert len(closed) >= 0.8 * batch_df.select("conv_id").distinct().count()
+    assert set(got.conv_id) <= closed
+    want = want[want.conv_id.isin(closed)]
+    g = got.sort_values("conv_id").reset_index(drop=True)
+    w = want.sort_values("conv_id").reset_index(drop=True)[g.columns]
+    assert g.equals(w)
+    bench_ids = set(bench_tr.select("conv_id").distinct().toPandas().conv_id)
+    assert set(g.top_bench_id) <= bench_ids
+
+
 def test_near_dup_process_replay_idempotent(spark, timed_transcripts, tmp_path):
     """foreachBatch is at-least-once: replaying the same (batch_df, batch_id)
     must leave store and pairs unchanged (batch-keyed overwrite)."""
