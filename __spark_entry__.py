@@ -571,6 +571,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deterministic quality buckets, never a single-partition window)
     q["doc_budget_selection"] = lambda s, d: curation.budget_selection(
         load_table(s, d, "documents"), token_budget=10_000, n_buckets=16)
+    # data mixing: quality^alpha-weighted budget split across sources,
+    # then the same watermark selection within each source
+    q["doc_budget_mix"] = lambda s, d: curation.budget_mix(
+        load_table(s, d, "documents"), token_budget=10_000, alpha=2,
+        n_buckets=16)
 
     # ---- documents: text analysis ----
     q["doc_token_stats"] = lambda s, d: text_fns.token_stats(load_table(s, d, "documents"))
@@ -1104,6 +1109,45 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                  0) < 10000 AS kept
         FROM q
+    """
+    # data mixing: integer-exact weight/budget math (HUGEINT), per-source
+    # global window equals the engine's (source, qbucket)-bucketed prefix
+    o["doc_budget_mix"] = f"""
+        WITH qf AS ({quality_feat}),
+        base_ AS (
+            SELECT d.doc_id, d.source,
+                   round((alnum_ratio_raw + stop_ratio_raw + len_score_raw)
+                         / 3.0, 6) AS quality,
+                   len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT
+                       AS n_tokens
+            FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+        ),
+        src_ AS (SELECT source,
+                        round(sum(CAST(quality AS DECIMAL(18,6)))::DOUBLE
+                              / count(*), 6) AS mq
+                 FROM base_ GROUP BY source),
+        wt_ AS (SELECT source,
+                       CAST(floor(mq * mq * 1000000 + 0.5) AS BIGINT) AS w
+                FROM src_),
+        tot_ AS (SELECT sum(w)::HUGEINT AS tw FROM wt_),
+        bud_ AS (SELECT source,
+                        CASE WHEN tw > 0
+                             THEN CAST((10000::HUGEINT * w::HUGEINT) // tw
+                                  AS BIGINT)
+                             ELSE 0 END AS source_budget
+                 FROM wt_, tot_),
+        sel_ AS (SELECT doc_id, source, quality, n_tokens,
+                        coalesce(sum(n_tokens) OVER (
+                            PARTITION BY source
+                            ORDER BY quality DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                          0)::BIGINT AS cum_before
+                 FROM base_)
+        SELECT s.doc_id, s.source, s.quality, s.n_tokens,
+               b.source_budget, s.cum_before,
+               (s.cum_before < b.source_budget) AS kept
+        FROM sel_ s JOIN bud_ b USING (source)
     """
     lang_counts = ", ".join(
         f"len(list_filter(words, x -> list_contains({sw[lang]}, x)))::BIGINT AS sw_{lang}"

@@ -624,6 +624,109 @@ def budget_selection(
     )
 
 
+def budget_mix(
+    docs: DataFrame,
+    token_budget: int = 10_000,
+    alpha: int = 2,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Data MIXING: split one global token budget across sources by
+    quality weight, then greedy-select within each source — the
+    mixture-weighting step a multi-corpus training ingest runs after
+    per-source profiling (the deterministic skeleton of
+    temperature-weighted sampling: weight w_s = mean_quality_s^alpha,
+    alpha=0 uniform, larger alpha concentrates budget on cleaner
+    sources). Emits one row per doc:
+    (doc_id, source, quality, n_tokens, source_budget, cum_before, kept).
+
+    Determinism across engines (every step integer-exact or
+    bit-reproducible): mean quality is the source_profile recipe
+    (decimal-exact sum / count, 6dp double); alpha is an INTEGER
+    exponent computed by chained multiplication (identical IEEE ops in
+    Spark and DuckDB — pow() ulp drift would flip floor() at
+    boundaries); weights are scaled to integer micro-units
+    (floor(w*1e6 + 0.5)); source budgets are INTEGER arithmetic
+    token_budget * W_s // sum(W) (arbitrary-precision driver ints /
+    HUGEINT in the twin). Within a source the watermark rule is
+    budget_selection's: kept = cum_before < source_budget over
+    (quality DESC, doc_id) order.
+
+    Scale shape: two driver collects of source-bounded rows (n_sources
+    weights; n_sources x n_buckets prefix offsets — the IVF-anchor-class
+    traffic); the per-source running sum is the same bucketed
+    DISTRIBUTED prefix sum as budget_selection, windows keyed
+    (source, qbucket) — never a per-source single partition."""
+    from pyspark.sql import Window
+
+    from .text import quality_col
+
+    alpha = int(alpha)
+    if alpha < 0:
+        raise ValueError("alpha must be a non-negative integer")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    bucket = F.least(
+        F.lit(int(n_buckets) - 1),
+        F.floor((F.lit(1.0) - F.col("quality")) * F.lit(int(n_buckets))),
+    ).cast("long")
+    base = docs.select(
+        "doc_id", "source", quality_col("text").alias("quality"),
+        ntok.alias("n_tokens"),
+    ).withColumn("qbucket", bucket)
+
+    srcq = base.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("mq")
+    )
+    wts = {}
+    for r in srcq.collect():
+        w = 1.0
+        for _ in range(alpha):
+            w *= r["mq"]
+        wts[r["source"]] = int(w * 1_000_000 + 0.5)
+    tw = sum(wts.values())
+    bud_rows = [
+        (s, (int(token_budget) * w_) // tw if tw > 0 else 0)
+        for s, w_ in sorted(wts.items())
+    ]
+    bud_df = docs.sparkSession.createDataFrame(
+        bud_rows, "source string, source_budget long")
+
+    w = (
+        Window.partitionBy("source", "qbucket")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn("cum_incl", F.sum("n_tokens").over(w))
+    totals = {
+        (r["source"], r["qbucket"]): r["total"]
+        for r in base.groupBy("source", "qbucket")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    offsets = []
+    for s in sorted(wts):
+        acc = 0
+        for b in range(int(n_buckets)):
+            offsets.append((s, b, acc))
+            acc += int(totals.get((s, b), 0))
+    off_df = docs.sparkSession.createDataFrame(
+        offsets, "source string, qbucket long, bucket_offset long")
+    cum_before = (
+        F.col("bucket_offset") + F.col("cum_incl") - F.col("n_tokens")
+    ).cast("long")
+    return (
+        local.join(F.broadcast(off_df), ["source", "qbucket"])
+        .join(F.broadcast(bud_df), "source")
+        .select(
+            "doc_id", "source", "quality", "n_tokens", "source_budget",
+            cum_before.alias("cum_before"),
+            (cum_before < F.col("source_budget")).alias("kept"),
+        )
+    )
+
+
 def pack_assignments(
     docs: DataFrame, budget: int = 2048, n_shards: int = 8
 ) -> DataFrame:

@@ -208,6 +208,26 @@ def test_tr_neardup_decontaminate_exact_and_near_channels(spark):
     assert (planted.top_bench_id == dn).all()
 
 
+def test_budget_mix_weights_and_prefix_rule(spark, docs):
+    """Per-source budgets follow mean-quality^alpha ordering and never
+    exceed the global budget; within a source the watermark prefix rule
+    holds exactly; alpha=0 degenerates to equal budgets."""
+    out = curation.budget_mix(docs, token_budget=10_000, alpha=2).toPandas()
+    assert len(out) == docs.count() and out.doc_id.is_unique
+    per_src = out.groupby("source")
+    budgets = per_src.source_budget.first()
+    assert budgets.sum() <= 10_000
+    mq = per_src.quality.mean()
+    assert (budgets[mq.sort_values().index].is_monotonic_increasing)
+    for _s, g in per_src:
+        g = g.sort_values(["quality", "doc_id"], ascending=[False, True])
+        cum = g.n_tokens.cumsum().shift(fill_value=0)
+        assert (g.cum_before.to_numpy() == cum.to_numpy()).all()
+        assert ((g.cum_before < g.source_budget) == g.kept).all()
+    uni = curation.budget_mix(docs, token_budget=10_000, alpha=0).toPandas()
+    assert uni.groupby("source").source_budget.first().nunique() == 1
+
+
 def test_curation_semantic_stage(spark, docs):
     """The optional SemDeDup stage: earlier-stage verdicts are unchanged
     vs the base cascade, every semantic_dup doc is a semdedup non-keeper
