@@ -633,6 +633,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_topk_brute"] = ann_topk_brute
     q["ann_topk_lsh"] = ann_topk_lsh
+
+    def ann_topk_multiprobe(spark, sf_dir):
+        """Multi-probe hyperplane LSH: exact bucket + least-confident
+        plane flip per table — 2x probes, same index."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.hyperplane_multiprobe_topk(
+            emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
+    q["ann_topk_multiprobe"] = ann_topk_multiprobe
     q["ann_topk_ivf"] = ann_topk_ivf
     q["ann_recall_report"] = ann_recall_report
     q["emb_kmeans"] = emb_kmeans
@@ -1483,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
     o["tr_substring_verified"] = oq.tr_substring_verified_sql(tr, CFG)
     o["tr_tier_attribution"] = oq.tr_tier_attribution_sql(tr, CFG)
     o["ann_topk_lsh"] = oq.ann_lsh_sql(k=5)
+    o["ann_topk_multiprobe"] = oq.ann_multiprobe_sql(k=5)
     o["doc_embedding_lsh_pairs"] = oq.embedding_lsh_pairs_sql(threshold=0.4)
     o["doc_embedding_clusters"] = oq.embedding_clusters_sql(threshold=0.4)
     o["emb_pair_recall_report"] = oq.embedding_pair_recall_sql(threshold=0.4)

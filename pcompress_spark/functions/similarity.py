@@ -661,16 +661,101 @@ def hyperplane_lsh_topk(
     return _topk(scored, k)
 
 
+def hyperplane_multiprobe_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al., VLDB 2007): each query
+    probes its exact bucket AND the bucket across its least-confident
+    plane (min |dot|, deterministic first-plane tie-break) in every
+    table — 2x the probes against the SAME corpus index, recovering the
+    near-misses single-probe loses when a query sits close to a
+    hyperplane, without the memory cost of more tables.
+
+    Same plan shape as hyperplane_lsh_topk: the corpus is hashed once,
+    the bucket join moves only (id, table_id, bucket) triples with the
+    query probe set broadcast, candidates dedupe before the vector
+    rescore, exact cosines, window top-k."""
+    planes = _hyperplanes(n_tables, n_planes, dim, seed)
+    prepped_c = cache.persist(_prep(emb, planes=planes))
+
+    pl = planes
+
+    @kernels.trim_after
+    def gen_q(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _stack64(pdf["embedding"])
+            buckets, alts = kernels.lsh_bucket_alt_matrix(V, pl)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "v": list(V),
+                "norm": kernels.fold_norm(V),
+                "buckets": list(buckets),
+                "alts": list(alts),
+            })
+
+    prepped_q = cache.persist(
+        queries.select("vec_id", "embedding").mapInPandas(
+            gen_q,
+            "vec_id bigint, v array<double>, norm double, "
+            "buckets array<bigint>, alts array<bigint>",
+        )
+    )
+    probes = (
+        prepped_q.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("buckets").alias("table_id", "bucket"))
+        .unionByName(prepped_q.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("alts").alias("table_id", "bucket")))
+        .distinct()
+    )
+    banded_c = prepped_c.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    pair_ids = (
+        banded_c.join(F.broadcast(probes), ["table_id", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cand = pair_ids.join(
+        prepped_c.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("vc"), F.col("norm").alias("nc"),
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(prepped_q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("vq"), F.col("norm").alias("nq"),
+        )),
+        "query_id",
+    )
+    scored = _score_pairs(cand).withColumn("cosine", F.round("cosine", 6))
+    return _topk(scored, k)
+
+
 def ann_recall_report(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Recall@k of each approximate method vs the brute-force truth — the
     similarity-search analog of doc_dedup.recall_report (the north rule's
-    headline recall metric, applied to the ANN channel). Two rows:
-    (method 'lsh'|'ivf', k, n_truth, n_found, recall).
+    headline recall metric, applied to the ANN channel). Three rows:
+    (method 'lsh'|'multiprobe'|'ivf', k, n_truth, n_found, recall).
 
     The truth set (brute top-k over the query sample) is computed once and
-    persisted across the two method joins; each method's found set joins it
+    persisted across the method joins; each method's found set joins it
     on (query_id, neighbor_id) — count-only aggregates, so the report costs
-    one corpus pass per method plus two tiny joins, never a second
+    one corpus pass per method plus tiny joins, never a second
     quadratic pass.
     """
     truth = cache.persist(
@@ -696,8 +781,11 @@ def ann_recall_report(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFra
             )
         )
 
-    return one("lsh", hyperplane_lsh_topk(emb, queries, k=k)).unionByName(
-        one("ivf", ivf_topk(emb, queries, k=k))
+    return (
+        one("lsh", hyperplane_lsh_topk(emb, queries, k=k))
+        .unionByName(
+            one("multiprobe", hyperplane_multiprobe_topk(emb, queries, k=k)))
+        .unionByName(one("ivf", ivf_topk(emb, queries, k=k)))
     )
 
 

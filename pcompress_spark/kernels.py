@@ -1092,3 +1092,25 @@ def lsh_bucket_matrix(V: np.ndarray, planes: np.ndarray) -> np.ndarray:
         for p in range(n_planes):
             out[:, t] += (fold_dot(V, planes[t, p]) >= 0).astype(np.int64) << p
     return out
+
+
+def lsh_bucket_alt_matrix(
+    V: np.ndarray, planes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(buckets, alt_buckets) for multi-probe LSH: alt[t] flips the bucket
+    bit of the LEAST-CONFIDENT plane — argmin |fold_dot| over the table's
+    planes, first occurrence on ties (== the oracle's (abs(dot) ASC, p
+    ASC) rank-1 rule). Same fold order as lsh_bucket_matrix, so both
+    matrices match the SQL twin exactly."""
+    n = V.shape[0]
+    n_tables, n_planes, _ = planes.shape
+    buckets = np.zeros((n, n_tables), dtype=np.int64)
+    alts = np.zeros((n, n_tables), dtype=np.int64)
+    dots = np.empty((n, n_planes), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            dots[:, p] = fold_dot(V, planes[t, p])
+            buckets[:, t] += (dots[:, p] >= 0).astype(np.int64) << p
+        flip = np.argmin(np.abs(dots), axis=1)
+        alts[:, t] = buckets[:, t] ^ (np.int64(1) << flip)
+    return buckets, alts

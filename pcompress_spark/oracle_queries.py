@@ -1628,6 +1628,60 @@ def ann_lsh_sql(k: int = 5, n_planes: int = 6, n_tables: int = 8,
     return _script(*stmts, final)
 
 
+def _ann_multiprobe_parts(k: int = 5, n_planes: int = 6, n_tables: int = 8,
+                          dim: int = 64, seed: int = 42) -> tuple[list, str]:
+    """(setup statements, final SELECT) for the multi-probe LSH twin
+    (similarity.hyperplane_multiprobe_topk): the single-probe candidate
+    set UNION the probe across each table's least-confident plane — flip
+    p = the (abs(dot) ASC, p ASC) rank-1 plane, alt bucket = bucket XOR
+    (1 << p). Same exact-cosine scoring and rank window as the
+    single-probe twin. Split so ann_recall_sql can stage the SELECT."""
+    dot = _dot("n.v", "pl.coefs", dim)
+    stmts = [
+        *_emb_lsh_sig_stmts(n_planes, n_tables, dim, seed),
+        f"""
+CREATE OR REPLACE TEMP TABLE qdots AS
+SELECT n.vec_id, pl.t, pl.p, {dot} AS dot
+FROM nrm n CROSS JOIN planes pl
+WHERE n.vec_id % 100 = 0;""",
+        """
+CREATE OR REPLACE TEMP TABLE qprobes AS
+SELECT s.vec_id, s.t, s.bucket
+FROM sigs s WHERE s.vec_id % 100 = 0
+UNION
+SELECT f.vec_id, f.t, xor(s.bucket, (1 << f.p))::BIGINT AS bucket
+FROM (SELECT vec_id, t, p FROM (
+          SELECT vec_id, t, p,
+                 row_number() OVER (PARTITION BY vec_id, t
+                                    ORDER BY abs(dot) ASC, p ASC) AS rn
+          FROM qdots) WHERE rn = 1) f
+JOIN sigs s ON s.vec_id = f.vec_id AND s.t = f.t;""",
+    ]
+    final = f"""
+WITH cand_ AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM qprobes q
+               JOIN sigs c ON c.t = q.t AND c.bucket = q.bucket
+               WHERE c.vec_id != q.vec_id),
+scored_ AS (SELECT cd.query_id, cd.neighbor_id,
+                   round(CASE WHEN a.nv > 0 AND b.nv > 0
+                         THEN {_dot("a.v", "b.v", dim)} / (a.nv * b.nv)
+                         ELSE 0.0 END, 6) AS cosine
+            FROM cand_ cd
+            JOIN nrm a ON a.vec_id = cd.query_id
+            JOIN nrm b ON b.vec_id = cd.neighbor_id)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+FROM scored_ QUALIFY rank <= {k}"""
+    return stmts, final
+
+
+def ann_multiprobe_sql(k: int = 5, n_planes: int = 6, n_tables: int = 8,
+                       dim: int = 64, seed: int = 42) -> str:
+    stmts, final = _ann_multiprobe_parts(k, n_planes, n_tables, dim, seed)
+    return _script(*stmts, final)
+
+
 def _ann_ivf_parts(k: int = 5, n_cells: int = 16, n_probe: int = 4,
                    dim: int = 64) -> tuple[list[str], str]:
     """(setup statements, final SELECT) for the IVF top-k twin."""
@@ -1830,11 +1884,12 @@ def emb_semdedup_sql(threshold: float = 0.4, n_clusters: int = 8,
 
 def ann_recall_sql(k: int = 5, dim: int = 64) -> str:
     """Twin for similarity.ann_recall_report: recall@k of each approximate
-    method (hyperplane LSH, IVF) against the brute-force cosine top-k truth
-    over the same % 100 = 0 query sample — two rows
+    method (hyperplane LSH, multi-probe LSH, IVF) against the brute-force
+    cosine top-k truth over the same % 100 = 0 query sample — three rows
     (method, k, n_truth, n_found, recall). Every heavy level is staged in a
     TEMP TABLE (plain CTEs re-expand in DuckDB)."""
     lsh_stmts, lsh_final = _ann_lsh_parts(k=k, dim=dim)
+    mp_stmts, mp_final = _ann_multiprobe_parts(k=k, dim=dim)
     ivf_stmts, ivf_final = _ann_ivf_parts(k=k, dim=dim)
     brute = f"""
 CREATE OR REPLACE TEMP TABLE bruteres AS
@@ -1853,6 +1908,8 @@ FROM (SELECT query_id, neighbor_id,
     return _script(
         *lsh_stmts,
         f"CREATE OR REPLACE TEMP TABLE lshres AS {lsh_final};",
+        *mp_stmts,
+        f"CREATE OR REPLACE TEMP TABLE mpres AS {mp_final};",
         *ivf_stmts,
         f"CREATE OR REPLACE TEMP TABLE ivfres AS {ivf_final};",
         brute,
@@ -1860,10 +1917,15 @@ FROM (SELECT query_id, neighbor_id,
 WITH nt AS (SELECT count(*)::BIGINT AS n_truth FROM bruteres),
 l AS (SELECT count(*)::BIGINT AS n_found
       FROM bruteres t JOIN lshres f USING (query_id, neighbor_id)),
+m AS (SELECT count(*)::BIGINT AS n_found
+      FROM bruteres t JOIN mpres f USING (query_id, neighbor_id)),
 v AS (SELECT count(*)::BIGINT AS n_found
       FROM bruteres t JOIN ivfres f USING (query_id, neighbor_id))
 SELECT 'lsh' AS method, {k}::BIGINT AS k, nt.n_truth, l.n_found,
        {rec} AS recall FROM nt, l
+UNION ALL
+SELECT 'multiprobe' AS method, {k}::BIGINT AS k, nt.n_truth, m.n_found,
+       {rec} AS recall FROM nt, m
 UNION ALL
 SELECT 'ivf' AS method, {k}::BIGINT AS k, nt.n_truth, v.n_found,
        {rec} AS recall FROM nt, v""",

@@ -179,7 +179,23 @@ def test_semdedup_invariants(spark, emb):
     assert a.equals(b)
 
 
-def test_hard_negatives_are_top_mismatched(spark, emb):
+def test_multiprobe_recall_dominates_single_probe(spark, emb):
+    """Multi-probe candidates are a SUPERSET of single-probe candidates
+    (the exact bucket is always probed), so recall@k vs the brute truth
+    can only improve; scores stay exact."""
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    brute = similarity.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    single = similarity.hyperplane_lsh_topk(emb, q, k=5).toPandas()
+    multi = similarity.hyperplane_multiprobe_topk(emb, q, k=5).toPandas()
+    truth = set(zip(brute.query_id, brute.neighbor_id))
+    rs = len(truth & set(zip(single.query_id, single.neighbor_id))) / len(truth)
+    rm = len(truth & set(zip(multi.query_id, multi.neighbor_id))) / len(truth)
+    assert rm >= rs
+    # exact scores on everything emitted
+    full = similarity.cosine_topk_bruteforce(emb, q, k=10**6).toPandas()
+    fscore = {(r.query_id, r.neighbor_id): r.cosine for r in full.itertuples()}
+    for r in multi.itertuples():
+        assert abs(fscore[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
     """Every mined negative has a different label from its query, ranks
     run 1..k, and the negatives are exactly the best-cosine mismatched
     neighbors from the full brute ranking."""
