@@ -577,6 +577,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), token_budget=10_000, alpha=2,
         n_buckets=16)
 
+    def tr_budget_mix(spark, sf_dir):
+        """Data mixing on the primary axis: the conversation token budget
+        split across the multi-source corpus by source quality weight."""
+        from pcompress_spark.sources.tables import load_transcripts_multi
+        return curation.budget_mix_transcripts(
+            load_transcripts_multi(spark, sf_dir), token_budget=10_000,
+            alpha=2, n_buckets=16)
+
+    q["tr_budget_mix"] = tr_budget_mix
+
     # ---- documents: text analysis ----
     q["doc_token_stats"] = lambda s, d: text_fns.token_stats(load_table(s, d, "documents"))
     q["doc_quality"] = lambda s, d: text_fns.quality_score(load_table(s, d, "documents"))
@@ -1530,6 +1540,62 @@ def oracle_sql() -> dict[str, str]:
                min(conv_id) AS rep_conv_id
         FROM asm GROUP BY 1
     """
+
+    # data mixing on the primary axis: md5_60-keyed assembled convs, the
+    # same integer-exact weight/budget math as doc_budget_mix (needs the
+    # md5_60 macro -> built through oq._script's PRELUDE)
+    o["tr_budget_mix"] = oq._script(
+        f"""
+CREATE OR REPLACE TEMP TABLE bmx_tdocs AS
+WITH u AS (
+{union}
+), asm AS (
+    SELECT conv_id, source, {_DOC_AGG} AS doc_text
+    FROM u GROUP BY conv_id, source
+)
+SELECT md5_60(conv_id) AS doc_id, conv_id, source, doc_text AS text
+FROM asm;""",
+        f"""
+CREATE OR REPLACE TEMP TABLE bmx_base AS
+SELECT doc_id, conv_id, source,
+       round((
+           CASE WHEN length(lower(text)) > 0 THEN
+               length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))::DOUBLE
+                   / length(lower(text))
+               ELSE 0.0 END
+         + CASE WHEN len(w) > 0 THEN
+               len(list_filter(w, x -> list_contains({sw['en']}, x)))::DOUBLE
+                   / len(w)
+               ELSE 0.0 END
+         + least(len(w)::DOUBLE / 50.0, 1.0)) / 3.0, 6) AS quality,
+       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+FROM (SELECT *, {words} AS w FROM bmx_tdocs);""",
+        """
+WITH src_ AS (SELECT source,
+                     round(sum(CAST(quality AS DECIMAL(18,6)))::DOUBLE
+                           / count(*), 6) AS mq
+              FROM bmx_base GROUP BY source),
+wt_ AS (SELECT source,
+               CAST(floor(mq * mq * 1000000 + 0.5) AS BIGINT) AS w
+        FROM src_),
+tot_ AS (SELECT sum(w)::HUGEINT AS tw FROM wt_),
+bud_ AS (SELECT source,
+                CASE WHEN tw > 0
+                     THEN CAST((10000::HUGEINT * w::HUGEINT) // tw AS BIGINT)
+                     ELSE 0 END AS source_budget
+         FROM wt_, tot_),
+sel_ AS (SELECT doc_id, conv_id, source, quality, n_tokens,
+                coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source
+                    ORDER BY quality DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS cum_before
+         FROM bmx_base)
+SELECT s.conv_id, s.source, s.quality, s.n_tokens,
+       b.source_budget, s.cum_before,
+       (s.cum_before < b.source_budget) AS kept
+FROM sel_ s JOIN bud_ b USING (source)""",
+    )
 
     o["doc_routed_dedup"] = """
         WITH cls AS (

@@ -727,6 +727,40 @@ def budget_mix(
     )
 
 
+def budget_mix_transcripts(
+    turns: DataFrame,
+    token_budget: int = 10_000,
+    alpha: int = 2,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """budget_mix on the PRIMARY axis: split a conversation token budget
+    across a multi-source corpus (load_transcripts_multi's ``source``
+    column) by per-source mean quality^alpha, then watermark-select
+    within each source. Assemble under stable turn order, key by the
+    md5_60 surrogate (the curate_transcripts mapping — 8-byte shuffle
+    keys), run the document mixer verbatim, map conv_ids back via one
+    id-keyed join. One row per conversation:
+    (conv_id, source, quality, n_tokens, source_budget, cum_before,
+    kept)."""
+    from .. import cache
+    from ..operators.assemble import assemble
+    from .kmv import md5_60
+
+    tdocs = cache.persist(
+        assemble(turns)
+        .join(turns.select("conv_id", "source").distinct(), "conv_id")
+        .select(md5_60(F.col("conv_id")).alias("doc_id"), "conv_id",
+                "source", F.col("doc_text").alias("text"))
+    )
+    out = budget_mix(tdocs.select("doc_id", "source", "text"),
+                     token_budget, alpha, n_buckets)
+    return (
+        out.join(tdocs.select("doc_id", "conv_id"), "doc_id")
+        .select("conv_id", "source", "quality", "n_tokens",
+                "source_budget", "cum_before", "kept")
+    )
+
+
 def pack_assignments(
     docs: DataFrame, budget: int = 2048, n_shards: int = 8
 ) -> DataFrame:

@@ -76,6 +76,9 @@ def main() -> None:
     tool_ng_df = entry.queries()["tr_tool_ngrams"](spark, SF)
     hardneg_df = entry.queries()["ann_hard_negatives"](spark, SF)
     rm_boiler_df = entry.queries()["tr_remove_boilerplate"](spark, SF)
+    bench_probe_df = entry.queries()["tr_bench_probe"](spark, SF)
+    budget_mix_df = entry.queries()["doc_budget_mix"](spark, SF)
+    multiprobe_df = entry.queries()["ann_topk_multiprobe"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -144,6 +147,12 @@ def main() -> None:
             hardneg_df,
         "boilerplate removal (bare-hash anti-join rewrite, text never shuffled)":
             rm_boiler_df,
+        "benchmark probe gate (static bench-capped index broadcast, double-broadcast verify)":
+            bench_probe_df,
+        "budget mix (per-source bucketed prefix sum, broadcast budgets/offsets)":
+            budget_mix_df,
+        "multi-probe LSH top-k (probe set broadcast, id-triple bucket join)":
+            multiprobe_df,
     }
 
     checks: list[str] = []
@@ -497,6 +506,36 @@ def main() -> None:
         if "LeftAnti" in rm_plan and "MapInPandas" not in rm_plan
         and "CartesianProduct" not in rm_plan
         else "FAIL tr_remove_boilerplate: missing anti-join or Python UDF"
+    )
+
+    bp_plan = plan_of(bench_probe_df)
+    bad_bp_exchange = re.search(r"hashpartitioning\(ih_[cb]#\d+L, \d+\)",
+                                bp_plan)
+    checks.append(
+        "OK tr_bench_probe: bench index broadcast; signature tables never "
+        "exchanged on a pair-end key; no cartesian stage"
+        if bp_plan.count("BroadcastHashJoin") >= 2 and not bad_bp_exchange
+        and "CartesianProduct" not in bp_plan
+        else "FAIL tr_bench_probe: index not broadcast or corpus-keyed "
+        "exchange / quadratic stage"
+    )
+    bm_plan = plan_of(budget_mix_df)
+    checks.append(
+        "OK doc_budget_mix: (source, qbucket) windows (no single-partition "
+        "window), budgets/offsets broadcast, no Python UDF"
+        if "SinglePartition" not in bm_plan
+        and "BroadcastHashJoin" in bm_plan
+        and "MapInPandas" not in bm_plan
+        else "FAIL doc_budget_mix: single-partition window or missing "
+        "broadcast"
+    )
+    mp_plan = plan_of(multiprobe_df)
+    checks.append(
+        "OK ann_topk_multiprobe: probe set broadcast, no cartesian stage"
+        if "BroadcastHashJoin" in mp_plan
+        and "CartesianProduct" not in mp_plan
+        else "FAIL ann_topk_multiprobe: probes not broadcast or quadratic "
+        "stage"
     )
 
     out.append("## Plan-quality checks\n")
