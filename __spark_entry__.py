@@ -848,6 +848,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_neardup_clusters"] = doc_neardup_clusters
+    # duplicate-aware loss weights: down-weight instead of drop
+    q["doc_dup_weights"] = lambda s, d: doc_dedup.duplicate_weights(
+        load_table(s, d, "documents"), threshold=0.3)
+
+    def tr_dup_weights(spark, sf_dir):
+        """Transcript duplicate weights: weight = 1 / near-dup cluster
+        size over the pipeline's checkpointed cluster labels."""
+        cl = _pipeline_tables(spark, sf_dir)["clusters"].select(
+            "conv_id", "cluster_id")
+        sizes = cl.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        return cl.join(sizes, "cluster_id").select(
+            "conv_id", "cluster_id", "cluster_size",
+            F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"))
+
+    q["tr_dup_weights"] = tr_dup_weights
 
     def doc_dedup_keep_best(spark, sf_dir):
         """Quality-aware near-dup dedup: keep the highest-quality member
@@ -1399,6 +1415,8 @@ def oracle_sql() -> dict[str, str]:
     o["doc_routed_lsh_pairs"] = oq.doc_minhash_lsh_sql(
         k=3, threshold=0.3, src=oq.ROUTED_DOC_SRC)
     o["doc_neardup_clusters"] = oq.doc_neardup_clusters_sql(k=3, threshold=0.3)
+    o["doc_dup_weights"] = oq.doc_dup_weights_sql(k=3, threshold=0.3)
+    o["tr_dup_weights"] = oq.tr_dup_weights_sql(tr, CFG)
     o["doc_source_overlap"] = oq.doc_source_overlap_sql(k=3, threshold=0.3)
     o["doc_tier_attribution"] = oq.doc_tier_attribution_sql(k=3, threshold=0.3)
     o["doc_recall_report"] = oq.doc_recall_sql(k=3, truth_threshold=0.5,

@@ -258,6 +258,25 @@ def minhash_lsh_pairs(
     return (pairs, stats) if with_stats else pairs
 
 
+def duplicate_weights(docs: DataFrame, cfg: DedupConfig | None = None,
+                      threshold: float = 0.3) -> DataFrame:
+    """Duplicate-aware example WEIGHTS — the soft alternative to dropping
+    near-dups: every document keeps flowing to training, down-weighted by
+    its duplication factor (weight = 1 / near-dup-cluster size, 6dp), so
+    a family of n copies contributes one document's worth of loss in
+    total. Returns (doc_id, cluster_id, cluster_size, weight); singletons
+    carry weight 1.0. One count agg over the cluster labels + an
+    id-keyed join — nothing beyond neardup_clusters' audited plan."""
+    cl = neardup_clusters(docs, cfg, threshold)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (
+        cl.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size",
+                F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"))
+    )
+
+
 def neardup_clusters(docs: DataFrame, cfg: DedupConfig | None = None,
                      threshold: float = 0.3) -> DataFrame:
     """Near-dup clusters over the documents table: connected components of

@@ -516,6 +516,39 @@ def doc_neardup_clusters_sql(k: int = 3, threshold: float = 0.3,
     )
 
 
+def doc_dup_weights_sql(k: int = 3, threshold: float = 0.3,
+                        cfg: DedupConfig | None = None) -> str:
+    """Twin for doc_dedup.duplicate_weights: the shared dclusters staging,
+    per-cluster size count, weight = round(1/size, 6)."""
+    cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)
+    return _script(
+        _doc_sig_stmts(k, with_minhash=True, with_simhash=False, cfg=cfg),
+        _doc_cluster_stmts(threshold, cfg),
+        """
+WITH s AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+           FROM dclusters GROUP BY cluster_id)
+SELECT d.doc_id, d.cluster_id, s.cluster_size,
+       round(1.0 / s.cluster_size, 6) AS weight
+FROM dclusters d JOIN s USING (cluster_id)""",
+    )
+
+
+def tr_dup_weights_sql(tr_path: str, cfg: DedupConfig | None = None) -> str:
+    """Twin for the transcript duplicate-weights query: the shared
+    clusters staging (pipeline-equivalent CC labels), size count,
+    weight = round(1/size, 6)."""
+    cfg = cfg or DedupConfig()
+    return _script(
+        _tr_clusters_stmts(tr_path, cfg),
+        """
+WITH s AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+           FROM clusters GROUP BY cluster_id)
+SELECT c.conv_id, c.cluster_id, s.cluster_size,
+       round(1.0 / s.cluster_size, 6) AS weight
+FROM clusters c JOIN s USING (cluster_id)""",
+    )
+
+
 def doc_keep_best_sql(k: int = 3, threshold: float = 0.3,
                       quality_sql: str = "",
                       cfg: DedupConfig | None = None) -> str:
