@@ -455,6 +455,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_decontamination"] = doc_decontamination
 
+    # the Bloom-filter scale path of the same gate (shared deterministic
+    # bloom -> even false positives value-match the oracle)
+    def doc_decontam_bloom(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        is_bench = (F.col("doc_id") % 19) == 0
+        return curation.decontaminate_bloom(
+            docs.where(~is_bench), docs.where(is_bench), n=3,
+            overlap_threshold=0.5)
+
+    q["doc_decontam_bloom"] = doc_decontam_bloom
+
     # near-dup decontamination: the paraphrase-leak companion — train docs
     # that are a verified MinHash near-dup of a benchmark doc (%17 split,
     # distinct from the exact-gram query's %19 so both stay non-trivial)
@@ -1383,6 +1394,8 @@ def oracle_sql() -> dict[str, str]:
         bench_mod=19, overlap_threshold=0.5)
     o["doc_neardup_decontam"] = oq.doc_neardup_decontam_sql(
         k=3, threshold=0.3)
+    o["doc_decontam_bloom"] = oq.doc_decontam_bloom_sql(
+        bench_mod=19, overlap_threshold=0.5)
     o["tr_decontamination"] = oq.tr_decontamination_sql(
         tr, bench_mod=19, overlap_threshold=0.5)
     o["doc_boilerplate_ngrams"] = oq.doc_boilerplate_sql(min_df=5)

@@ -113,6 +113,93 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    overlap_threshold: float = 0.5,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """``decontaminate`` through a BLOOM FILTER of the benchmark's grams —
+    the scale path when the eval-suite gram set outgrows a plain
+    broadcast: the filter is a fixed ``m_bits/64``-word bitmap (2^16 bits
+    = 1 KB here; 2^33 bits = 1 GB covers billions of grams at ~1% false
+    positives with k=3) built once from the benchmark and broadcast to a
+    map-side membership probe. Same output contract as ``decontaminate``
+    ((doc_id, n_grams, n_overlap, overlap_ratio, contaminated)) with
+    n_overlap >= the exact count (Bloom false positives only ADD — the
+    gate stays conservative: it can only over-flag, never leak).
+
+    Determinism across engines: gram hash i = md5_60(i || ':' || gram)
+    (the kmv surrogate-hash recipe — identical md5 math in Spark and
+    DuckDB), bit = h % m_bits, word = bit // 64; the oracle builds the
+    SAME bitmap, so even the false positives match bit-for-bit and the
+    row is value-checked exactly. All JVM built-ins (md5/conv/bit_or/
+    shifts) — no UDF anywhere."""
+    from .kmv import md5_60
+    from .text import norm_words
+
+    def hashes(df: DataFrame, gram_col: str) -> DataFrame:
+        ki = F.explode(
+            F.array(*[F.lit(i) for i in range(int(k_hashes))])).alias("ki")
+        h = md5_60(F.concat_ws(
+            ":", F.col("ki").cast("string"), F.col(gram_col)))
+        bit = h % F.lit(int(m_bits))
+        return df.select("*", ki).select(
+            "*",
+            (bit / 64).cast("long").alias("word_idx"),
+            (bit % 64).cast("int").alias("bitpos"),
+        )
+
+    bench_grams = (
+        benchmark.select(norm_words("text").alias("words"))
+        .select(F.explode(ngrams_col(n)).alias("gram"))
+        .distinct()
+    )
+    bloom = (
+        hashes(bench_grams, "gram")
+        .select("word_idx",
+                F.expr("shiftleft(1L, bitpos)").alias("mask"))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+    grams = docs.select(
+        "doc_id", norm_words("text").alias("words")
+    ).select("doc_id", ngrams_col(n).alias("grams"))
+    occ = grams.select(
+        "doc_id", F.posexplode("grams").alias("pos", "gram"))
+    probed = (
+        hashes(occ, "gram")
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "doc_id", "pos",
+            F.coalesce(
+                F.expr("shiftright(word, bitpos) & 1"), F.lit(0)
+            ).cast("int").alias("hit"),
+        )
+    )
+    hits = (
+        probed.groupBy("doc_id", "pos")
+        .agg((F.sum("hit") == F.lit(int(k_hashes))).alias("passed"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("passed").cast("long")).alias("n_overlap"))
+    )
+    ratio = F.when(
+        F.col("n_grams") > 0, F.col("n_overlap") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return (
+        grams.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)).cast("long"))
+        .withColumn("overlap_ratio", F.round(ratio, 6))
+        .withColumn(
+            "contaminated",
+            F.col("overlap_ratio") >= F.lit(float(overlap_threshold)),
+        )
+    )
+
+
 def neardup_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -2141,6 +2141,61 @@ WHERE NOT g.is_bench
 """
 
 
+def doc_decontam_bloom_sql(bench_mod: int = 19,
+                           overlap_threshold: float = 0.5,
+                           m_bits: int = 1 << 16,
+                           k_hashes: int = 3) -> str:
+    """Twin for curation.decontaminate_bloom: the SAME Bloom filter the
+    engine builds (md5_60(ki || ':' || gram) bit positions, bit_or word
+    bitmap), probed per gram OCCURRENCE — false positives are a
+    deterministic function of the shared hash, so the approximate counts
+    value-match exactly."""
+    w = _WORDS.format(x="text")
+    ks = ", ".join(str(i) for i in range(int(k_hashes)))
+    ratio = ("round(CASE WHEN g.n_grams > 0 "
+             "THEN coalesce(h.n_overlap, 0)::DOUBLE / g.n_grams "
+             "ELSE 0.0 END, 6)")
+    return _script(f"""
+CREATE OR REPLACE TEMP TABLE bdeco_g AS
+SELECT sid, {_grams3_expr('w')} AS grams, is_bench
+FROM (SELECT doc_id AS sid, (doc_id % {bench_mod} = 0) AS is_bench, {w} AS w
+      FROM documents);
+CREATE OR REPLACE TEMP TABLE bloom_bits AS
+WITH bg_ AS (SELECT DISTINCT unnest(grams) AS gram FROM bdeco_g
+             WHERE is_bench),
+b_ AS (SELECT md5_60(ki::VARCHAR || ':' || gram) % {int(m_bits)} AS bit
+       FROM bg_ CROSS JOIN (SELECT unnest([{ks}]) AS ki) k)
+SELECT (bit // 64)::BIGINT AS word_idx,
+       bit_or(1::UBIGINT << (bit % 64)::INT) AS word
+FROM b_ GROUP BY 1;
+CREATE OR REPLACE TEMP TABLE bdeco_occ0 AS
+SELECT sid, grams, unnest(range(1, len(grams) + 1)) AS pos
+FROM bdeco_g WHERE NOT is_bench;
+CREATE OR REPLACE TEMP TABLE bdeco_occ AS
+SELECT sid, pos, grams[pos] AS gram FROM bdeco_occ0;
+CREATE OR REPLACE TEMP TABLE bprobe AS
+WITH h_ AS (SELECT sid, pos,
+                   md5_60(ki::VARCHAR || ':' || gram) % {int(m_bits)} AS bit
+            FROM bdeco_occ CROSS JOIN (SELECT unnest([{ks}]) AS ki) k)
+SELECT h_.sid, h_.pos,
+       CASE WHEN w.word IS NOT NULL
+                 AND ((w.word >> (h_.bit % 64)::INT) & 1) = 1
+            THEN 1 ELSE 0 END AS hit
+FROM h_ LEFT JOIN bloom_bits w ON w.word_idx = (h_.bit // 64);
+CREATE OR REPLACE TEMP TABLE bhits AS
+SELECT sid, count(*)::BIGINT AS n_overlap FROM (
+    SELECT sid, pos FROM bprobe GROUP BY sid, pos
+    HAVING sum(hit) = {int(k_hashes)})
+GROUP BY sid;""", f"""
+SELECT g.sid AS doc_id, g.n_grams,
+       coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+       {ratio} AS overlap_ratio,
+       {ratio} >= {overlap_threshold} AS contaminated
+FROM (SELECT sid, len(grams)::BIGINT AS n_grams FROM bdeco_g
+      WHERE NOT is_bench) g
+LEFT JOIN bhits h ON h.sid = g.sid""")
+
+
 def doc_decontamination_sql(bench_mod: int = 19,
                             overlap_threshold: float = 0.5) -> str:
     """curation.decontaminate twin over the deterministic benchmark split

@@ -78,6 +78,27 @@ def test_decontaminate_flags_benchmark_copies(spark, docs):
     assert rep2.overlap_ratio.iloc[0] == 1.0
 
 
+def test_bloom_decontaminate_is_conservative_superset(spark, docs):
+    """The Bloom gate can only OVER-count (false positives add, never
+    subtract): per doc, bloom n_overlap >= exact n_overlap, n_grams
+    identical, and every exactly-contaminated doc is bloom-contaminated."""
+    is_bench = (F.col("doc_id") % 19) == 0
+    bench = docs.where(is_bench)
+    corpus = docs.where(~is_bench)
+    exact = curation.decontaminate(
+        corpus, bench, n=3, overlap_threshold=0.5).toPandas().set_index("doc_id")
+    bloom = curation.decontaminate_bloom(
+        corpus, bench, n=3, overlap_threshold=0.5).toPandas().set_index("doc_id")
+    assert set(exact.index) == set(bloom.index)
+    b = bloom.loc[exact.index]
+    assert (b.n_grams == exact.n_grams).all()
+    assert (b.n_overlap >= exact.n_overlap).all()
+    assert (b.loc[exact.contaminated].contaminated).all()
+    # at a 1 KB filter over this gram set, false positives stay rare
+    assert (b.n_overlap - exact.n_overlap).sum() <= 0.05 * max(
+        1, exact.n_grams.sum())
+
+
 def test_neardup_decontaminate_flags_planted_copy(spark, docs):
     """An exact clone of a benchmark doc must surface with jaccard 1.0;
     every reported row is a train doc, every partner a bench doc, and
