@@ -466,6 +466,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_decontam_bloom"] = doc_decontam_bloom
 
+    def tr_decontam_bloom(spark, sf_dir):
+        """The Bloom gate on the primary axis: assembled conversations
+        probed against the benchmark-conv gram bitmap."""
+        asm = assemble(load_transcripts(spark, sf_dir)).select(
+            F.col("conv_id").alias("doc_id"),
+            F.col("doc_text").alias("text"))
+        is_bench = F.expr("CAST(substring(doc_id, 6) AS BIGINT) % 19 = 0")
+        return curation.decontaminate_bloom(
+            asm.where(~is_bench), asm.where(is_bench), n=3,
+            overlap_threshold=0.5).withColumnRenamed("doc_id", "conv_id")
+
+    q["tr_decontam_bloom"] = tr_decontam_bloom
+
     # near-dup decontamination: the paraphrase-leak companion — train docs
     # that are a verified MinHash near-dup of a benchmark doc (%17 split,
     # distinct from the exact-gram query's %19 so both stay non-trivial)
@@ -1396,6 +1409,8 @@ def oracle_sql() -> dict[str, str]:
         k=3, threshold=0.3)
     o["doc_decontam_bloom"] = oq.doc_decontam_bloom_sql(
         bench_mod=19, overlap_threshold=0.5)
+    o["tr_decontam_bloom"] = oq.tr_decontam_bloom_sql(
+        tr, bench_mod=19, overlap_threshold=0.5)
     o["tr_decontamination"] = oq.tr_decontamination_sql(
         tr, bench_mod=19, overlap_threshold=0.5)
     o["doc_boilerplate_ngrams"] = oq.doc_boilerplate_sql(min_df=5)

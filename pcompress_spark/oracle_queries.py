@@ -2141,12 +2141,12 @@ WHERE NOT g.is_bench
 """
 
 
-def doc_decontam_bloom_sql(bench_mod: int = 19,
-                           overlap_threshold: float = 0.5,
-                           m_bits: int = 1 << 16,
-                           k_hashes: int = 3) -> str:
-    """Twin for curation.decontaminate_bloom: the SAME Bloom filter the
-    engine builds (md5_60(ki || ':' || gram) bit positions, bit_or word
+def _bloom_deco_sql(src: str, id_col: str, bench_pred: str, out_id: str,
+                    overlap_threshold: float = 0.5,
+                    m_bits: int = 1 << 16, k_hashes: int = 3) -> str:
+    """Twin for curation.decontaminate_bloom over ``src`` (any FROM-able
+    source with ({id_col}, text)): the SAME Bloom filter the engine
+    builds (md5_60(ki || ':' || gram) bit positions, bit_or word
     bitmap), probed per gram OCCURRENCE — false positives are a
     deterministic function of the shared hash, so the approximate counts
     value-match exactly."""
@@ -2158,8 +2158,8 @@ def doc_decontam_bloom_sql(bench_mod: int = 19,
     return _script(f"""
 CREATE OR REPLACE TEMP TABLE bdeco_g AS
 SELECT sid, {_grams3_expr('w')} AS grams, is_bench
-FROM (SELECT doc_id AS sid, (doc_id % {bench_mod} = 0) AS is_bench, {w} AS w
-      FROM documents);
+FROM (SELECT {id_col} AS sid, ({bench_pred}) AS is_bench, {w} AS w
+      FROM {src});
 CREATE OR REPLACE TEMP TABLE bloom_bits AS
 WITH bg_ AS (SELECT DISTINCT unnest(grams) AS gram FROM bdeco_g
              WHERE is_bench),
@@ -2168,11 +2168,11 @@ b_ AS (SELECT md5_60(ki::VARCHAR || ':' || gram) % {int(m_bits)} AS bit
 SELECT (bit // 64)::BIGINT AS word_idx,
        bit_or(1::UBIGINT << (bit % 64)::INT) AS word
 FROM b_ GROUP BY 1;
-CREATE OR REPLACE TEMP TABLE bdeco_occ0 AS
-SELECT sid, grams, unnest(range(1, len(grams) + 1)) AS pos
-FROM bdeco_g WHERE NOT is_bench;
 CREATE OR REPLACE TEMP TABLE bdeco_occ AS
-SELECT sid, pos, grams[pos] AS gram FROM bdeco_occ0;
+SELECT sid, unnest(list_transform(range(1, len(grams) + 1),
+                   i -> {{'pos': i, 'gram': grams[i]}}),
+              recursive := true)
+FROM bdeco_g WHERE NOT is_bench;
 CREATE OR REPLACE TEMP TABLE bprobe AS
 WITH h_ AS (SELECT sid, pos,
                    md5_60(ki::VARCHAR || ':' || gram) % {int(m_bits)} AS bit
@@ -2187,13 +2187,40 @@ SELECT sid, count(*)::BIGINT AS n_overlap FROM (
     SELECT sid, pos FROM bprobe GROUP BY sid, pos
     HAVING sum(hit) = {int(k_hashes)})
 GROUP BY sid;""", f"""
-SELECT g.sid AS doc_id, g.n_grams,
+SELECT g.sid AS {out_id}, g.n_grams,
        coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
        {ratio} AS overlap_ratio,
        {ratio} >= {overlap_threshold} AS contaminated
 FROM (SELECT sid, len(grams)::BIGINT AS n_grams FROM bdeco_g
       WHERE NOT is_bench) g
 LEFT JOIN bhits h ON h.sid = g.sid""")
+
+
+def doc_decontam_bloom_sql(bench_mod: int = 19,
+                           overlap_threshold: float = 0.5,
+                           m_bits: int = 1 << 16,
+                           k_hashes: int = 3) -> str:
+    return _bloom_deco_sql("documents", "doc_id",
+                           f"doc_id % {bench_mod} = 0", "doc_id",
+                           overlap_threshold, m_bits, k_hashes)
+
+
+def tr_decontam_bloom_sql(tr_path: str, bench_mod: int = 19,
+                          overlap_threshold: float = 0.5,
+                          m_bits: int = 1 << 16,
+                          k_hashes: int = 3) -> str:
+    """Transcript twin of the Bloom gate over assembled conversations."""
+    return (
+        f"""
+CREATE OR REPLACE TEMP TABLE asm AS
+SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+FROM {_tr_src(tr_path)} GROUP BY conv_id;"""
+        + _bloom_deco_sql(
+            "(SELECT conv_id, doc_text AS text FROM asm)", "conv_id",
+            f"CAST(substr(conv_id, 6) AS BIGINT) % {bench_mod} = 0",
+            "conv_id", overlap_threshold, m_bits, k_hashes,
+        )
+    )
 
 
 def doc_decontamination_sql(bench_mod: int = 19,
