@@ -579,6 +579,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_pack_assignments"] = lambda s, d: curation.pack_assignments(
         load_table(s, d, "documents"), budget=2048, n_shards=8)
 
+    def tr_pack_assignments(spark, sf_dir):
+        """Shard packing on the primary axis: whole conversations routed
+        and packed via their md5_60 surrogate keys."""
+        from pcompress_spark.functions.kmv import md5_60
+        asm = assemble(load_transcripts(spark, sf_dir))
+        tdocs = asm.select(md5_60(F.col("conv_id")).alias("doc_id"),
+                           "conv_id", F.col("doc_text").alias("text"))
+        out = curation.pack_assignments(
+            tdocs.select("doc_id", "text"), budget=2048, n_shards=8)
+        return out.join(tdocs.select("doc_id", "conv_id"), "doc_id").select(
+            "conv_id", "shard", "n_tokens", "pack_id")
+
+    q["tr_pack_assignments"] = tr_pack_assignments
+
     # PII census + redaction over the deterministic overlay corpus (the
     # synthetic documents carry no digits/emails, so PII spans derived from
     # doc_id are appended in-query — the oracle reproduces the exact same
@@ -1415,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         tr, bench_mod=19, overlap_threshold=0.5)
     o["doc_boilerplate_ngrams"] = oq.doc_boilerplate_sql(min_df=5)
     o["doc_pack_assignments"] = oq.doc_pack_sql(budget=2048, n_shards=8)
+    o["tr_pack_assignments"] = oq.tr_pack_sql(tr, budget=2048, n_shards=8)
     o["doc_pii_report"] = oq.doc_pii_report_sql()
     o["doc_pii_redact"] = oq.doc_pii_redact_sql()
     o["tr_pii_turns"] = oq.tr_pii_report_sql(tr)

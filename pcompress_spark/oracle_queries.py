@@ -2518,6 +2518,28 @@ FROM pkx5;
 """
 
 
+def tr_pack_sql(tr_path: str, budget: int = 2048,
+                n_shards: int = 8) -> str:
+    """Transcript packing twin: assembled conversations keyed by the
+    md5_60 surrogate run the document pack stage verbatim (the surrogate
+    IS a long, so the xxhash64 shard route applies unchanged), conv_ids
+    mapped back."""
+    return _script(
+        f"""
+CREATE OR REPLACE TEMP TABLE asm AS
+SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+FROM {_tr_src(tr_path)} GROUP BY conv_id;
+CREATE OR REPLACE TEMP TABLE tdocs AS
+SELECT md5_60(conv_id) AS doc_id, doc_text AS text FROM asm;
+CREATE OR REPLACE TEMP TABLE cmap AS
+SELECT md5_60(conv_id) AS doc_id, conv_id FROM asm;""",
+        _pack_stmts("tdocs", budget, n_shards),
+        """
+SELECT m.conv_id, p.shard, p.n_tokens, p.pack_id
+FROM pack_out p JOIN cmap m USING (doc_id)""",
+    )
+
+
 def doc_pack_sql(budget: int = 2048, n_shards: int = 8) -> str:
     """curation.pack_assignments twin: Spark-compatible xxhash64(doc_id)
     shard route (xxh64_long_ctes, Spark's fixed seed 42), then watermark
