@@ -523,11 +523,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # probe index, reusable across corpora/batches — the streaming gate's
     # per-batch verdicts equal the batch run's by construction)
     def tr_bench_probe(spark, sf_dir):
+        from pcompress_spark import cache
         from pcompress_spark.operators.signatures import compute_signatures
         t = load_transcripts(spark, sf_dir)
         is_bench = F.expr("CAST(substring(conv_id, 6) AS BIGINT) % 17 = 0")
-        bsig = compute_signatures(assemble(t.where(is_bench)), CFG)
-        csig = compute_signatures(assemble(t.where(~is_bench)), CFG)
+        # both sig tables fan out (banding + verify probe + exact channel)
+        # — persist so the signature UDF runs once per side (the pipeline
+        # would read them from checkpointed stage tables instead)
+        bsig = cache.persist(compute_signatures(assemble(t.where(is_bench)), CFG))
+        csig = cache.persist(compute_signatures(assemble(t.where(~is_bench)), CFG))
         buckets, bs, md5 = curation.bench_probe_index(bsig, CFG)
         return curation.probe_bench_neardup(csig, buckets, bs, md5, CFG)
 
