@@ -159,6 +159,27 @@ def test_band_pass_splitting_is_semantics_preserving(spark, engine_sig):
     assert merged["n_bands"].to_dict() == whole["n_bands"].to_dict()
 
 
+def test_bucket_members_min_size_keeps_singletons(spark):
+    """min_size=1 (bipartite probe indexes) keeps single-member buckets
+    that the self-join default (2) drops; cap/salt behavior is otherwise
+    identical."""
+    from pyspark.sql import functions as F
+
+    from pcompress_spark.operators.candidates import bucket_members
+
+    rows = [(i, 0, 100) for i in range(3)] + [(7, 0, 200)]
+    banded = spark.createDataFrame(
+        rows, "id_hash long, band_idx int, band_hash long")
+    b2, _ = bucket_members(banded, CFG, persist_sizes=False)
+    b1, _ = bucket_members(banded, CFG, persist_sizes=False, min_size=1)
+    p2 = b2.toPandas().set_index("band_hash")
+    p1 = b1.toPandas().set_index("band_hash")
+    assert set(p2.index) == {100}
+    assert set(p1.index) == {100, 200}
+    assert list(p1.loc[200].ids) == [7]
+    assert list(p1.loc[100].ids) == list(p2.loc[100].ids) == [0, 1, 2]
+
+
 def test_tr_simhash_channel_properties(spark, engine_sig):
     """Transcript SimHash channel: normalized pair order, popcount bound,
     no self-pairs, and every near-identical conversation pair (hamming 0
