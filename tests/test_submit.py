@@ -334,6 +334,40 @@ def test_run_curation_script_end_to_end(tmp_path):
     assert {"doc_id", "pack_id", "n_tokens", "text"} <= set(kept.columns)
 
 
+def test_run_decontam_script_all_modes(tmp_path):
+    """tools/run_decontam.py gates a corpus against an eval suite from
+    the CLI in each mode; bloom over-flags never under-flags exact."""
+    import duckdb
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_DRIVER_MEM="4g")
+    src = "/root/testdata/sf0.001/documents.parquet"
+    bench_pq = tmp_path / "bench.parquet"
+    corpus_pq = tmp_path / "corpus.parquet"
+    duckdb.sql(f"COPY (SELECT doc_id, text FROM read_parquet('{src}') "
+               f"WHERE doc_id % 19 = 0) TO '{bench_pq}' (FORMAT PARQUET)")
+    duckdb.sql(f"COPY (SELECT doc_id, text FROM read_parquet('{src}') "
+               f"WHERE doc_id % 19 != 0) TO '{corpus_pq}' (FORMAT PARQUET)")
+
+    results = {}
+    for mode in ["exact", "bloom", "near"]:
+        out_dir = tmp_path / f"rep_{mode}"
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "run_decontam.py"),
+             "--input", str(corpus_pq), "--benchmark", str(bench_pq),
+             "--output", str(out_dir), "--mode", mode,
+             "--master", "local[4]", "--shuffle-partitions", "4"],
+            capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        results[mode] = json.loads(out.stdout.strip().splitlines()[-1])
+    n_corpus = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{corpus_pq}')").fetchone()[0]
+    assert results["exact"]["rows"] == n_corpus
+    assert results["bloom"]["rows"] == n_corpus
+    assert results["bloom"]["contaminated"] >= results["exact"]["contaminated"]
+    assert results["near"]["rows"] == results["near"]["contaminated"]
+
+
 def test_run_curation_script_semantic_stage(tmp_path):
     """--embeddings enables the SemDeDup stage: semantic_dup verdicts
     appear and the verdict partition still covers every input doc."""
