@@ -436,10 +436,11 @@ def test_ann_recall_report_consistent_with_sets(spark, emb):
     from pyspark.sql import functions as F
     q = emb.where(F.col("vec_id") % 100 == 0)
     rep = {r.method: r for r in similarity.ann_recall_report(emb, q, k=5).collect()}
-    assert set(rep) == {"lsh", "ivf"}
+    assert set(rep) == {"lsh", "multiprobe", "ivf"}
     brute = similarity.cosine_topk_bruteforce(emb, q, k=5).toPandas()
     bset = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
     for method, fn in (("lsh", similarity.hyperplane_lsh_topk),
+                       ("multiprobe", similarity.hyperplane_multiprobe_topk),
                        ("ivf", similarity.ivf_topk)):
         found = fn(emb, q, k=5).toPandas()
         fset = {(r.query_id, r.neighbor_id) for r in found.itertuples()}
