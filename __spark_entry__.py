@@ -597,6 +597,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tr_pack_assignments"] = tr_pack_assignments
 
+    def tr_stratified_sample(spark, sf_dir):
+        """Deterministic per-stratum conversation sampling: content-class
+        strata over assembled text, xxhash64 threshold on the md5_60
+        surrogate key (lang gate off for agent logs — lang is constant)."""
+        from pcompress_spark.functions.kmv import md5_60
+        asm = assemble(load_transcripts(spark, sf_dir))
+        tdocs = asm.select(md5_60(F.col("conv_id")).alias("doc_id"),
+                           "conv_id", F.lit("und").alias("lang"),
+                           F.col("doc_text").alias("text"))
+        out = curation.stratified_sample(
+            tdocs.select("doc_id", "lang", "text"), seed=7)
+        return out.join(tdocs.select("doc_id", "conv_id"), "doc_id").select(
+            "conv_id", "content_class", "rate_per_mille", "sample_key",
+            "kept")
+
+    q["tr_stratified_sample"] = tr_stratified_sample
+
     # PII census + redaction over the deterministic overlay corpus (the
     # synthetic documents carry no digits/emails, so PII spans derived from
     # doc_id are appended in-query — the oracle reproduces the exact same
@@ -1434,6 +1451,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_boilerplate_ngrams"] = oq.doc_boilerplate_sql(min_df=5)
     o["doc_pack_assignments"] = oq.doc_pack_sql(budget=2048, n_shards=8)
     o["tr_pack_assignments"] = oq.tr_pack_sql(tr, budget=2048, n_shards=8)
+    o["tr_stratified_sample"] = oq.tr_stratified_sample_sql(tr, seed=7)
     o["doc_pii_report"] = oq.doc_pii_report_sql()
     o["doc_pii_redact"] = oq.doc_pii_redact_sql()
     o["tr_pii_turns"] = oq.tr_pii_report_sql(tr)

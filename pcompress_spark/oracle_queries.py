@@ -2112,6 +2112,35 @@ FROM skx5
 """)
 
 
+def tr_stratified_sample_sql(tr_path: str, rates: dict[str, int] | None = None,
+                             seed: int = 7) -> str:
+    """Transcript twin of the stratified sample: assembled conversations
+    keyed by the md5_60 surrogate (a long — the xxhash64 sampling hash
+    applies verbatim), content-class strata over the assembled text,
+    conv_ids carried through."""
+    rates = rates or {"empty": 0, "numeric": 100, "airy": 500, "dense": 800}
+    rate_case = "CASE " + " ".join(
+        f"WHEN content_class = '{k}' THEN {int(v)}"
+        for k, v in sorted(rates.items())
+    ) + " ELSE 1000 END"
+    return _script(f"""
+CREATE OR REPLACE TEMP TABLE asm AS
+SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+FROM {_tr_src(tr_path)} GROUP BY conv_id;
+CREATE OR REPLACE TEMP TABLE tstrat AS
+SELECT md5_60(conv_id) AS doc_id, conv_id, {_CLASS_CASE} AS content_class
+FROM (SELECT conv_id, doc_text AS text FROM asm);""", f"""
+WITH {osql.xxh64_long_ctes('sk', 'tstrat',
+                           ['doc_id', 'conv_id', 'content_class'],
+                           f'xor(doc_id, {seed})', 'xh', seed=42)}
+SELECT conv_id, content_class,
+       ({rate_case})::BIGINT AS rate_per_mille,
+       pymod(tobig(xh), 1000)::BIGINT AS sample_key,
+       pymod(tobig(xh), 1000) < ({rate_case}) AS kept
+FROM skx5
+""")
+
+
 def _deco_sql(src: str, id_col: str, bench_pred: str, out_id: str,
               overlap_threshold: float = 0.5) -> str:
     """curation.decontaminate twin over ``src`` (any FROM-able source with
