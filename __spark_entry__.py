@@ -614,6 +614,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tr_stratified_sample"] = tr_stratified_sample
 
+    def tr_source_profile(spark, sf_dir):
+        """Per-source conversation ingest profile over the multi-source
+        union corpus — the which-crawls-to-keep table, primary axis."""
+        from pcompress_spark.sources.tables import load_transcripts_multi
+        return curation.transcript_source_profile(
+            load_transcripts_multi(spark, sf_dir))
+
+    q["tr_source_profile"] = tr_source_profile
+
     # PII census + redaction over the deterministic overlay corpus (the
     # synthetic documents carry no digits/emails, so PII spans derived from
     # doc_id are appended in-query — the oracle reproduces the exact same
@@ -1622,6 +1631,48 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT source)::BIGINT AS n_sources,
                min(conv_id) AS rep_conv_id
         FROM asm GROUP BY 1
+    """
+
+    # per-source conversation profile: normalized-content dup convention,
+    # decimal-exact mean quality over assembled text
+    wd = ("list_filter(string_split_regex("
+          + _NORM.format(x="doc_text") + ", '\\s+'), w -> w != '')")
+    o["tr_source_profile"] = f"""
+        WITH u AS (
+        {union}
+        ), asm AS (
+            SELECT conv_id, source, count(*)::BIGINT AS n_turns,
+                   {_DOC_AGG} AS doc_text
+            FROM u GROUP BY conv_id, source
+        ), pd AS (
+            SELECT conv_id, source, n_turns,
+                   len(regexp_split_to_array(trim(doc_text), '\\s+'))::BIGINT
+                       AS n_tokens,
+                   CAST(round((
+                       CASE WHEN length(lower(doc_text)) > 0 THEN
+                           length(regexp_replace(lower(doc_text),
+                                                 '[^a-z0-9 ]', '', 'g'))::DOUBLE
+                               / length(lower(doc_text))
+                           ELSE 0.0 END
+                     + CASE WHEN len(w) > 0 THEN
+                           len(list_filter(w, x -> list_contains({sw['en']}, x)))::DOUBLE
+                               / len(w)
+                           ELSE 0.0 END
+                     + least(len(w)::DOUBLE / 50.0, 1.0)) / 3.0, 6)
+                       AS DECIMAL(18,6)) AS quality,
+                   sha256({_NORM.format(x='doc_text')}) AS h
+            FROM (SELECT *, {wd} AS w FROM asm)
+        ), r AS (SELECT h, min(conv_id) AS rep FROM pd GROUP BY h)
+        SELECT pd.source, count(*)::BIGINT AS n_convs,
+               sum(n_turns)::BIGINT AS n_turns_total,
+               sum(n_tokens)::BIGINT AS n_tokens_total,
+               sum(CASE WHEN pd.conv_id != r.rep THEN 1 ELSE 0
+                   END)::BIGINT AS n_exact_dup,
+               round(sum(CASE WHEN pd.conv_id != r.rep THEN 1 ELSE 0
+                         END)::DOUBLE / count(*), 6) AS exact_dup_rate,
+               round(sum(quality)::DOUBLE / count(*), 6) AS mean_quality
+        FROM pd JOIN r USING (h)
+        GROUP BY pd.source
     """
 
     # data mixing on the primary axis: md5_60-keyed assembled convs, the

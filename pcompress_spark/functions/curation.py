@@ -951,6 +951,54 @@ def source_profile(docs: DataFrame) -> DataFrame:
     )
 
 
+def transcript_source_profile(turns: DataFrame) -> DataFrame:
+    """Per-source conversation profile over a multi-source corpus — the
+    primary-axis twin of ``source_profile``, the first table a transcript
+    ingest looks at when deciding which crawls to keep. One row per
+    source: (source, n_convs, n_turns_total, n_tokens_total, n_exact_dup,
+    exact_dup_rate, mean_quality) over ASSEMBLED conversations.
+
+    Exact-dup identity is the transcript convention — sha256 of the
+    NORMALIZED assembled text (the same key the pipeline's exact channel
+    and tr_provenance_dedup use), counted corpus-wide: a conversation is
+    a duplicate when it is not its content group's min conv_id, so the
+    per-source counts sum to exactly what exact dedup would remove from
+    the union. mean_quality is the decimal-exact recipe over assembled
+    text. Same plan shape as the doc twin: one content-hash aggregation
+    re-joined on the hash + one |sources|-group aggregate."""
+    from ..operators.assemble import assemble
+    from ..operators.turns import norm_text_col
+    from .text import quality_col
+
+    asm = assemble(turns).join(
+        turns.select("conv_id", "source").distinct(), "conv_id")
+    per_conv = asm.select(
+        "conv_id", "source",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.size(F.split(F.trim("doc_text"), r"\s+")).cast("long")
+        .alias("n_tokens"),
+        quality_col("doc_text").cast("decimal(18,6)").alias("quality"),
+        F.sha2(norm_text_col(F.col("doc_text")), 256).alias("chash"),
+    )
+    reps = per_conv.groupBy("chash").agg(F.min("conv_id").alias("rep"))
+    flagged = per_conv.join(reps, "chash").withColumn(
+        "is_dup", (F.col("conv_id") != F.col("rep")).cast("int"))
+    n = F.count(F.lit(1))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_convs"),
+            F.sum("n_turns").cast("long").alias("n_turns_total"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+            F.sum("is_dup").cast("long").alias("n_exact_dup"),
+            F.round(F.sum("is_dup").cast("double") / n, 6)
+            .alias("exact_dup_rate"),
+            F.round(F.sum("quality").cast("double") / n, 6)
+            .alias("mean_quality"),
+        )
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     cfg=None,
