@@ -249,6 +249,27 @@ def test_budget_mix_weights_and_prefix_rule(spark, docs):
     assert uni.groupby("source").source_budget.first().nunique() == 1
 
 
+def test_transcript_source_profile_invariants(spark):
+    """Per-source counts add up: n_convs covers the union corpus, summing
+    n_exact_dup equals what exact dedup would remove corpus-wide, and
+    mean_quality stays in [0, 1]."""
+    from pcompress_spark.operators.assemble import assemble
+    from pcompress_spark.operators.turns import norm_text_col
+    from pcompress_spark.sources.tables import load_transcripts_multi
+
+    t = load_transcripts_multi(spark, SF)
+    prof = curation.transcript_source_profile(t).toPandas()
+    asm = assemble(t).select(
+        "conv_id", F.sha2(norm_text_col(F.col("doc_text")), 256).alias("h"))
+    n_convs = asm.count()
+    n_dups = n_convs - asm.select("h").distinct().count()
+    assert prof.n_convs.sum() == n_convs
+    assert prof.n_exact_dup.sum() == n_dups
+    assert prof.mean_quality.between(0, 1).all()
+    assert (prof.n_turns_total > 0).all() and (prof.n_tokens_total > 0).all()
+    assert len(prof) == 3  # the three fixture sources
+
+
 def test_curation_semantic_stage(spark, docs):
     """The optional SemDeDup stage: earlier-stage verdicts are unchanged
     vs the base cascade, every semantic_dup doc is a semdedup non-keeper
