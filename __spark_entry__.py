@@ -753,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_hourly_counts"] = relational.events_hourly_counts
     q["events_sessionize"] = relational.sessionize
     q["events_rollup"] = relational.events_rollup
+    q["events_type_ngrams"] = lambda s, d: relational.events_type_ngrams(
+        s, d, n=2)
     q["orders_without_lineitems"] = relational.orders_without_lineitems
 
     # ---- J5 analog: materialize the deduplicated view ----
@@ -1431,6 +1433,19 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_events,
                sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
         FROM events GROUP BY 1, 2
+    """
+    # consecutive event-type bigrams in (ts, event_id) order per user
+    o["events_type_ngrams"] = """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS t1
+            FROM events
+        )
+        SELECT event_type || '>' || t1 AS types,
+               count(*)::BIGINT AS n_occurrences,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM s WHERE t1 IS NOT NULL GROUP BY 1
     """
     o["events_rollup"] = """
         SELECT coalesce(event_type, 'ALL') AS event_type,

@@ -139,6 +139,34 @@ def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_type_ngrams(spark: SparkSession, sf_dir: str,
+                       n: int = 2) -> DataFrame:
+    """Consecutive event-type chains per user in event-time order — the
+    events-axis twin of the transcript tool-chain census (which action
+    sequences dominate user behavior). Ties in ts break on event_id so
+    the sequence is total-ordered and deterministic. One conv-free
+    exchange on user_id feeds the lead() window, then a count-distinct
+    partial agg — no UDF. Returns (types, n_occurrences, n_users)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cols = [F.col("event_type")] + [
+        F.lead("event_type", i).over(w) for i in range(1, int(n))
+    ]
+    grams = ev.select(
+        "user_id", F.concat_ws(">", *cols).alias("types"),
+        cols[-1].isNotNull().alias("full"),
+    ).where(F.col("full"))
+    return (
+        grams.groupBy("types")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation: event counts by (event_type, hour-of-day) with
     subtotals — grouping-set coverage; NULL grouping levels rendered as
