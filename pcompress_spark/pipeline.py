@@ -231,7 +231,42 @@ class DedupPipeline:
         conversation: exact / near / substring / kept + removed_by —
         operators/tiers.tier_attribution) and log per-tier counts to
         metrics.json. Off by default: it pays the substring LCS verify over
-        the flagged pairs, which callers that only need clusters skip."""
+        the flagged pairs, which callers that only need clusters skip.
+
+        Effective-width guard: before anything runs, the session's real
+        concurrency budget is measured (widthprobe.effective_width — cached
+        per process) and, when the host sustains fewer concurrent tasks
+        than the master advertises (the hypervisor knee in CLAUDE.md), UDF
+        parallelism and shuffle partitions are capped at the measured width
+        for the duration of the run. The decision is logged to
+        metrics.json["width_guard"]; SPARK_GRAFT_EFFECTIVE_WIDTH pins or
+        disables it. Physical-only knob: outputs are bit-identical at any
+        width, so resume manifests do not key on it."""
+        from .widthprobe import effective_width
+
+        wg = effective_width(self.spark)
+        prev_shuffle = None
+        if wg["width"] < wg["session_width"]:
+            # concurrency = min(task slots, partitions) in local mode; the
+            # partition count is the only runtime lever, so the cap must
+            # hold for every exchange in the run
+            prev_shuffle = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(wg["width"]))
+        try:
+            return self._run_inner(transcripts, with_substring, with_tiers, wg)
+        finally:
+            if prev_shuffle is not None:
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", prev_shuffle)
+
+    def _run_inner(
+        self,
+        transcripts: DataFrame,
+        with_substring: bool | None,
+        with_tiers: bool,
+        wg: dict,
+    ) -> PipelineResult:
         cfg = self.cfg
         self._stages = []
         self._input_fp = self._input_fingerprint(transcripts) if self.work_dir else None
@@ -256,7 +291,7 @@ class DedupPipeline:
             # unit_col: transcripts is TURN-level; plan budgets are per
             # conversation (the row the UDF/banding stages actually see)
             plan = derive_exec_plan(self.spark, transcripts, cfg.bands,
-                                    unit_col="conv_id")
+                                    cores=wg["width"], unit_col="conv_id")
             self.exec_plan = plan
             cfg = dataclasses.replace(
                 cfg,
@@ -265,14 +300,25 @@ class DedupPipeline:
                 arrow_batch_rows=plan.arrow_batch_rows,
             )
             self.cfg = cfg  # manifests/resume key on the DERIVED config
-            self.spark.conf.set(
-                "spark.sql.shuffle.partitions", str(plan.shuffle_partitions))
+            if wg["width"] >= wg["session_width"]:
+                # a width-capped run keeps shuffle partitions at the capped
+                # width (set in run()); the plan's value still governs the
+                # cluster-scale config and is logged either way
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(plan.shuffle_partitions))
             self.spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(plan.arrow_batch_rows))
             band_passes = plan.band_passes
 
-        par = self.spark.sparkContext.defaultParallelism * 2
+        # uncapped: 2 waves at full width for load balancing (status quo).
+        # capped: exactly `width` partitions — any more and local mode would
+        # schedule past the measured knee (slots > effective cores).
+        if wg["width"] < wg["session_width"]:
+            par = wg["width"]
+        else:
+            par = self.spark.sparkContext.defaultParallelism * 2
         asm = assemble(transcripts, parallelism=par)
         sig = self._run_stage("signatures", lambda: compute_signatures(asm, cfg))
 
@@ -412,6 +458,7 @@ class DedupPipeline:
                     }
             if self.exec_plan is not None:
                 metrics["exec_plan"] = self.exec_plan.as_dict()
+            metrics["width_guard"] = wg
             t_stats = time.monotonic()
             # lineage derives purely from the signatures/clusters stage
             # outputs: when BOTH resumed (same config + input fingerprint),
