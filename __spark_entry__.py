@@ -996,6 +996,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
 
     q["ann_hard_negatives"] = ann_hard_negatives
+
+    def ann_hard_negatives_lsh(spark, sf_dir):
+        """Bucketed hard-negative mining: multi-probe LSH candidates +
+        label-mismatch filter + exact rescore — the production-scale
+        channel (the brute ann_hard_negatives is its truth twin)."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.hard_negatives_lsh(
+            emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
+    q["ann_hard_negatives_lsh"] = ann_hard_negatives_lsh
+
+    def ann_label_purity_lsh(spark, sf_dir):
+        """Label purity over the multi-probe LSH k-NN neighborhood — the
+        bucket-bounded production form of ann_label_purity."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.knn_label_purity_lsh(
+            emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
+    q["ann_label_purity_lsh"] = ann_label_purity_lsh
     return q
 
 
@@ -1620,6 +1639,8 @@ def oracle_sql() -> dict[str, str]:
         threshold=0.4, n_clusters=8, n_iters=3, dim=64)
     o["ann_label_purity"] = oq.ann_label_purity_sql(k=5)
     o["ann_hard_negatives"] = oq.ann_hard_negatives_sql(k=5)
+    o["ann_hard_negatives_lsh"] = oq.ann_hard_negatives_lsh_sql(k=5)
+    o["ann_label_purity_lsh"] = oq.ann_label_purity_lsh_sql(k=5)
     o["multimodal_features"] = oq.multimodal_sql(media_fixture_path(n=64, seed=42))
 
     # ---- provenance (multi-source union) ----

@@ -681,6 +681,39 @@ def hyperplane_multiprobe_topk(
     the bucket join moves only (id, table_id, bucket) triples with the
     query probe set broadcast, candidates dedupe before the vector
     rescore, exact cosines, window top-k."""
+    pair_ids, prepped_c, prepped_q = _multiprobe_candidates(
+        emb, queries, n_planes, n_tables, dim, seed)
+    cand = pair_ids.join(
+        prepped_c.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("vc"), F.col("norm").alias("nc"),
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(prepped_q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("vq"), F.col("norm").alias("nq"),
+        )),
+        "query_id",
+    )
+    scored = _score_pairs(cand).withColumn("cosine", F.round("cosine", 6))
+    return _topk(scored, k)
+
+
+def _multiprobe_candidates(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared multi-probe candidate generation -> (pair_ids, prepped_c,
+    prepped_q). pair_ids is the deduped (query_id, neighbor_id) candidate
+    set from the exact-bucket and least-confident-plane probes; prepped_*
+    carry (vec_id, v, norm[, buckets...]) for the exact rescore. Consumers:
+    hyperplane_multiprobe_topk (top-k), hard_negatives_lsh (label-filtered
+    top-k), knn_label_purity_lsh (neighborhood labels)."""
     planes = _hyperplanes(n_tables, n_planes, dim, seed)
     prepped_c = cache.persist(_prep(emb, planes=planes))
 
@@ -729,21 +762,7 @@ def hyperplane_multiprobe_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cand = pair_ids.join(
-        prepped_c.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("v").alias("vc"), F.col("norm").alias("nc"),
-        ),
-        "neighbor_id",
-    ).join(
-        F.broadcast(prepped_q.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("vq"), F.col("norm").alias("nq"),
-        )),
-        "query_id",
-    )
-    scored = _score_pairs(cand).withColumn("cosine", F.round("cosine", 6))
-    return _topk(scored, k)
+    return pair_ids, prepped_c, prepped_q
 
 
 def ann_recall_report(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
@@ -802,12 +821,25 @@ def hard_negatives(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     runs before scoring and the rank window sees negatives only; the
     |queries| x k result re-attaches labels through broadcast-pair joins
     (the knn_label_purity shape) — the corpus is never exchanged on a
-    pair key."""
+    pair key.
+
+    This is the TRUTH channel: O(|Q| x |C|) scored pairs, right only for
+    bounded query samples; the production path at corpus scale is
+    hard_negatives_lsh (same semantics over the multi-probe bucket index,
+    recall audited against this form in tests).
+
+    Query labels come from ``queries`` itself when it carries a ``label``
+    column; otherwise they are looked up in ``emb``, which requires every
+    query vec_id to exist in the corpus — a query absent from the label
+    source has no label and is omitted (pass labels on the queries frame
+    to make the contract self-contained)."""
     labels = emb.select("vec_id", "label")
+    q_labels = (queries.select("vec_id", "label")
+                if "label" in queries.columns else labels)
     c = _prep(emb).join(labels, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vc"),
         F.col("norm").alias("nc"), F.col("label").alias("nl"))
-    q = _prep(queries).join(labels, "vec_id").select(
+    q = _prep(queries).join(q_labels, "vec_id").select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
         F.col("norm").alias("nq"), F.col("label").alias("ql"))
     cand = c.join(
@@ -822,11 +854,119 @@ def hard_negatives(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
         F.col("label").alias("neighbor_label"),
     ).join(F.broadcast(top), "neighbor_id")
     return (
-        labels.select(F.col("vec_id").alias("query_id"),
-                      F.col("label").alias("query_label"))
+        q_labels.select(F.col("vec_id").alias("query_id"),
+                        F.col("label").alias("query_label"))
         .join(F.broadcast(enriched), "query_id")
         .select("query_id", "query_label", "neighbor_id",
                 "neighbor_label", "cosine", "rank")
+    )
+
+
+def hard_negatives_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed hard-negative mining — the production-scale form of
+    hard_negatives: candidates come from the multi-probe hyperplane index
+    (_multiprobe_candidates, the same bucket join every other ANN consumer
+    rides), the DIFFERENT-label filter is applied to the candidate ID set
+    through id-keyed label joins, and only surviving pairs are exactly
+    rescored. Per-query cost is bounded by bucket occupancy, never
+    O(|corpus|); no query x corpus cross join appears in the plan (the
+    dump_plans check pins this). Recall vs the brute truth channel is
+    audited in tests and tunes with n_planes/n_tables exactly like
+    hyperplane_multiprobe_topk.
+
+    Output schema matches hard_negatives:
+    (query_id, query_label, neighbor_id, neighbor_label, cosine, rank) —
+    rank windows over the label-filtered candidate set. Query labels come
+    from ``queries`` when it has a ``label`` column, else from ``emb``
+    (subset contract as in hard_negatives)."""
+    pair_ids, prepped_c, prepped_q = _multiprobe_candidates(
+        emb, queries, n_planes, n_tables, dim, seed)
+    labels = emb.select("vec_id", "label")
+    q_labels = (queries.select("vec_id", "label")
+                if "label" in queries.columns else labels)
+    neg_ids = (
+        pair_ids
+        .join(labels.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("label").alias("nl")), "neighbor_id")
+        .join(F.broadcast(q_labels.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("ql"))), "query_id")
+        .where(F.col("nl") != F.col("ql"))
+        .select("query_id", "neighbor_id")
+    )
+    cand = neg_ids.join(
+        prepped_c.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("vc"), F.col("norm").alias("nc"),
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(prepped_q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("vq"), F.col("norm").alias("nq"),
+        )),
+        "query_id",
+    )
+    scored = _score_pairs(cand).withColumn("cosine", F.round("cosine", 6))
+    top = _topk(scored, k)
+    enriched = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    ).join(F.broadcast(top), "neighbor_id")
+    return (
+        q_labels.select(F.col("vec_id").alias("query_id"),
+                        F.col("label").alias("query_label"))
+        .join(F.broadcast(enriched), "query_id")
+        .select("query_id", "query_label", "neighbor_id",
+                "neighbor_label", "cosine", "rank")
+    )
+
+
+def knn_label_purity_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Label purity over the APPROXIMATE (multi-probe LSH) k-NN
+    neighborhood — the production-scale form of knn_label_purity: the
+    neighborhood comes from hyperplane_multiprobe_topk (bucket-bounded,
+    no corpus cross join) instead of the brute pass; the label
+    aggregation is identical. At web scale the purity estimate inherits
+    the index's recall (audited by ann_recall_report); the brute form
+    stays the truth channel for bounded samples."""
+    pairs = hyperplane_multiprobe_topk(
+        emb, queries, k=k, n_planes=n_planes, n_tables=n_tables,
+        dim=dim, seed=seed,
+    ).select("query_id", "neighbor_id")
+    labels = emb.select("vec_id", "label")
+    nb = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    ).join(F.broadcast(pairs), "neighbor_id")
+    enriched = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    ).join(F.broadcast(nb), "query_id")
+    match = F.when(
+        F.col("neighbor_label") == F.col("query_label"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return enriched.groupBy("query_id", "query_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.sum(match).cast("long").alias("n_match"),
+        F.round(
+            F.sum(match).cast("double") / F.count(F.lit(1)), 6
+        ).alias("purity"),
     )
 
 

@@ -755,6 +755,66 @@ cosine, rank FROM negres""",
     )
 
 
+def ann_hard_negatives_lsh_sql(k: int = 5, n_planes: int = 6,
+                               n_tables: int = 8, dim: int = 64,
+                               seed: int = 42) -> str:
+    """Twin for similarity.hard_negatives_lsh: the multi-probe candidate
+    set (shared _ann_multiprobe_parts staging — exact bucket plus
+    least-confident-plane flip), DIFFERENT-label filter applied to the
+    candidate IDs before scoring, exact cosine rescore, rank window over
+    the surviving negatives, labels in the projection."""
+    stmts, _ = _ann_multiprobe_parts(k, n_planes, n_tables, dim, seed)
+    final = f"""
+WITH cand_ AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM qprobes q
+               JOIN sigs c ON c.t = q.t AND c.bucket = q.bucket
+               WHERE c.vec_id != q.vec_id),
+lab_ AS (SELECT cd.query_id, cd.neighbor_id,
+                eq.label AS query_label, en.label AS neighbor_label
+         FROM cand_ cd
+         JOIN embeddings eq ON eq.vec_id = cd.query_id
+         JOIN embeddings en ON en.vec_id = cd.neighbor_id
+         WHERE en.label != eq.label),
+scored_ AS (SELECT l.query_id, l.query_label, l.neighbor_id,
+                   l.neighbor_label,
+                   round(CASE WHEN a.nv > 0 AND b.nv > 0
+                         THEN {_dot("a.v", "b.v", dim)} / (a.nv * b.nv)
+                         ELSE 0.0 END, 6) AS cosine
+            FROM lab_ l
+            JOIN nrm a ON a.vec_id = l.query_id
+            JOIN nrm b ON b.vec_id = l.neighbor_id)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+       rank::BIGINT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+      FROM scored_) WHERE rank <= {k}"""
+    return _script(*stmts, final)
+
+
+def ann_label_purity_lsh_sql(k: int = 5, n_planes: int = 6,
+                             n_tables: int = 8, dim: int = 64,
+                             seed: int = 42) -> str:
+    """Twin for similarity.knn_label_purity_lsh: the multi-probe top-k
+    neighborhood (staged exactly as ann_recall_sql stages mpres), then the
+    same per-query label-match aggregation as the brute purity twin."""
+    stmts, mp_final = _ann_multiprobe_parts(k, n_planes, n_tables, dim, seed)
+    n_match = "sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)"
+    return _script(
+        *stmts,
+        f"CREATE OR REPLACE TEMP TABLE mpres AS {mp_final};",
+        f"""
+SELECT b.query_id, ql.label AS query_label,
+       count(*)::BIGINT AS n_neighbors,
+       {n_match}::BIGINT AS n_match,
+       round({n_match}::DOUBLE / count(*), 6) AS purity
+FROM mpres b
+JOIN embeddings ql ON ql.vec_id = b.query_id
+JOIN embeddings nl ON nl.vec_id = b.neighbor_id
+GROUP BY 1, 2""",
+    )
+
+
 def doc_simhash_sql(max_hamming: int = 6, k: int = 3,
                     cfg: DedupConfig | None = None) -> str:
     cfg = cfg or DedupConfig(shingle_k=k, substring_enabled=False)

@@ -497,3 +497,57 @@ def test_knn_label_purity_matches_bruteforce(spark, emb):
         )
         assert row.n_match == n_match
         assert abs(row.purity - round(n_match / 5, 6)) < 1e-9
+
+
+def test_hard_negatives_lsh_vs_brute(spark, emb):
+    """The bucketed hard-negative channel (multi-probe LSH candidates +
+    label filter) must emit ONLY true negatives with the exact brute
+    cosine on every overlapping pair, and recover a material fraction of
+    the brute truth set — the brute-equivalence audit the bucketed
+    production path is shipped with."""
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    brute = similarity.hard_negatives(emb, q, k=5).toPandas()
+    lsh = similarity.hard_negatives_lsh(emb, q, k=5).toPandas()
+
+    assert (lsh.query_label != lsh.neighbor_label).all()
+    # per-query ranks are 1..n with no gaps
+    for _, grp in lsh.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+    # exact-score agreement wherever both channels emit the pair
+    bscore = {(r.query_id, r.neighbor_id): r.cosine
+              for r in brute.itertuples()}
+    overlap = [r for r in lsh.itertuples()
+               if (r.query_id, r.neighbor_id) in bscore]
+    assert overlap, "no overlap between bucketed and brute negatives"
+    for r in overlap:
+        assert bscore[(r.query_id, r.neighbor_id)] == r.cosine
+    # recall floor vs the brute truth (approximate by design — same
+    # index geometry as hyperplane_multiprobe_topk)
+    truth = set(zip(brute.query_id, brute.neighbor_id))
+    found = set(zip(lsh.query_id, lsh.neighbor_id))
+    assert len(truth & found) / len(truth) >= 0.1
+
+
+def test_knn_label_purity_lsh_matches_multiprobe_neighborhood(spark, emb):
+    """Purity over the approximate neighborhood must equal a pandas
+    recomputation over hyperplane_multiprobe_topk's own pair set — the
+    aggregation is shared with the brute form; only the neighborhood
+    source differs."""
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    rep = similarity.knn_label_purity_lsh(emb, q, k=5).toPandas()
+    mp = similarity.hyperplane_multiprobe_topk(emb, q, k=5).toPandas()
+    labels = {r.vec_id: r.label
+              for r in emb.select("vec_id", "label").collect()}
+
+    by_q = mp.groupby("query_id")["neighbor_id"].apply(list)
+    assert sorted(rep.query_id) == sorted(by_q.index)
+    for row in rep.itertuples(index=False):
+        nbrs = by_q[row.query_id]
+        assert row.n_neighbors == len(nbrs)
+        n_match = sum(1 for n in nbrs if labels[n] == row.query_label)
+        assert row.n_match == n_match
+        assert abs(row.purity - round(n_match / len(nbrs), 6)) < 1e-9

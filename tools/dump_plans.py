@@ -79,6 +79,7 @@ def main() -> None:
     bench_probe_df = entry.queries()["tr_bench_probe"](spark, SF)
     budget_mix_df = entry.queries()["doc_budget_mix"](spark, SF)
     multiprobe_df = entry.queries()["ann_topk_multiprobe"](spark, SF)
+    hardneg_lsh_df = entry.queries()["ann_hard_negatives_lsh"](spark, SF)
 
     sections = {
         "assemble + signatures (1 text shuffle, pinned-width UDF stage)": sig,
@@ -311,6 +312,17 @@ def main() -> None:
         "OK ann_recall_report: query side broadcast, no cartesian stage"
         if "BroadcastHashJoin" in ann_plan and "CartesianProduct" not in ann_plan
         else "FAIL ann_recall_report: missing broadcast or quadratic stage"
+    )
+    # the bucketed hard-negative channel must never regress to the brute
+    # query x corpus cross join it replaces (VERDICT r3 finding #1):
+    # candidates ride the multiprobe bucket join + id-keyed label joins
+    hardneg_lsh_plan = plan_of(hardneg_lsh_df)
+    checks.append(
+        "OK ann_hard_negatives_lsh: bucket-join candidates, no query x corpus cross join"
+        if "BroadcastHashJoin" in hardneg_lsh_plan
+        and "CartesianProduct" not in hardneg_lsh_plan
+        and "BroadcastNestedLoopJoin" not in hardneg_lsh_plan
+        else "FAIL ann_hard_negatives_lsh: quadratic join stage in plan"
     )
     emb_lsh_plan = plan_of(emb_lsh_df)
     checks.append(
