@@ -16,6 +16,16 @@ corpus run" inputs of functions/incremental.py):
     md5/     exact-dup index rows  (append-per-run subdirs; re-min'd on read)
     labels/  cluster assignment    (FULL table, atomically replaced per run)
 
+Periodic maintenance: ``--compact`` merges the accumulated run=<tag>
+subdirs into one ``run=c<G>`` dir per table (md5 re-min'd at merge), so a
+year of daily deltas doesn't leave every probe listing 365 subdirs. Run it
+quiesced (no delta in flight); crash-safe via the streaming store's
+tagged-tmp + _SUCCESS + rename protocol, auto-recovered at the next run;
+admission results for future deltas are byte-identical (tests pin this).
+A replay of an already-compacted delta tag is refused with an explanation
+(its appends can no longer be deleted-and-redone; the delta was committed
+before compaction by the quiesce contract).
+
 Bootstrap once from the existing corpus:
 
     spark-submit --py-files dist/pcompress_spark.zip tools/run_incremental.py \
@@ -77,6 +87,161 @@ def _hadoop_fs(spark, path: str):
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _fresh_session_views(spark, *paths: str) -> None:
+    """Invalidate any cached relations/file listings under the given
+    paths. The state dirs MUTATE between runs (appends, label replace,
+    compaction); in a long-lived reused session Spark's cache manager
+    matches relations by root path and would serve a STALE file listing
+    for a path a previous run persisted (observed: a post-compaction run
+    missing every exact pair because csig came from the pre-compaction
+    cache). Per-run subprocess sessions never hit this; a shared session
+    (tests, notebook loops) must refresh."""
+    for p in paths:
+        if p:
+            spark.catalog.refreshByPath(p)
+
+
+# dot-prefixed so an interrupted compaction's tmp dir is invisible to the
+# directory-level parquet reads every probe performs (Spark skips hidden
+# '.'/'_' paths); the trailing integer is the compaction GENERATION
+_COMPACT_TMP_PREFIX = ".compact_tmp_c"
+
+
+def _list_runs(spark, table_path: str):
+    """(fs, jvm Path ctor, [(name, path)] of run=* dirs, [(name, path)] of
+    interrupted-compaction tmp dirs) for one state table."""
+    fs, root_path, jvm = _hadoop_fs(spark, table_path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    runs, tmps = [], []
+    if fs.exists(root_path):
+        for st in fs.listStatus(root_path):
+            name = st.getPath().getName()
+            if name.startswith("run="):
+                runs.append((name, str(st.getPath())))
+            elif name.startswith(_COMPACT_TMP_PREFIX):
+                tmps.append((name, str(st.getPath())))
+    return fs, hpath, runs, tmps
+
+
+def _manifest_path(state_dir: str) -> str:
+    # underscore-prefixed: ignored by parquet directory reads
+    return state_dir.rstrip("/") + "/_compacted_tags.json"
+
+
+def _manifest_read(spark, state_dir: str) -> dict:
+    """{run tag: compaction generation} of every append tag ever folded
+    into a run=c<G> dir — consulted by the replay guard (a compacted tag
+    can no longer be deleted-and-redone, so replaying it is refused with
+    an explanation instead of tripping the collision guard)."""
+    fs, p, jvm = _hadoop_fs(spark, _manifest_path(state_dir))
+    if not fs.exists(p):
+        return {}
+    stream = fs.open(p)
+    try:
+        # commons-io rides Spark's classpath; a py4j-side read loop can't
+        # see Java's mutations of a passed buffer (pass-by-value)
+        data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        return json.loads(data) if data.strip() else {}
+    finally:
+        stream.close()
+
+
+def _manifest_add(spark, state_dir: str, gen: int, tags: list) -> None:
+    """Record tags merged by generation ``gen``. Best-effort advisory (a
+    crash before this write only degrades the replay-refusal message to
+    the collision-guard error — state itself is already consistent)."""
+    m = _manifest_read(spark, state_dir)
+    m.update({t: gen for t in tags})
+    fs, p, _ = _hadoop_fs(spark, _manifest_path(state_dir))
+    out = fs.create(p, True)
+    try:
+        out.write(json.dumps(m, sort_keys=True).encode())
+    finally:
+        out.close()
+
+
+def _recover_state_compaction(spark, state_dir: str, table: str) -> None:
+    """Finish or abort a compaction of one state table interrupted between
+    its tmp write and the final rename (same protocol as the streaming
+    store's _recover_compaction, streaming/dedup_stream.py:202): a COMPLETE
+    tmp (parquet _SUCCESS present) holds the full merge of every run dir
+    that existed at its write — under the quiesce contract nothing has
+    appended since — so recovery deletes the surviving originals and
+    renames the tmp into place; an incomplete tmp is discarded with the
+    originals untouched. Runs at the start of every delta run and of
+    compaction itself, so no caller observes a half-compacted store."""
+    path = state_dir.rstrip("/") + "/" + table
+    fs, hpath, runs, tmps = _list_runs(spark, path)
+    for name, p in tmps:
+        gen = int(name[len(_COMPACT_TMP_PREFIX):])
+        if not fs.exists(hpath(p + "/_SUCCESS")):
+            fs.delete(hpath(p), True)
+            continue
+        tags = [n.split("=", 1)[1] for n, _ in runs]
+        for _, rp in runs:
+            fs.delete(hpath(rp), True)
+        if not fs.rename(hpath(p), hpath(f"{path}/run=c{gen}")):
+            raise IOError(
+                f"compaction recovery rename failed: {p} -> run=c{gen}")
+        if table == "sig":
+            _manifest_add(spark, state_dir, gen,
+                          [t for t in tags if not _is_c_tag(t)])
+
+
+def _is_c_tag(tag: str) -> bool:
+    return tag.startswith("c") and tag[1:].isdigit()
+
+
+def compact_incremental_state(spark, state_dir: str, tables) -> dict:
+    """Quiesced-state maintenance: merge every per-run append subdir of
+    each state table into a single ``run=c<G>`` dir (G = generation) and
+    delete the originals — after N daily deltas every probe otherwise
+    lists N subdirs (and on an object store pays N LISTs). The md5 index
+    is re-min'd at merge time (min of per-run min partials == global min),
+    so compaction also shrinks it to one row per content hash.
+
+    MUST run quiesced (no concurrent delta run) — the same contract as
+    compact_near_dup_store for a stopped stream. Crash-safe: (1) full
+    merge to a dot-prefixed tmp (invisible to parquet reads, _SUCCESS
+    marks completeness), (2) delete originals, (3) rename tmp ->
+    run=c<G>; _recover_state_compaction repairs any interruption.
+    Admission behavior for future deltas is byte-identical (the union of
+    rows is unchanged; tests pin this). Compacted tags are recorded in
+    _compacted_tags.json so a replay of an already-compacted delta is
+    refused loudly instead of corrupting state."""
+    from pyspark.sql import functions as F
+
+    sd = state_dir.rstrip("/")
+    summary = {}
+    for t in tables:
+        _recover_state_compaction(spark, sd, t)
+        path = f"{sd}/{t}"
+        fs, hpath, runs, _ = _list_runs(spark, path)
+        if len(runs) <= 1:
+            summary[t] = {"merged_runs": 0}
+            continue
+        gen = 1 + max(
+            (int(n.split("=", 1)[1][1:]) for n, _ in runs
+             if _is_c_tag(n.split("=", 1)[1])),
+            default=0,
+        )
+        df = spark.read.parquet(*[p for _, p in runs])
+        if t == "md5":
+            df = df.groupBy("content_md5").agg(F.min("c_rep").alias("c_rep"))
+        tmp = f"{path}/{_COMPACT_TMP_PREFIX}{gen}"
+        df.write.mode("overwrite").parquet(tmp)
+        tags = [n.split("=", 1)[1] for n, _ in runs]
+        for _, rp in runs:
+            fs.delete(hpath(rp), True)
+        if not fs.rename(hpath(tmp), hpath(f"{path}/run=c{gen}")):
+            raise IOError(f"compaction rename failed: {tmp} -> run=c{gen}")
+        if t == "sig":
+            _manifest_add(spark, sd, gen,
+                          [tg for tg in tags if not _is_c_tag(tg)])
+        summary[t] = {"merged_runs": len(runs), "gen": gen}
+    return summary
 
 
 def _stage_replace(spark, df, path: str) -> None:
@@ -164,6 +329,21 @@ def _delete_run_dirs(spark, paths: dict, tag: str, delta) -> bool:
         if fs.exists(p):
             prior = True
             fs.delete(p, True)
+    if not prior:
+        # a compacted tag's appends were merged into a run=c<G> dir and can
+        # no longer be deleted-and-redone; the delta was fully committed
+        # before compaction (compaction only runs on quiesced, committed
+        # state), so a replay has nothing left to do — refuse with the
+        # real story instead of letting the collision guard fire
+        state_dir = os.path.dirname(paths["sig"].rstrip("/"))
+        gen = _manifest_read(spark, state_dir).get(tag)
+        if gen is not None:
+            raise SystemExit(
+                f"run={tag} was committed and later compacted into "
+                f"run=c{gen}; its admission outputs were finalized before "
+                "compaction and its state rows are merged. Re-running this "
+                "delta would admit it against a corpus that already "
+                "contains it — nothing to do.")
     return prior
 
 
@@ -221,8 +401,10 @@ def _transcripts_run(spark, ap, args, cfg) -> int:
 
     if not args.delta or not args.out:
         ap.error("--delta and --out are required (or pass --bootstrap)")
+    _fresh_session_views(spark, sd, args.out)
     delta = spark.read.parquet(args.delta)
     tag = args.run_tag or _default_tag(delta)
+    _recover_state_compaction(spark, sd, "sig")
     prior_attempt = _delete_run_dirs(spark, paths, tag, delta)
     _recover_replace(spark, paths["labels"])
     corpus_sig = spark.read.parquet(paths["sig"]).drop("run")
@@ -277,6 +459,8 @@ def _transcripts_run(spark, ap, args, cfg) -> int:
         "dropped_near": int(counts.get("near", 0)),
         "out": args.out,
     }))
+    from pcompress_spark.cache import release_persisted
+    release_persisted()  # a reused session must not pin this run's frames
     return 0
 
 
@@ -305,6 +489,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="state append subdir tag (default: hash of the "
                          "delta's file listing, so re-runs are idempotent; "
                          "an explicit tag must be unique per delta)")
+    ap.add_argument("--compact", action="store_true",
+                    help="merge the per-run append subdirs of the state "
+                         "tables into one run=c<G> dir each and exit "
+                         "(quiesced maintenance — no delta run may be in "
+                         "flight; admission behavior is unchanged)")
     args = ap.parse_args(argv)
 
     from pcompress_spark.config import DedupConfig
@@ -316,6 +505,15 @@ def main(argv: list[str] | None = None) -> int:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
+    if args.compact:
+        tables = ("sig",) if args.mode == "transcripts" else (
+            "sig", "bands", "md5")
+        summary = compact_incremental_state(spark, args.state_dir, tables)
+        print(json.dumps({"compacted": True, "mode": args.mode,
+                          "state_dir": args.state_dir.rstrip("/"),
+                          "tables": summary}))
+        return 0
+
     overrides = json.loads(args.config_json) if args.config_json else {}
     if args.mode == "transcripts":
         # the pipeline's own defaults, so signatures/labels interoperate
@@ -352,8 +550,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if not args.delta or not args.out:
         ap.error("--delta and --out are required (or pass --bootstrap)")
+    _fresh_session_views(spark, sd, args.out)
     delta = spark.read.parquet(args.delta)
     tag = args.run_tag or _default_tag(delta)
+    for t in ("sig", "bands", "md5"):
+        _recover_state_compaction(spark, sd, t)
     prior_attempt = _delete_run_dirs(spark, paths, tag, delta)
     _recover_replace(spark, paths["labels"])
     # drop the run=<tag> partition column the append layout induces — the
@@ -463,6 +664,8 @@ def main(argv: list[str] | None = None) -> int:
         "dropped_near": int(counts.get("near", 0)),
         "out": args.out,
     }))
+    from pcompress_spark.cache import release_persisted
+    release_persisted()  # a reused session must not pin this run's frames
     return 0
 
 
