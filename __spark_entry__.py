@@ -137,6 +137,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # --------------------------------------------------------------------------
 
+# quality^alpha mixing weight, shared by the doc/tr budget_mix queries AND
+# their oracle SQL (the weight expression below is GENERATED from it, so
+# changing the exponent can never silently desynchronize the twin)
+_BUDGET_ALPHA = 2
+_BUDGET_ALPHA_EXPR = " * ".join(["mq"] * _BUDGET_ALPHA)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -642,8 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # data mixing: quality^alpha-weighted budget split across sources,
     # then the same watermark selection within each source
     q["doc_budget_mix"] = lambda s, d: curation.budget_mix(
-        load_table(s, d, "documents"), token_budget=10_000, alpha=2,
-        n_buckets=16)
+        load_table(s, d, "documents"), token_budget=10_000,
+        alpha=_BUDGET_ALPHA, n_buckets=16)
 
     def tr_budget_mix(spark, sf_dir):
         """Data mixing on the primary axis: the conversation token budget
@@ -651,7 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pcompress_spark.sources.tables import load_transcripts_multi
         return curation.budget_mix_transcripts(
             load_transcripts_multi(spark, sf_dir), token_budget=10_000,
-            alpha=2, n_buckets=16)
+            alpha=_BUDGET_ALPHA, n_buckets=16)
 
     q["tr_budget_mix"] = tr_budget_mix
 
@@ -1251,7 +1258,7 @@ def oracle_sql() -> dict[str, str]:
                               / count(*), 6) AS mq
                  FROM base_ GROUP BY source),
         wt_ AS (SELECT source,
-                       CAST(floor(mq * mq * 1000000 + 0.5) AS BIGINT) AS w
+                       CAST(floor({_BUDGET_ALPHA_EXPR} * 1000000 + 0.5) AS BIGINT) AS w
                 FROM src_),
         tot_ AS (SELECT sum(w)::HUGEINT AS tw FROM wt_),
         bud_ AS (SELECT source,
@@ -1593,9 +1600,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE tool IS NOT NULL AND tool != ''
         ),
         s AS (
+            -- (turn_idx, tool) tie-break mirrors the engine window: a
+            -- duplicate turn_idx must not make the chain order ambiguous
             SELECT conv_id, tool,
                    lead(tool, 1) OVER (PARTITION BY conv_id
-                                       ORDER BY turn_idx) AS t1
+                                       ORDER BY turn_idx, tool) AS t1
             FROM t
         )
         SELECT tool || '>' || t1 AS tools,
@@ -1740,13 +1749,13 @@ SELECT doc_id, conv_id, source,
          + least(len(w)::DOUBLE / 50.0, 1.0)) / 3.0, 6) AS quality,
        len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
 FROM (SELECT *, {words} AS w FROM bmx_tdocs);""",
-        """
+        f"""
 WITH src_ AS (SELECT source,
                      round(sum(CAST(quality AS DECIMAL(18,6)))::DOUBLE
                            / count(*), 6) AS mq
               FROM bmx_base GROUP BY source),
 wt_ AS (SELECT source,
-               CAST(floor(mq * mq * 1000000 + 0.5) AS BIGINT) AS w
+               CAST(floor({_BUDGET_ALPHA_EXPR} * 1000000 + 0.5) AS BIGINT) AS w
         FROM src_),
 tot_ AS (SELECT sum(w)::HUGEINT AS tw FROM wt_),
 bud_ AS (SELECT source,

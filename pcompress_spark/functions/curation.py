@@ -1086,7 +1086,8 @@ def curate_corpus(
         from .similarity import semdedup
 
         sem = cache.persist(
-            semdedup(embeddings, sem_threshold, sem_clusters, sem_iters))
+            semdedup(embeddings, sem_threshold, sem_clusters, sem_iters,
+                     cfg=cfg))
         keepers = sem.where(F.col("keep")).select(
             "group_id", F.col("vec_id").alias("sem_keeper"))
         # only docs still alive after the near stage take the semantic

@@ -278,10 +278,16 @@ def tool_sequence_ngrams(
     Plan shape: one hash exchange on conv_id feeds the lead() window
     (per-conversation state only — never a global sort), then a
     count-distinct partial agg on the (gram, conv_id) pairs; text is
-    never read, no UDF, whole-stage codegen end to end."""
+    never read, no UDF, whole-stage codegen end to end.
+
+    The window orders by (turn_idx, tool) — the tool tie-break makes the
+    sequence TOTAL-ordered when duplicate turn_idx rows exist (assemble
+    tolerates them via its own (turn_idx, text) tie-break; turn_idx alone
+    would make those chains partition-order-dependent). Mirrored in the
+    tr_tool_ngrams oracle SQL."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "tool")
     t = transcripts.where(
         F.col("tool").isNotNull() & (F.col("tool") != "")
     ).select("conv_id", "turn_idx", "tool")
