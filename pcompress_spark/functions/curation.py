@@ -643,8 +643,22 @@ def repetition_report(
     )
 
 
+def _ntok_col(token_col: str | None):
+    """Token-count expression for the budget/packing operators: the
+    whitespace-split heuristic by default, or a caller-provided
+    PRECOMPUTED count column (``token_col``) — the hook that lets real
+    BPE counts (computed upstream by a tokenizer job, e.g. a
+    ``mapInPandas`` pass over a shipped vocab) drive budget math without
+    this engine bundling a vocabulary. All downstream arithmetic is
+    integer-exact either way."""
+    if token_col is not None:
+        return F.col(token_col).cast("long")
+    return F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+
+
 def budget_selection(
-    docs: DataFrame, token_budget: int = 10_000, n_buckets: int = 16
+    docs: DataFrame, token_budget: int = 10_000, n_buckets: int = 16,
+    token_col: str | None = None,
 ) -> DataFrame:
     """Greedy token-budget corpus selection: order documents by
     (quality DESC, doc_id ASC) and keep the prefix whose preceding token
@@ -664,12 +678,16 @@ def budget_selection(
     1/n_buckets-ile — raise n_buckets if the score distribution
     concentrates. Reference analog: the memory-budgeted index that admits
     content only while under its limit
-    (/root/reference/rabin/global/index.c:119-215)."""
+    (/root/reference/rabin/global/index.c:119-215).
+
+    ``token_col``: name of a precomputed token-count column to use in
+    place of the whitespace heuristic (see _ntok_col) — pass real BPE
+    counts here when budgets must be model-accurate."""
     from pyspark.sql import Window
 
     from .text import quality_col
 
-    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    ntok = _ntok_col(token_col)
     bucket = F.least(
         F.lit(int(n_buckets) - 1),
         F.floor((F.lit(1.0) - F.col("quality")) * F.lit(int(n_buckets))),
@@ -716,6 +734,7 @@ def budget_mix(
     token_budget: int = 10_000,
     alpha: int = 2,
     n_buckets: int = 16,
+    token_col: str | None = None,
 ) -> DataFrame:
     """Data MIXING: split one global token budget across sources by
     quality weight, then greedy-select within each source — the
@@ -750,7 +769,7 @@ def budget_mix(
     alpha = int(alpha)
     if alpha < 0:
         raise ValueError("alpha must be a non-negative integer")
-    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    ntok = _ntok_col(token_col)
     bucket = F.least(
         F.lit(int(n_buckets) - 1),
         F.floor((F.lit(1.0) - F.col("quality")) * F.lit(int(n_buckets))),
@@ -849,7 +868,8 @@ def budget_mix_transcripts(
 
 
 def pack_assignments(
-    docs: DataFrame, budget: int = 2048, n_shards: int = 8
+    docs: DataFrame, budget: int = 2048, n_shards: int = 8,
+    token_col: str | None = None,
 ) -> DataFrame:
     """Deterministic sequence-packing plan for training-shard assembly:
     (doc_id, shard, n_tokens, pack_id).
@@ -872,10 +892,13 @@ def pack_assignments(
     analog: the archive member sort that packs similar members into
     fixed-size segments before compression
     (/root/reference/archive/pc_archive.c:378-423, 642-700).
+
+    ``token_col``: precomputed token-count column override (_ntok_col) —
+    real BPE counts make the packs model-accurate.
     """
     from pyspark.sql import Window
 
-    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    ntok = _ntok_col(token_col)
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")

@@ -2583,14 +2583,21 @@ def doc_repetition_sql(top_frac_max: float = 0.2,
             + "\nSELECT * FROM rep_verdict")
 
 
+# the whitespace token-count heuristic — the default everywhere a
+# precomputed count column isn't supplied (engine twin: curation._ntok_col)
+NTOK_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))::BIGINT"
+
+
 def _pack_stmts(src: str = "documents", budget: int = 2048,
-                n_shards: int = 8) -> str:
+                n_shards: int = 8, ntok_expr: str = NTOK_SQL) -> str:
     """TEMP TABLE ``pack_out`` (doc_id, shard, n_tokens, pack_id) over
-    ``src`` — the pack_assignments twin staged for composed oracles."""
+    ``src`` — the pack_assignments twin staged for composed oracles.
+    ``ntok_expr``: SQL for the token count — pass a precomputed column
+    name to mirror the engine's ``token_col`` override."""
     return f"""
 CREATE OR REPLACE TEMP TABLE pack_base AS
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+       {ntok_expr} AS n_tokens
 FROM {src};
 CREATE OR REPLACE TEMP TABLE pack_out AS
 WITH {osql.xxh64_long_ctes('pk', 'pack_base', ['doc_id', 'n_tokens'],
@@ -2629,13 +2636,15 @@ FROM pack_out p JOIN cmap m USING (doc_id)""",
     )
 
 
-def doc_pack_sql(budget: int = 2048, n_shards: int = 8) -> str:
+def doc_pack_sql(budget: int = 2048, n_shards: int = 8,
+                 ntok_expr: str = NTOK_SQL) -> str:
     """curation.pack_assignments twin: Spark-compatible xxhash64(doc_id)
     shard route (xxh64_long_ctes, Spark's fixed seed 42), then watermark
     packing — pack_id = floor(preceding shard tokens / budget) over the
-    doc_id order within each shard."""
+    doc_id order within each shard. ``ntok_expr`` mirrors the engine's
+    ``token_col`` override (pass a precomputed count column name)."""
     return _script(
-        _pack_stmts("documents", budget, n_shards),
+        _pack_stmts("documents", budget, n_shards, ntok_expr),
         "SELECT doc_id, shard, n_tokens, pack_id FROM pack_out",
     )
 

@@ -663,3 +663,66 @@ def test_tr_repetition_planted_loop(spark):
     assert bool(rep.loc["conv-1"].repetitive)
     assert rep.loc["conv-1"].dup_3gram_ratio > 0.5
     assert not bool(rep.loc["conv-2"].repetitive)
+
+
+def test_budget_ops_precomputed_token_col(spark, docs):
+    """token_col: a precomputed count column must drive the budget math
+    exactly — identity when the column equals the heuristic, and exact
+    scaling equivalence when counts double (2c < 2B <=> c < B), for all
+    three budget/packing operators."""
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    with_same = docs.withColumn("bpe_n", ws)
+    with_dbl = docs.withColumn("bpe_n", (ws * 2).cast("long"))
+
+    def rows(df):
+        return df.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    # identity: column == heuristic -> byte-identical outputs
+    for default_df, col_df in (
+        (curation.budget_selection(docs, 10_000),
+         curation.budget_selection(with_same, 10_000, token_col="bpe_n")),
+        (curation.budget_mix(docs, 10_000, alpha=2),
+         curation.budget_mix(with_same, 10_000, alpha=2, token_col="bpe_n")),
+        (curation.pack_assignments(docs, 2048),
+         curation.pack_assignments(with_same, 2048, token_col="bpe_n")),
+    ):
+        assert rows(default_df).equals(rows(col_df))
+
+    # scaling: doubled counts + doubled budget keep the same selection
+    a = rows(curation.budget_selection(docs, 10_000))
+    b = rows(curation.budget_selection(with_dbl, 20_000, token_col="bpe_n"))
+    assert (b.n_tokens == 2 * a.n_tokens).all()
+    assert (b.cum_before == 2 * a.cum_before).all()
+    assert b.kept.equals(a.kept)
+    # packing: floor(2c / 2B) == floor(c / B)
+    pa = rows(curation.pack_assignments(docs, 2048))
+    pb = rows(curation.pack_assignments(with_dbl, 4096, token_col="bpe_n"))
+    assert pb.pack_id.equals(pa.pack_id)
+    assert pb.shard.equals(pa.shard)
+
+
+def test_pack_sql_oracle_parameterized_token_col(docs):
+    """The DuckDB pack twin parameterizes the token expression the same
+    way the engine parameterizes token_col: running it with a precomputed
+    count column must match the engine's token_col run row-for-row."""
+    import duckdb
+
+    from pcompress_spark import oracle_queries as oq
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    pdf["bpe_n"] = pdf["text"].str.strip().str.split().map(len) * 3
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = con.execute(
+        oq.doc_pack_sql(budget=2048, n_shards=8, ntok_expr="bpe_n")
+    ).df().sort_values("doc_id").reset_index(drop=True)
+
+    spark = docs.sparkSession
+    eng = (
+        curation.pack_assignments(
+            spark.createDataFrame(pdf), 2048, token_col="bpe_n")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.astype({"shard": "int64", "pack_id": "int64"}).equals(
+        eng.astype({"shard": "int64", "pack_id": "int64"}))
