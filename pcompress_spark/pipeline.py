@@ -199,18 +199,22 @@ class DedupPipeline:
         )
 
     # ---- the pipeline ---------------------------------------------------
-    @staticmethod
-    def _input_fingerprint(df: DataFrame) -> str:
+    def _input_fingerprint(self, df: DataFrame) -> str:
         """Cheap input-identity key for resume safety: hash of the input
         file listing when the DataFrame reads files (no Spark job). The
-        fallback for non-file-backed input is a row count, and that count
-        runs on EVERY run() invocation — identity can't be cached across
-        runs precisely because an in-memory input has no stable identity
-        to key the cache on; point work_dir-resumed pipelines at file- or
-        table-backed input to avoid the scan. Re-running the same work_dir
-        against DIFFERENT input must not silently reuse stale stage outputs
-        — a resumed run is only 'bit-identical to an uninterrupted one' if
-        (input, config) both match."""
+        fallback for non-file-backed input is a row count — and that count
+        is CACHED in the work_dir keyed by the input plan's semantic hash
+        (``df.semanticHash()``, a driver-side canonicalized-plan hash, no
+        job): a re-run/resume over the same logical input reuses the
+        recorded count instead of re-scanning. A DIFFERENT in-memory input
+        produces a different plan hash (local relations hash their data),
+        so the count re-runs and a count change still invalidates resume.
+        The one blind spot is mutable storage read through an identical
+        plan — but such input is file/table-backed, which takes the
+        listing-hash path above, never this one. Re-running the same
+        work_dir against DIFFERENT input must not silently reuse stale
+        stage outputs — a resumed run is only 'bit-identical to an
+        uninterrupted one' if (input, config) both match."""
         import hashlib
 
         try:
@@ -219,7 +223,26 @@ class DedupPipeline:
             files = []
         if files:
             return "files:" + hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
-        return f"rows:{df.count()}"
+        try:
+            plan_hash = int(df.semanticHash())
+        except Exception:
+            return f"rows:{df.count()}"   # no plan hash -> no safe cache key
+        cache_path = (os.path.join(self.work_dir, "input_fingerprint.json")
+                      if self.work_dir else None)
+        if cache_path and os.path.exists(cache_path):
+            try:
+                with open(cache_path) as f:
+                    rec = json.load(f)
+                if rec.get("plan_hash") == plan_hash:
+                    return rec["fingerprint"]
+            except (OSError, json.JSONDecodeError, KeyError):
+                pass
+        fp = f"rows:{df.count()}"
+        if cache_path:
+            os.makedirs(self.work_dir, exist_ok=True)
+            with open(cache_path, "w") as f:
+                json.dump({"plan_hash": plan_hash, "fingerprint": fp}, f)
+        return fp
 
     def run(
         self,

@@ -121,3 +121,44 @@ def test_pipeline_config_change_invalidates(spark, smoke_transcripts, tmp_path):
 def test_pipeline_no_workdir(spark, smoke_transcripts):
     res = DedupPipeline(spark, CFG, work_dir=None).run(smoke_transcripts, with_substring=False)
     assert res.tables["clusters"].count() > 0
+
+
+def test_nonfile_fingerprint_cached_across_runs(
+    spark, smoke_transcripts, tmp_path, monkeypatch
+):
+    """The non-file-input fingerprint count runs ONCE: a second run over
+    the same in-memory input resumes from the cached (plan-hash-keyed)
+    fingerprint with zero count jobs — and a DIFFERENT input still
+    invalidates the cache (fresh plan hash -> fresh count)."""
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    from pcompress_spark.config import DedupConfig
+    from pcompress_spark.pipeline import DedupPipeline
+
+    wd = str(tmp_path / "wd")
+    cfg = DedupConfig()
+    r1 = DedupPipeline(spark, cfg, work_dir=wd).run(smoke_transcripts)
+    assert os.path.exists(os.path.join(wd, "input_fingerprint.json"))
+    clusters1 = sorted(
+        (r.conv_id, r.cluster_id) for r in r1.tables["clusters"].collect())
+
+    # second run: every stage must resume AND no DataFrame.count may run
+    def _no_count(self_df):
+        raise AssertionError("count job ran during a fully-resumed run")
+
+    monkeypatch.setattr(_DF, "count", _no_count)
+    r2 = DedupPipeline(spark, cfg, work_dir=wd).run(smoke_transcripts)
+    monkeypatch.undo()
+    assert all(s.resumed for s in r2.stages), [
+        (s.name, s.resumed) for s in r2.stages]
+    clusters2 = sorted(
+        (r.conv_id, r.cluster_id) for r in r2.tables["clusters"].collect())
+    assert clusters2 == clusters1
+
+    # different in-memory input -> different plan hash -> stages rebuild
+    # (the cache must not blind resume to an input change)
+    smaller = smoke_transcripts.where(
+        F.xxhash64("conv_id") % 2 == 0)
+    r3 = DedupPipeline(spark, cfg, work_dir=wd).run(smaller)
+    assert not any(s.resumed for s in r3.stages)
