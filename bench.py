@@ -195,9 +195,14 @@ def main() -> None:
     from pcompress_spark.cache import release_persisted
 
     qs = entry.queries()
+    # doc_curation/tr_curation: the flagship COMPOSED cascades (admission
+    # -> near-dup keep-best -> repetition -> budget -> packing) — tracked
+    # here so the cascade's round-over-round cost is visible, not only its
+    # stages'
     for name in ["q1_pricing_summary", "q5_nation_revenue", "events_sessionize",
                  "doc_minhash_lsh_pairs", "doc_token_stats", "doc_admission",
-                 "ann_topk_brute", "ann_recall_report"]:
+                 "ann_topk_brute", "ann_recall_report", "doc_curation",
+                 "tr_curation"]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
