@@ -745,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # doubles so engine NaN and oracle NULL canonicalize identically
             F.col("hdr_width").cast("double").alias("hdr_width"),
             F.col("hdr_height").cast("double").alias("hdr_height"),
+            F.col("jpeg_quality").cast("long").alias("jpeg_quality"),
             F.round(F.element_at("feature", 1), 6).alias("feat_0"),
             F.size("feature").cast("long").alias("feat_dim"),
         )

@@ -63,6 +63,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("header_decoded", T.BooleanType(), False),
         T.StructField("hdr_width", T.IntegerType(), True),
         T.StructField("hdr_height", T.IntegerType(), True),
+        # IJG quality estimated from the luminance DQT (JPEG rows only)
+        T.StructField("jpeg_quality", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), False),
     ]
 )
@@ -161,6 +163,88 @@ def decode_jpeg_header(payload: bytes | None) -> tuple[int, int, int] | None:
             if w <= 0 or h <= 0 or ncomp not in (1, 3, 4):
                 return None
             return w, h, ncomp
+        pos += 2 + seg_len
+    return None
+
+
+# ITU-T T.81 Annex K.1 standard luminance quantization table (natural
+# order) — the public reference table libjpeg scales by quality; the base
+# for both DQT serialization (make_jpeg_header) and quality estimation.
+_STD_LUMA_QT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_STD_LUMA_SUM = int(_STD_LUMA_QT.sum())  # 3688
+
+
+def jpeg_quality_estimate(payload: bytes | None) -> int | None:
+    """Estimate the IJG quality setting from a JPEG's luminance DQT table
+    — the quantization-quality feature of the header tier (the reference's
+    packJPG filter reads the same tables before re-coding,
+    /root/reference/archive/pjpg_helper.cpp). None if the payload is not
+    JPEG or carries no table-0 DQT before scan data.
+
+    Deterministic integer estimator (the DuckDB twin reproduces it from
+    the same bytes): S = sum of the 64 table-0 coefficients,
+    scale_pct = round(100*S / S_std) in integer arithmetic, then the IJG
+    inverse — q = (200 - scale_pct) // 2 when scale_pct <= 100 else
+    round(5000 / scale_pct) — clamped to [1, 100]. Sum-ratio estimation
+    is coefficient-order-independent, so zigzag vs natural DQT layout
+    does not matter. 16-bit (Pq=1) tables are summed from their BE pairs.
+    """
+    if not payload or len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        return None
+    pos, n = 2, len(payload)
+    while pos + 3 < n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no DQT seen
+            return None
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            return None
+        if marker == 0xDB:  # DQT — may hold several tables back to back
+            q, end = pos + 4, pos + 2 + seg_len
+            while q < end:
+                pq, tq = payload[q] >> 4, payload[q] & 0x0F
+                width = 128 if pq == 1 else 64
+                if q + 1 + width > end:
+                    break
+                if tq == 0:
+                    raw = payload[q + 1 : q + 1 + width]
+                    if pq == 1:
+                        s = sum(
+                            int.from_bytes(raw[i : i + 2], "big")
+                            for i in range(0, 128, 2)
+                        )
+                    else:
+                        s = sum(raw)
+                    if s <= 64:
+                        # all-ones table: the q=100 fixed point (clipping
+                        # floors every coefficient at 1)
+                        return 100
+                    scale = (100 * s + _STD_LUMA_SUM // 2) // _STD_LUMA_SUM
+                    if scale <= 0:
+                        return 100
+                    if scale <= 100:
+                        est = (200 - scale) // 2
+                    else:
+                        est = (10000 + scale) // (2 * scale)
+                    return max(1, min(100, est))
+                q += 1 + width
         pos += 2 + seg_len
     return None
 
@@ -447,16 +531,19 @@ def extract_features(
             payloads = list(pdf["payload"])
             hashes = hash_bytes_rows(payloads)
             feats, decoded, hdr_dec = [], [], []
-            hdr_w, hdr_h = [], []
+            hdr_w, hdr_h, jq = [], [], []
             for p, h in zip(payloads, hashes):
                 pnm = parse_pnm(p)
                 samples = None if pnm is not None else decode_wav(p)
                 png = None
                 hdr = None
+                quality = None
                 if pnm is None and samples is None:
                     png = decode_png(p)
                     if png is None:
                         hdr = decode_jpeg_header(p)
+                        if hdr is not None:
+                            quality = jpeg_quality_estimate(p)
                         if hdr is None:
                             hdr = decode_png_header(p)
                         if hdr is None:
@@ -468,12 +555,14 @@ def extract_features(
                     hdr_dec.append(True)
                     hdr_w.append(w)
                     hdr_h.append(hh)
+                    jq.append(quality)
                 elif samples is not None:
                     feats.append(amplitude_histogram(samples))
                     decoded.append(True)
                     hdr_dec.append(True)
                     hdr_w.append(None)
                     hdr_h.append(None)
+                    jq.append(quality)
                 elif hdr is not None and decode_stub:
                     # header tier (JPEG SOF / PNG IHDR): real dims, raster
                     # behind the stub — still honors the decode_stub gate
@@ -483,12 +572,14 @@ def extract_features(
                     hdr_dec.append(True)
                     hdr_w.append(w)
                     hdr_h.append(hh)
+                    jq.append(quality)
                 elif decode_stub:
                     feats.append(_fake_feature(h))
                     decoded.append(False)
                     hdr_dec.append(False)
                     hdr_w.append(None)
                     hdr_h.append(None)
+                    jq.append(quality)
                 else:
                     raise NotImplementedError(
                         "no in-tree decoder for this payload (PNM, canonical "
@@ -505,6 +596,7 @@ def extract_features(
                     "header_decoded": np.asarray(hdr_dec, dtype=bool),
                     "hdr_width": pd.array(hdr_w, dtype="Int32"),
                     "hdr_height": pd.array(hdr_h, dtype="Int32"),
+                    "jpeg_quality": pd.array(jq, dtype="Int32"),
                     "feature": feats,
                 }
             )
@@ -536,22 +628,31 @@ def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def make_jpeg_header(w: int, h: int, entropy: bytes,
-                     progressive: bool = False) -> bytes:
+                     progressive: bool = False, quality: int = 75) -> bytes:
     """Serialize a structurally-valid JPEG prefix: SOI + APP0/JFIF (the
-    canonical 18-byte segment) + SOF0 (or SOF2) with the given dimensions,
-    followed by SOS and fake entropy bytes + EOI. The header markers are
-    real and parse with any JPEG header reader; the entropy data is not a
-    decodable scan (this fixture exercises the header tier only)."""
+    canonical 18-byte segment) + DQT (the Annex K luminance table scaled
+    to ``quality`` by the IJG rule: scale = 5000/q for q < 50 else
+    200 - 2q; coef = clamp((base*scale + 50)/100, 1, 255)) + SOF0 (or
+    SOF2) with the given dimensions, followed by SOS and fake entropy
+    bytes + EOI. The header markers are real and parse with any JPEG
+    header reader; the entropy data is not a decodable scan (this fixture
+    exercises the header tier only). The DQT coefficients are serialized
+    in natural order — the sum-ratio quality estimator is
+    order-independent, so zigzag fidelity buys nothing here."""
     import struct
 
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
         [1, 1, 0, 0, 1, 0, 1, 0, 0]
     )
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    coefs = np.clip((_STD_LUMA_QT * scale + 50) // 100, 1, 255).astype(np.uint8)
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + coefs.tobytes()
     sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
     # len=11: 8 fixed + 3 per component (1 component, precision 8)
     sof = sof_marker + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
     sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0, 0, 63, 0])
-    return b"\xff\xd8" + app0 + sof + sos + entropy + b"\xff\xd9"
+    return b"\xff\xd8" + app0 + dqt + sof + sos + entropy + b"\xff\xd9"
 
 
 def make_mp4(w: int, h: int, duration_ms: int, entropy: bytes) -> bytes:
@@ -666,7 +767,10 @@ def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
             h = int(rng.integers(32, 4096))
             ent = bytes(rng.integers(1, 255, size=int(rng.integers(64, 1024)),
                                      dtype=np.uint8))
-            payload = make_jpeg_header(w, h, ent)
+            # varying IJG quality so the DQT-derived estimate is a real
+            # per-row feature, not a constant
+            payload = make_jpeg_header(w, h, ent,
+                                       quality=int(rng.integers(30, 96)))
             rows.append((i, kind, "image/jpeg", payload, w, h, None))
         elif kind == "png":
             # REAL decodable PNG: the raster is derived from media_id by
@@ -707,7 +811,8 @@ def media_fixture_path(n: int = 64, seed: int = 42) -> str:
     query and the DuckDB oracle read."""
     from ..sources.tables import CACHE_DIR
 
-    out_dir = os.path.join(CACHE_DIR, f"media_v6_n{n}_s{seed}")
+    # v7: JPEG payloads carry a real DQT segment (quality feature)
+    out_dir = os.path.join(CACHE_DIR, f"media_v7_n{n}_s{seed}")
     path = os.path.join(out_dir, "media.parquet")
     if not os.path.exists(path):
         import pyarrow as pa

@@ -2067,27 +2067,43 @@ WITH feat_ AS (
            -- header tier: PNM/WAV/PNG fully decode; JPEG parses SOI/SOF
            -- only. jpeg/png dims read from the
            -- actual payload bytes at the containers' canonical offsets
-           -- (JPEG: SOI 2B + APP0 18B + SOF0, height BE at bytes 26-27,
-           -- width 28-29; PNG: 8B signature + 4B len + 'IHDR', width BE
-           -- u32 at bytes 17-20, height 21-24) — independent checks of the
-           -- engine's parsers; PNM dims come from the parquet metadata
-           -- columns the generator derived the header text from
+           -- (JPEG: SOI 2B + APP0 18B + DQT 69B + SOF0, height BE at
+           -- bytes 94-95, width 96-97; PNG: 8B signature + 4B len +
+           -- 'IHDR', width BE u32 at bytes 17-20, height 21-24) —
+           -- independent checks of the engine's parsers; PNM dims come
+           -- from the parquet metadata columns the generator derived the
+           -- header text from
            kind IN ('image', 'audio', 'jpeg', 'png', 'video') AS header_decoded,
            -- video: fixed-layout MP4 fixture (make_mp4) — tkhd 16.16 width
            -- int part at bytes 228-229, height at 232-233 (the engine does
            -- a general box walk; the oracle exploits the fixed layout)
            CASE WHEN kind = 'image' THEN width::DOUBLE
                 WHEN kind = 'video' THEN (bs[229] * 256 + bs[230])::DOUBLE
-                WHEN kind = 'jpeg' THEN (bs[28] * 256 + bs[29])::DOUBLE
+                WHEN kind = 'jpeg' THEN (bs[97] * 256 + bs[98])::DOUBLE
                 WHEN kind = 'png' THEN (bs[17] * 16777216 + bs[18] * 65536
                                         + bs[19] * 256 + bs[20])::DOUBLE
                 ELSE NULL END AS hdr_width,
            CASE WHEN kind = 'image' THEN height::DOUBLE
                 WHEN kind = 'video' THEN (bs[233] * 256 + bs[234])::DOUBLE
-                WHEN kind = 'jpeg' THEN (bs[26] * 256 + bs[27])::DOUBLE
+                WHEN kind = 'jpeg' THEN (bs[95] * 256 + bs[96])::DOUBLE
                 WHEN kind = 'png' THEN (bs[21] * 16777216 + bs[22] * 65536
                                         + bs[23] * 256 + bs[24])::DOUBLE
                 ELSE NULL END AS hdr_height,
+           -- jpeg quality from the luminance DQT (64 coefs at bytes
+           -- 25-88, 1-based bs[26..89]): the engine's integer estimator —
+           -- scale = round(100*S/3688), q = (200-scale)//2 when <= 100
+           -- else round(5000/scale), clamped to [1,100]
+           CASE WHEN kind = 'jpeg' THEN
+               (SELECT CASE WHEN list_sum(bs[26:89]) <= 64 THEN 100
+                            WHEN sc <= 0 THEN 100
+                            WHEN sc <= 100 THEN
+                                least(100, greatest(1, (200 - sc) // 2))
+                            ELSE least(100, greatest(1,
+                                (10000 + sc) // (2 * sc)))
+                       END
+                FROM (SELECT (100 * list_sum(bs[26:89]) + 1844) // 3688
+                          AS sc))::BIGINT
+                ELSE NULL END AS jpeg_quality,
            CASE WHEN kind = 'image' THEN
                -- P5 header 'P5\\n{{w}} {{h}}\\n255\\n' -> 9 + digits(w) + digits(h)
                len(list_filter(
@@ -2109,10 +2125,10 @@ WITH feat_ AS (
     FROM mchash LEFT JOIN pngh USING (media_id)),
 sh_ AS ({osql.smix_chain(['media_id', 'kind', 'chash', 'decoded',
                           'header_decoded', 'hdr_width', 'hdr_height',
-                          'hist0'],
+                          'jpeg_quality', 'hist0'],
                          f'mulmod(chash, 2654435761{_H})', 'sh0', 'feat_')})
 SELECT media_id, kind, tobig(chash) AS payload_sha_like, decoded,
-       header_decoded, hdr_width, hdr_height,
+       header_decoded, hdr_width, hdr_height, jpeg_quality,
        round((CASE WHEN decoded THEN hist0
                    ELSE sh0::DOUBLE / 18446744073709551616.0
               END)::FLOAT::DOUBLE, 6) AS feat_0,

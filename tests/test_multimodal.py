@@ -55,10 +55,43 @@ def test_jpeg_header_decode():
     assert mm.decode_jpeg_header(None) is None
     assert mm.decode_jpeg_header(b"P5\n1 1\n255\n\x00") is None
     assert mm.decode_jpeg_header(p[:24]) is None
-    # SOI + APP0 (20 bytes), then straight to SOS (SOF segment is 13 bytes)
-    no_sof = p[:20] + p[33:]
-    assert p[33:35] == b"\xff\xda"
+    # SOI + APP0 (20 bytes), then straight to SOS — drop the DQT (69 B)
+    # and SOF (13 B) segments
+    no_sof = p[:20] + p[102:]
+    assert p[102:104] == b"\xff\xda"
     assert mm.decode_jpeg_header(no_sof) is None
+
+
+def test_jpeg_quality_estimate():
+    """The DQT quality estimator inverts make_jpeg_header's IJG scaling:
+    exact round-trip at even-scale qualities, within 1 elsewhere (clamp
+    rounding); non-JPEG and DQT-less payloads give None."""
+    ent = bytes(range(1, 100))
+    for q in (25, 50, 60, 75, 90, 95, 100):
+        p = mm.make_jpeg_header(64, 64, ent, quality=q)
+        est = mm.jpeg_quality_estimate(p)
+        assert est is not None and abs(est - q) <= 1, (q, est)
+    # very low quality: the 255-coefficient clamp truncates the sum, so
+    # the estimate reads the CLAMPED table (higher than the setting) —
+    # the same behavior real-world DQT estimators have
+    est10 = mm.jpeg_quality_estimate(mm.make_jpeg_header(8, 8, ent, quality=10))
+    assert est10 is not None and 10 <= est10 <= 25
+    # quality ordering is monotone in the table scale
+    qs = [mm.jpeg_quality_estimate(mm.make_jpeg_header(8, 8, ent, quality=q))
+          for q in (20, 40, 60, 80)]
+    assert qs == sorted(qs)
+    assert mm.jpeg_quality_estimate(b"P5\n1 1\n255\n\x00") is None
+    # a JPEG without any DQT before SOS estimates nothing
+    p = mm.make_jpeg_header(64, 64, ent, quality=75)
+    no_dqt = p[:20] + p[89:]
+    assert p[89:91] == b"\xff\xc0"
+    assert mm.jpeg_quality_estimate(no_dqt) is None
+    # 16-bit (Pq=1) table parses too: same coefficients widened to BE16
+    coefs8 = p[25:89]
+    dqt16 = (b"\xff\xdb" + (2 + 1 + 128).to_bytes(2, "big") + bytes([0x10])
+             + b"".join(bytes([0, c]) for c in coefs8))
+    p16 = p[:20] + dqt16 + p[89:]
+    assert mm.jpeg_quality_estimate(p16) == mm.jpeg_quality_estimate(p)
 
 
 def test_mp4_header_decode():
