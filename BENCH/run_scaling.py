@@ -30,13 +30,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, n_conv: int) -> dict:
+def run_bench(cpus: int, n_conv: int, pipeline_only: bool = False) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_CONVS"] = str(n_conv)
+    if pipeline_only:
+        # the 1->4 pair needs only the pipeline point; the full query
+        # suite + KMV channel cost more than the pipeline at local[1]
+        env["SPARK_GRAFT_BENCH_PIPELINE_ONLY"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, cwd=REPO, capture_output=True, text=True, timeout=3600,
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=7200,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
@@ -64,8 +68,8 @@ def main() -> None:
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     n_hi = 4 * n_lo
     kc = kernel_ceiling()
-    ra = run_bench(n_lo, n_primary)
-    rb = run_bench(n_hi, n_primary)
+    ra = run_bench(n_lo, n_primary, pipeline_only=True)
+    rb = run_bench(n_hi, n_primary, pipeline_only=True)
     r8b = run_bench(8, n_supp)
     r32 = run_bench(32, n_supp)
     ta, tb = ra["turns_per_sec"], rb["turns_per_sec"]
@@ -100,6 +104,20 @@ def main() -> None:
             f"**Efficiency = {eff_supp:.3f}** against the >= 0.8 target. "
             f"Read honestly: this pair does NOT meet 0.8 on this box, and "
             f"we do not claim it does.")
+    # the engine's effective-width guard runs as shipped (a pinned
+    # local[32] may be capped at the measured host knee); the decision is
+    # part of the engine and is disclosed rather than disabled — a reader
+    # must know whether the 32-slot point ran capped
+    wg32 = r32.get("width_guard")
+    wg8 = r8b.get("width_guard")
+    guard_note = (
+        f"\nEffective-width guard (widthprobe.effective_width, shipped "
+        f"behavior, disclosed):\nlocal[32] point ran with width_guard = "
+        f"`{json.dumps(wg32)}`;\nlocal[8] point: `{json.dumps(wg8)}`. When "
+        f"the guard caps the 32-slot session at the\nmeasured host knee, "
+        f"this pair measures the ENGINE AS SHIPPED at those session\n"
+        f"widths — the honest production number — not raw thread scaling "
+        f"(the kernel\nceiling above is the raw-hardware reference).\n")
     # Direction-aware reading of the JVM-only vs mixed-pipeline comparison:
     # which strategy scales better at 8->32 flips with the host's same-day
     # behavior, and the narrative must follow the numbers, not a remembered
@@ -141,7 +159,7 @@ the other.
 | B | local[32] | {r32['queries']['dedup_pipeline']} | {t32} |
 
 {supp_verdict}
-
+{guard_note}
 Host ceiling, measured in this same invocation (Spark-free numpy signature
 kernels, BENCH/kernel_scaling.py): 8 procs {k8:.0f} docs/s aggregate ->
 32 procs {k32:.0f} docs/s, i.e. kernel-only 8->32 efficiency {k_eff:.3f}.

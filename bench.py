@@ -83,6 +83,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "auto")
     n_conv = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "160000"))
+    # pipeline-only mode (run_scaling's 1->4 pair): skip the per-query
+    # suite, the turn-grain stats, the KMV channel, and the host kernel
+    # calibration — at local[1] those cost more than the pipeline itself
+    # (the KMV JVM channel alone is ~20 min single-core) and the scaling
+    # ratio only needs the pipeline point
+    pipeline_only = os.environ.get(
+        "SPARK_GRAFT_BENCH_PIPELINE_ONLY", "") == "1"
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pcompress_spark.config import DedupConfig
@@ -132,6 +139,8 @@ def main() -> None:
     # outside every timed region.
     host_kernel = None
     try:
+        if pipeline_only:
+            raise RuntimeError("pipeline-only mode: skip host calibration")
         import subprocess
         ks = subprocess.run(
             [sys.executable,
@@ -194,37 +203,41 @@ def main() -> None:
     # ---- per-operator headline queries on the driver tables ----
     from pcompress_spark.cache import release_persisted
 
-    qs = entry.queries()
-    # doc_curation/tr_curation: the flagship COMPOSED cascades (admission
-    # -> near-dup keep-best -> repetition -> budget -> packing) — tracked
-    # here so the cascade's round-over-round cost is visible, not only its
-    # stages'
-    for name in ["q1_pricing_summary", "q5_nation_revenue", "events_sessionize",
-                 "doc_minhash_lsh_pairs", "doc_token_stats", "doc_admission",
-                 "ann_topk_brute", "ann_recall_report", "doc_curation",
-                 "tr_curation"]:
+    kmv_sec = None
+    if not pipeline_only:
+        qs = entry.queries()
+        # doc_curation/tr_curation: the flagship COMPOSED cascades
+        # (admission -> near-dup keep-best -> repetition -> budget ->
+        # packing) — tracked here so the cascade's round-over-round cost
+        # is visible, not only its stages'
+        for name in ["q1_pricing_summary", "q5_nation_revenue",
+                     "events_sessionize", "doc_minhash_lsh_pairs",
+                     "doc_token_stats", "doc_admission", "ann_topk_brute",
+                     "ann_recall_report", "doc_curation", "tr_curation"]:
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).count()
+            timings[name] = round(time.monotonic() - t0, 3)
+            release_persisted()  # one query's caches must not skew the next
+
+        # turn-level dedup on the FULL bench corpus (3.3M turns) — the
+        # JVM-only block-granularity channel, timed at the same scale as
+        # the pipeline
+        from pcompress_spark.operators.turns import turn_dedup_stats
         t0 = time.monotonic()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        release_persisted()  # one query's caches must not skew the next
+        turn_dedup_stats(tdf).collect()
+        timings["tr_turn_dedup_stats"] = round(time.monotonic() - t0, 3)
 
-    # turn-level dedup on the FULL bench corpus (3.3M turns) — the JVM-only
-    # block-granularity channel, timed at the same scale as the pipeline
-    from pcompress_spark.operators.turns import turn_dedup_stats
-    t0 = time.monotonic()
-    turn_dedup_stats(tdf).collect()
-    timings["tr_turn_dedup_stats"] = round(time.monotonic() - t0, 3)
-
-    # KMV pure-JVM near-dup channel on the FULL bench corpus — the
-    # zero-Python-worker execution strategy (functions/kmv.py), timed at
-    # the same scale as the UDF pipeline for a direct strategy comparison.
-    # Reported OUTSIDE the headline total: "value" sums the same query set
-    # every round, so round-over-round comparisons stay apples-to-apples.
-    from pcompress_spark.functions.kmv import kmv_near_pairs_transcripts
-    t0 = time.monotonic()
-    kmv_near_pairs_transcripts(tdf, DedupConfig()).count()
-    kmv_sec = round(time.monotonic() - t0, 3)
-    release_persisted()
+        # KMV pure-JVM near-dup channel on the FULL bench corpus — the
+        # zero-Python-worker execution strategy (functions/kmv.py), timed
+        # at the same scale as the UDF pipeline for a direct strategy
+        # comparison. Reported OUTSIDE the headline total: "value" sums
+        # the same query set every round, so round-over-round comparisons
+        # stay apples-to-apples.
+        from pcompress_spark.functions.kmv import kmv_near_pairs_transcripts
+        t0 = time.monotonic()
+        kmv_near_pairs_transcripts(tdf, DedupConfig()).count()
+        kmv_sec = round(time.monotonic() - t0, 3)
+        release_persisted()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -239,7 +252,8 @@ def main() -> None:
         "pipeline_attempts_sec": [round(a, 3) for a in attempts],
         "clusters": n_clusters,
         "cpus": cpus,
-        "jvm_channel": {"tr_kmv_near_pairs": kmv_sec},
+        "jvm_channel": (
+            {"tr_kmv_near_pairs": kmv_sec} if kmv_sec is not None else None),
         "host_kernel_docs_per_sec_1proc": host_kernel,
         "width_guard": width_guard,
     }
