@@ -70,15 +70,27 @@ _CORPUS = None
 PROBE_BATCH = 512      # docs per kernel call (the engine's Arrow-batch order)
 PROBE_ITERS = 4        # kernel calls per worker per timed window
 PROBE_FLOOR = 4        # never cap below this width
-# Doubling workers must buy >50% aggregate kernel throughput to keep the
-# wider width. Calibrated against a same-day ground truth (2026-08-20):
-# kernel 16->32 ratio measured 1.24-1.47 while the REAL pipeline ran 1.49x
-# FASTER capped at 16 (42.5 s uncapped / 28.5 s capped / 28.7 s at a true
-# local[16] on the same 40k-conv corpus) — the pipeline's knee sits below
-# the kernel's because JVM shuffle stages and Python workers contend for
-# the same effective cores. A genuinely healthy doubling of real cores
-# delivers ~1.8-2x, comfortably above this bar.
-GAIN_MARGIN = 1.5
+
+
+def gain_margin(width: int) -> float:
+    """How much aggregate kernel throughput doubling the workers must buy
+    to KEEP the wider width — width-dependent, because the mixed
+    JVM+Python pipeline's thrash penalty grows with total thread count.
+
+    Calibrated against same-window pipeline ground truth (2026-08-20, two
+    separate host windows, 40k-conv corpus):
+      - 32 vs 16: afternoon window — kernel ratio 1.24-1.47, pipeline
+        1.49x faster capped (42.5 s -> 28.5 s); evening window — kernel
+        ratio 1.75 yet pipeline 2.06x faster capped (39.9 s -> 19.4 s).
+        So above 16 threads the bar is ~1.8: only a near-true doubling of
+        effective cores justifies the extra threads.
+      - 16 vs 8: evening window — kernel ratio only 1.28, but the capped-
+        16 pipeline still beat local[8] (19.4 s vs 22.2 s): below the
+        thrash regime moderate kernel gains DO translate, so the bar is
+        the modest 1.25.
+    A genuinely healthy doubling of real cores delivers ~1.9-2x kernel
+    aggregate and passes either bar."""
+    return 1.8 if width > 16 else 1.25
 
 
 def _probe_texts():
@@ -128,18 +140,18 @@ def kernel_aggregate(n_procs: int) -> float:
 
 
 def choose_width(agg: dict[int, float], session_width: int,
-                 gain_margin: float = GAIN_MARGIN,
                  floor: int = PROBE_FLOOR) -> int:
     """Pure decision rule over measured {width: aggregate_docs_per_sec}:
     starting at the session width, halve while the wider width's aggregate
-    is NOT materially (>25%) above the half's — those extra threads are
-    past the host's knee and, in the full pipeline, actively negative
-    (thread thrash + worker RSS; measured 94 s vs 61 s). Stops at the first
-    material gain or the floor. Exists as a pure function so the rule is
-    unit-testable without a probe."""
+    gain over the half is below gain_margin(width) — those extra threads
+    are past the host's knee and, in the full pipeline, actively negative
+    (thread thrash + worker RSS; measured 94 s vs 61 s, and 39.9 s vs
+    19.4 s same-window). Stops at the first material gain or the floor.
+    Exists as a pure function so the rule is unit-testable without a
+    probe."""
     w = session_width
     while w // 2 >= floor and (w // 2) in agg and w in agg:
-        if agg[w] >= gain_margin * agg[w // 2]:
+        if agg[w] >= gain_margin(w) * agg[w // 2]:
             break
         w //= 2
     return w

@@ -26,6 +26,14 @@ class TestChooseWidth:
         # while the real pipeline ran 1.49x faster at 16 — must cap
         assert choose_width({32: 41800.0, 16: 28500.0}, 32) == 16
 
+    def test_evening_window_caps_32_but_keeps_16(self):
+        # second 2026-08-20 window: kernel 16->32 ratio 1.75 yet the
+        # pipeline ran 2.06x faster capped at 16 (39.9 s vs 19.4 s), and
+        # 16 beat 8 (22.2 s) despite a 16/8 kernel ratio of only 1.28 —
+        # the width-dependent margin must cap once and stop
+        agg = {32: 35570.0, 16: 20352.0, 8: 15886.0}
+        assert choose_width(agg, 32) == 16
+
     def test_flat_curve_descends_to_floor(self):
         agg = {32: 17000.0, 16: 16000.0, 8: 15000.0, 4: 14000.0}
         assert choose_width(agg, 32) == 4
