@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .doc_dedup import ngrams_col
-from .text import content_class_col, norm_words
+from .text import content_class_col, materialized_words, norm_words
 
 # per-stratum keep rates (per mille) for the judged default sample: empty
 # docs carry no signal, numeric/airy classes are over-represented noise in
@@ -85,11 +85,10 @@ def decontaminate(
     groupBy(doc_id) whose input is only the MATCHED gram rows. The corpus
     text itself is never shuffled. Documents shorter than n words have no
     grams and report ratio 0.0 (nothing to leak)."""
-    grams = docs.select(
-        "doc_id", norm_words("text").alias("words")
-    ).select("doc_id", ngrams_col(n).alias("grams"))
+    grams = materialized_words(docs, "doc_id").select(
+        "doc_id", ngrams_col(n).alias("grams"))
     bench_grams = (
-        benchmark.select(norm_words("text").alias("words"))
+        materialized_words(benchmark)
         .select(F.explode(ngrams_col(n)).alias("gram"))
         .distinct()
     )
@@ -153,7 +152,7 @@ def decontaminate_bloom(
         )
 
     bench_grams = (
-        benchmark.select(norm_words("text").alias("words"))
+        materialized_words(benchmark)
         .select(F.explode(ngrams_col(n)).alias("gram"))
         .distinct()
     )
@@ -164,9 +163,8 @@ def decontaminate_bloom(
         .groupBy("word_idx")
         .agg(F.expr("bit_or(mask)").alias("word"))
     )
-    grams = docs.select(
-        "doc_id", norm_words("text").alias("words")
-    ).select("doc_id", ngrams_col(n).alias("grams"))
+    grams = materialized_words(docs, "doc_id").select(
+        "doc_id", ngrams_col(n).alias("grams"))
     occ = grams.select(
         "doc_id", F.posexplode("grams").alias("pos", "gram"))
     probed = (
@@ -460,7 +458,7 @@ def boilerplate_ngrams(docs: DataFrame, n: int = 3, min_df: int = 5) -> DataFram
     No top-k LIMIT: a count cutoff is deterministic under any row order,
     a rank boundary is not."""
     return (
-        docs.select("doc_id", norm_words("text").alias("words"))
+        materialized_words(docs, "doc_id")
         .select("doc_id", F.explode(ngrams_col(n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -592,11 +590,25 @@ def repetition_report(
     small. Reference analog: the dedup-gain early-abort that measures how
     self-similar a chunk is before committing to the expensive path
     (/root/reference/rabin/rabin_dedup.c:1250-1257)."""
-    base = docs.select("doc_id", norm_words("text").alias("words")).select(
+    # Both projection layers sit behind Generate barriers (see
+    # text.materialized_words — the 487 s vs 6 s collapse-inlining
+    # hazard): the words layer so the gram transforms index a
+    # materialized array, and the grams layer because g2/g3 each fan out
+    # to size/array_distinct/explode consumers.
+    from .text import materialized_words
+
+    base = materialized_words(docs, "doc_id").select(
         "doc_id",
-        "words",
-        _all_ngrams_expr(2).alias("g2"),
-        _all_ngrams_expr(3).alias("g3"),
+        F.explode(F.array(F.struct(
+            F.col("words").alias("w"),
+            _all_ngrams_expr(2).alias("g2"),
+            _all_ngrams_expr(3).alias("g3"),
+        ))).alias("b"),
+    ).select(
+        "doc_id",
+        F.col("b.w").alias("words"),
+        F.col("b.g2").alias("g2"),
+        F.col("b.g3").alias("g3"),
     )
 
     def dup_ratio(col: str) -> F.Column:
@@ -658,7 +670,7 @@ def _ntok_col(token_col: str | None):
 
 def budget_selection(
     docs: DataFrame, token_budget: int = 10_000, n_buckets: int = 16,
-    token_col: str | None = None,
+    token_col: str | None = None, quality_col: str | None = None,
 ) -> DataFrame:
     """Greedy token-budget corpus selection: order documents by
     (quality DESC, doc_id ASC) and keep the prefix whose preceding token
@@ -682,18 +694,24 @@ def budget_selection(
 
     ``token_col``: name of a precomputed token-count column to use in
     place of the whitespace heuristic (see _ntok_col) — pass real BPE
-    counts here when budgets must be model-accurate."""
+    counts here when budgets must be model-accurate. ``quality_col``:
+    same hook for the ordering score — a precomputed model-quality
+    column replaces the heuristic, so external scorers drive selection
+    order (scores must stay in [0,1]: the bucketing rule floor-maps that
+    range; out-of-range scores clamp into the edge buckets)."""
     from pyspark.sql import Window
 
-    from .text import quality_col
+    from .text import quality_col as _quality_heuristic
 
+    q = (F.col(quality_col).cast("double") if quality_col is not None
+         else _quality_heuristic("text"))
     ntok = _ntok_col(token_col)
     bucket = F.least(
         F.lit(int(n_buckets) - 1),
         F.floor((F.lit(1.0) - F.col("quality")) * F.lit(int(n_buckets))),
     ).cast("long")
     base = docs.select(
-        "doc_id", quality_col("text").alias("quality"), ntok.alias("n_tokens")
+        "doc_id", q.alias("quality"), ntok.alias("n_tokens")
     ).withColumn("qbucket", bucket)
     w = (
         Window.partitionBy("qbucket")
@@ -735,6 +753,7 @@ def budget_mix(
     alpha: int = 2,
     n_buckets: int = 16,
     token_col: str | None = None,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Data MIXING: split one global token budget across sources by
     quality weight, then greedy-select within each source — the
@@ -761,21 +780,26 @@ def budget_mix(
     weights; n_sources x n_buckets prefix offsets — the IVF-anchor-class
     traffic); the per-source running sum is the same bucketed
     DISTRIBUTED prefix sum as budget_selection, windows keyed
-    (source, qbucket) — never a per-source single partition."""
+    (source, qbucket) — never a per-source single partition.
+
+    ``token_col`` / ``quality_col``: precomputed-column hooks, same
+    contract as budget_selection."""
     from pyspark.sql import Window
 
-    from .text import quality_col
+    from .text import quality_col as _quality_heuristic
 
     alpha = int(alpha)
     if alpha < 0:
         raise ValueError("alpha must be a non-negative integer")
+    q = (F.col(quality_col).cast("double") if quality_col is not None
+         else _quality_heuristic("text"))
     ntok = _ntok_col(token_col)
     bucket = F.least(
         F.lit(int(n_buckets) - 1),
         F.floor((F.lit(1.0) - F.col("quality")) * F.lit(int(n_buckets))),
     ).cast("long")
     base = docs.select(
-        "doc_id", "source", quality_col("text").alias("quality"),
+        "doc_id", "source", q.alias("quality"),
         ntok.alias("n_tokens"),
     ).withColumn("qbucket", bucket)
 
@@ -1038,6 +1062,9 @@ def curate_corpus(
     sem_threshold: float = 0.4,
     sem_clusters: int = 8,
     sem_iters: int = 3,
+    quality_col: str | None = None,
+    lang_col: str | None = None,
+    stage_seconds: dict | None = None,
 ) -> DataFrame:
     """End-to-end corpus curation verdict — the ONE table a training-data
     ingest ships, composing the individually-oracled stages into a
@@ -1073,22 +1100,49 @@ def curate_corpus(
     Scale shape: every stage keeps its own audited plan (bucketed LSH —
     never all-pairs; skew-safe CC; bucketed prefix sum — never a
     single-partition window; shard-parallel packing). Stage composition
-    adds only id-keyed joins/anti-joins. The admission frame fans out to
-    three consumers and survivor id-sets feed two stages each, so both
-    are persisted (at warehouse scale, point them at stage tables the way
-    the transcript pipeline does).
+    adds only id-keyed joins/anti-joins. EVERY frame consumed by more
+    than one downstream branch is persisted (adm, s1, clusters,
+    near_drops, rep, s3, bud — the round-4 bench measured an un-persisted
+    clusters/bud multiplying the cascade's cost ~5x via fan-out
+    recomputation; at warehouse scale, point these at stage tables the
+    way the transcript pipeline does).
+
+    ``quality_col`` / ``lang_col``: precomputed-score column names passed
+    through to corpus_admission (the token_col pattern) — external model
+    scores drive admission, keep-best ranking, and budget ordering.
+    ``stage_seconds``: pass a dict to force each persisted stage in order
+    and record its wall seconds under admission/near_dup/semantic_dup/
+    repetition/budget keys (the compose/join remainder lands on the
+    caller's total) — the cascade analog of DedupPipeline's metrics.json
+    stage log, so a cost pathology localizes without hand-decomposition.
     """
+    import time as _time
+
     from .. import cache
     from .doc_dedup import corpus_admission, neardup_clusters
 
+    def _mark(name: str, df: DataFrame) -> DataFrame:
+        # force a persisted stage and attribute its wall time; outside
+        # instrumented runs (stage_seconds=None) stages stay lazy
+        if stage_seconds is not None:
+            t0 = _time.monotonic()
+            df.count()
+            stage_seconds[name] = round(
+                _time.monotonic() - t0 + stage_seconds.get(name, 0.0), 3)
+        return df
+
     ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    adm = cache.persist(corpus_admission(docs, quality_min, lang_gate))
+    adm = cache.persist(corpus_admission(
+        docs, quality_min, lang_gate,
+        quality_col=quality_col, lang_col=lang_col))
+    _mark("admission", adm)
     s1 = cache.persist(
         docs.join(adm.where(F.col("reason") == "ok").select("doc_id"),
                   "doc_id")
     )
 
-    clusters = neardup_clusters(s1, cfg, threshold)
+    clusters = cache.persist(neardup_clusters(s1, cfg, threshold))
+    _mark("near_dup", clusters)
     scored = adm.select("doc_id", "quality").join(clusters, "doc_id")
     best = scored.groupBy("cluster_id").agg(F.max("quality").alias("best_q"))
     winners = (
@@ -1123,6 +1177,7 @@ def curate_corpus(
                 .select(F.col("vec_id").alias("doc_id"), "sem_keeper"),
                 "doc_id")
         )
+        _mark("semantic_dup", sem_drops)
         s2 = s2.join(sem_drops.select("doc_id"), "doc_id", "left_anti")
     else:
         sem_drops = None
@@ -1131,11 +1186,16 @@ def curate_corpus(
         repetition_report(s2, top_frac_max, dup_ratio_max)
         .select("doc_id", "repetitive")
     )
+    _mark("repetition", rep)
     s3 = cache.persist(
         s2.join(rep.where(~F.col("repetitive")).select("doc_id"), "doc_id")
     )
 
-    bud = budget_selection(s3, token_budget, n_buckets)
+    bud = cache.persist(
+        budget_selection(s3, token_budget, n_buckets,
+                         quality_col=quality_col)
+    )
+    _mark("budget", bud)
     kept_ids = bud.where(F.col("kept")).select("doc_id")
     packed = pack_assignments(s3.join(kept_ids, "doc_id"),
                               pack_budget, n_shards)
@@ -1189,6 +1249,7 @@ def curate_transcripts(
     n_buckets: int = 16,
     pack_budget: int = 2048,
     n_shards: int = 8,
+    stage_seconds: dict | None = None,
 ) -> DataFrame:
     """curate_corpus on the PRIMARY axis: the end-to-end training-ingest
     verdict for multi-turn conversation transcripts. One row per
@@ -1231,6 +1292,7 @@ def curate_transcripts(
         asm.select("doc_id", "text"), cfg, quality_min, threshold,
         top_frac_max, dup_ratio_max, token_budget, n_buckets,
         pack_budget, n_shards, lang_gate=False,
+        stage_seconds=stage_seconds,
     )
     ids = asm.select("doc_id", "conv_id")
     keeper_ids = asm.select(

@@ -58,7 +58,9 @@ def dedup_keep_first(docs: DataFrame) -> DataFrame:
 
 
 def corpus_admission(docs: DataFrame, quality_min: float = 0.25,
-                     lang_gate: bool = True) -> DataFrame:
+                     lang_gate: bool = True,
+                     quality_col: str | None = None,
+                     lang_col: str | None = None) -> DataFrame:
     """Combined keep/drop admission decision per document — the single
     verdict table a training-data ingest emits, folding exact dedup and the
     text filters into one deterministic first-match-wins cascade (the
@@ -79,9 +81,31 @@ def corpus_admission(docs: DataFrame, quality_min: float = 0.25,
     Scale shape: one hash aggregation + one shuffle join on content_md5
     (identical to dedup_keep_first); every filter column is a JVM
     expression in the same projection — no Python, no extra shuffles.
-    """
-    from .text import content_class_col, lang_guess_col, quality_col
 
+    Pluggable scores (the ``token_col`` pattern, curation._ntok_col):
+    ``quality_col`` / ``lang_col`` name PRECOMPUTED columns on ``docs`` to
+    use in place of the built-in heuristics — the hook that lets external
+    model scorers (a quality classifier, a real language-ID model, run
+    upstream as their own Spark jobs) drive the admission cascade without
+    this engine bundling a model. The cascade rules are unchanged: quality
+    is compared to ``quality_min`` as-is, and a provided lang column drops
+    docs whose value is ``'und'`` (emit 'und' for "no confident guess").
+    When ``lang_gate`` is False the language guess is skipped entirely
+    (lang_guess emitted as NULL — agent transcripts legitimately carry no
+    natural-language stopwords and the column would cost a 4-language
+    stopword scan per row for nothing).
+    """
+    from .text import content_class_col, lang_guess_col
+    from .text import quality_col as _quality_heuristic
+
+    q = (F.col(quality_col).cast("double") if quality_col is not None
+         else _quality_heuristic())
+    if not lang_gate:
+        lg = F.lit(None).cast("string")
+    elif lang_col is not None:
+        lg = F.col(lang_col)
+    else:
+        lg = lang_guess_col()
     keepers = (
         exact_hash(docs)
         .groupBy("content_md5")
@@ -90,8 +114,8 @@ def corpus_admission(docs: DataFrame, quality_min: float = 0.25,
     enriched = docs.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
-        quality_col().alias("quality"),
-        lang_guess_col().alias("lang_guess"),
+        q.alias("quality"),
+        lg.alias("lang_guess"),
         content_class_col().alias("content_class"),
     ).join(keepers, "content_md5")
     reason = (
@@ -128,9 +152,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3) -> 
     kept as the small-table / oracle-checkable path. At corpus scale use
     minhash_lsh_pairs below — same verify predicate, LSH candidate
     generation instead of the quadratic self-join."""
-    g = docs.select(
-        "doc_id", "lang", norm_words("text").alias("words")
-    ).select("doc_id", "lang", ngrams_col(n).alias("grams"))
+    from .text import materialized_words
+
+    # words behind the Generate barrier (text.materialized_words): the
+    # ngram transform's per-element words[i+j] accesses must index a
+    # materialized array, not a collapse-inlined norm_words expression
+    g = materialized_words(docs, "doc_id", "lang").select(
+        "doc_id", "lang", ngrams_col(n).alias("grams"))
     a = g.select(F.col("doc_id").alias("doc_id_a"), F.col("lang").alias("lang_a"),
                  F.col("grams").alias("grams_a"))
     b = g.select(F.col("doc_id").alias("doc_id_b"), F.col("lang").alias("lang_b"),

@@ -98,8 +98,14 @@ def kmv_signatures(
         f"i -> concat_ws(' ', {', '.join(f'words[i + {j}]' for j in range(k))})) "
         f"ELSE array() END"
     )
+    from .text import materialized_words
+
+    # words behind the Generate barrier: gram_expr's lambda indexes
+    # words[i + j] per element, and a collapsed norm_words alias would be
+    # re-evaluated per access (see text.materialized_words — the measured
+    # 80x hazard). This channel's whole point is JVM speed.
     return (
-        docs.select(F.col(id_col), norm_words(text_col).alias("words"))
+        materialized_words(docs, id_col, text_col=text_col)
         .select(
             F.col(id_col),
             md5_60(F.col(id_col).cast("string")).alias("id_hash"),

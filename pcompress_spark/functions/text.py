@@ -41,6 +41,28 @@ def norm_words(col: str | Column = "text") -> Column:
     )
 
 
+def materialized_words(df: DataFrame, *cols: str | Column,
+                       text_col: str | Column = "text") -> DataFrame:
+    """``df`` projected to (*cols, words) with words = norm_words(text_col)
+    MATERIALIZED per row behind a one-row ``explode(array(..))`` Generate
+    barrier.
+
+    Why this exists: Catalyst's projection collapse inlines a `words`
+    alias into every reference in the consuming projection — including
+    the ``words[i + j]`` element accesses inside ngram ``transform``
+    lambdas. Higher-order functions are interpreted (no whole-stage
+    codegen, no common-subexpression elimination), so the collapsed plan
+    re-runs the full normalize+split over the document once PER GRAM
+    ELEMENT: O(n_words × doc_length) per doc. Measured on 5.2k assembled
+    sf0.1 conversations: 487 s collapsed vs 6 s behind the barrier for
+    the repetition report. A Generate is a collapse barrier, and
+    exploding a one-element array emits exactly one row per input row —
+    value-identical, plan-shape only. Every gram builder over normalized
+    words MUST consume this frame (or apply the same barrier inline)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return df.select(*cols, F.explode(F.array(norm_words(c))).alias("words"))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """doc_id, n_tokens, n_distinct_tokens, avg_token_len (6dp)."""
     w = norm_words("text")
@@ -65,7 +87,13 @@ def _quality_parts(col: str | Column = "text") -> tuple[Column, Column, Column]:
     w = norm_words(col)
     lower = F.lower(F.col(col) if isinstance(col, str) else col)
     total_chars = F.length(lower)
-    alnum_chars = F.length(F.regexp_replace(lower, "[^a-z0-9 ]", ""))
+    # complement-run form of length(regexp_replace(lower, "[^a-z0-9 ]", ""))
+    # — value-identical (both count remaining-vs-removed code units), but
+    # the per-char negated class goes match-per-character on JSON-heavy
+    # agent text (millions of tiny matches; measured 12.8 s -> 0.3 s on
+    # 73 MB of assembled transcripts) while "[a-z0-9 ]+" matches few long
+    # runs. Regex cost here scales with MATCH COUNT, not input length.
+    alnum_chars = total_chars - F.length(F.regexp_replace(lower, "[a-z0-9 ]+", ""))
     sw = F.array([F.lit(s) for s in STOPWORDS["en"]])
     n_tok = F.size(w)
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
@@ -159,8 +187,10 @@ def content_class_col(col: str | Column = "text") -> Column:
     census query AND the D6 routing path (doc_dedup.route_docs)."""
     lower = F.lower(F.col(col) if isinstance(col, str) else col)
     total = F.length(lower)
-    digits = F.length(F.regexp_replace(lower, "[^0-9]", ""))
-    spaces = F.length(F.regexp_replace(lower, "[^ ]", ""))
+    # complement-run forms (see _quality_parts): value-identical to the
+    # per-char negated classes but O(runs) matches instead of O(chars)
+    digits = total - F.length(F.regexp_replace(lower, "[0-9]+", ""))
+    spaces = total - F.length(F.regexp_replace(lower, " +", ""))
     digit_ratio = F.when(total > 0, digits.cast("double") / total).otherwise(0.0)
     space_ratio = F.when(total > 0, spaces.cast("double") / total).otherwise(0.0)
     return (

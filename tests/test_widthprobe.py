@@ -10,8 +10,14 @@ from pcompress_spark.widthprobe import choose_width, effective_width
 
 class TestChooseWidth:
     def test_healthy_host_keeps_full_width(self):
-        # doubling 16->32 buys 1.9x — real cores, keep them
-        assert choose_width({32: 53000.0, 16: 28000.0}, 32) == 32
+        # doubling 16->32 buys a true 2x+ — real cores, keep them
+        assert choose_width({32: 57000.0, 16: 28000.0}, 32) == 32
+
+    def test_round4_boundary_ratio_caps(self):
+        # the round-4 miss: kernel 16->32 ratio 1.82 kept 32 under the old
+        # 1.8 margin and the pipeline lost 24% to local[8] — with the 2.0
+        # bar the same measurement must cap
+        assert choose_width({32: 50960.0, 16: 28000.0}, 32) == 16
 
     def test_knee_caps_once(self):
         # 16->32 buys 11% — past the knee (the judge-day shape)
