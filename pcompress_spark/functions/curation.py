@@ -1065,6 +1065,7 @@ def curate_corpus(
     quality_col: str | None = None,
     lang_col: str | None = None,
     stage_seconds: dict | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end corpus curation verdict — the ONE table a training-data
     ingest ships, composing the individually-oracled stages into a
@@ -1115,6 +1116,10 @@ def curate_corpus(
     repetition/budget keys (the compose/join remainder lands on the
     caller's total) — the cascade analog of DedupPipeline's metrics.json
     stage log, so a cost pathology localizes without hand-decomposition.
+    ``signatures``: optional precomputed same-cfg doc-signature stage
+    table (doc_id, id_hash, shingles, minhash) — the near-dup stage reads
+    it (filtered to admitted ids) instead of re-shingling; point it at
+    checkpointed parquet at warehouse scale.
     """
     import time as _time
 
@@ -1141,7 +1146,8 @@ def curate_corpus(
                   "doc_id")
     )
 
-    clusters = cache.persist(neardup_clusters(s1, cfg, threshold))
+    clusters = cache.persist(
+        neardup_clusters(s1, cfg, threshold, signatures=signatures))
     _mark("near_dup", clusters)
     scored = adm.select("doc_id", "quality").join(clusters, "doc_id")
     best = scored.groupBy("cluster_id").agg(F.max("quality").alias("best_q"))
@@ -1250,6 +1256,7 @@ def curate_transcripts(
     pack_budget: int = 2048,
     n_shards: int = 8,
     stage_seconds: dict | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """curate_corpus on the PRIMARY axis: the end-to-end training-ingest
     verdict for multi-turn conversation transcripts. One row per
@@ -1292,7 +1299,7 @@ def curate_transcripts(
         asm.select("doc_id", "text"), cfg, quality_min, threshold,
         top_frac_max, dup_ratio_max, token_budget, n_buckets,
         pack_budget, n_shards, lang_gate=False,
-        stage_seconds=stage_seconds,
+        stage_seconds=stage_seconds, signatures=signatures,
     )
     ids = asm.select("doc_id", "conv_id")
     keeper_ids = asm.select(

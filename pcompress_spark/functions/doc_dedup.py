@@ -248,6 +248,7 @@ def minhash_lsh_pairs(
     cfg: DedupConfig | None = None,
     threshold: float = 0.3,
     with_stats: bool = False,
+    signatures: DataFrame | None = None,
 ):
     """MinHash+LSH near-dup pairs with exact shingle-Jaccard verify.
     The scale path: shuffles only (band_idx, band_hash) buckets — never the
@@ -256,7 +257,14 @@ def minhash_lsh_pairs(
     (operators.candidates.bucket_members — no silent caps): hot buckets are
     deterministically sampled by splitmix64(doc_id), truncated to
     bucket_cap in doc_id order, and the drop counts surface in the stats
-    frame (returned when with_stats=True)."""
+    frame (returned when with_stats=True).
+
+    ``signatures``: optional PRECOMPUTED doc_signatures frame (doc_id,
+    id_hash, shingles, minhash) produced at the SAME cfg — e.g. a
+    checkpointed stage table — restricted here to ``docs``'s ids by a
+    semi join. Signatures are per-document, so filtering a full-corpus
+    table to any subset is value-identical to signing the subset; the
+    expensive text-shingling UDF is skipped entirely."""
     from ..operators.candidates import bucket_members, bucket_pairs
 
     cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
@@ -266,8 +274,14 @@ def minhash_lsh_pairs(
     # would run ~3x per query. The transcript pipeline checkpoints
     # signatures to parquet (pipeline.py); the ad-hoc doc path caches
     # in-memory instead (MEMORY_AND_DISK, LRU-evicted — at corpus scale,
-    # point this at a stage table the same way the pipeline does).
-    sig = cache.persist(doc_signatures(docs, cfg))
+    # point this at a stage table via ``signatures``).
+    if signatures is not None:
+        sig = cache.persist(
+            signatures.select("doc_id", "id_hash", "shingles", "minhash")
+            .join(docs.select("doc_id"), "doc_id", "left_semi")
+        )
+    else:
+        sig = cache.persist(doc_signatures(docs, cfg))
     banded = doc_band_explode(sig, cfg)
     buckets, stats = bucket_members(
         banded, cfg, id_col="doc_id", salt_col="id_hash", persist_sizes=with_stats
@@ -306,18 +320,23 @@ def duplicate_weights(docs: DataFrame, cfg: DedupConfig | None = None,
 
 
 def neardup_clusters(docs: DataFrame, cfg: DedupConfig | None = None,
-                     threshold: float = 0.3) -> DataFrame:
+                     threshold: float = 0.3,
+                     signatures: DataFrame | None = None) -> DataFrame:
     """Near-dup clusters over the documents table: connected components of
     (MinHash-LSH verified near pairs UNION exact-dup star edges), labeled
     with the min doc_id of the component (singletons map to self). Gives
     the documents table the same reconstruction/clustering capability the
     transcript pipeline has, on the same long-key agg+join CC
-    (operators/cluster.py — no collect_set, skew-safe at 10^12 rows)."""
+    (operators/cluster.py — no collect_set, skew-safe at 10^12 rows).
+
+    ``signatures``: optional precomputed same-cfg signature stage table
+    (see minhash_lsh_pairs) — the near-pair channel skips re-shingling."""
     from ..operators.cluster import connected_components
 
     cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
                              jaccard_threshold=threshold)
-    near = minhash_lsh_pairs(docs, cfg, threshold).select(
+    near = minhash_lsh_pairs(docs, cfg, threshold,
+                             signatures=signatures).select(
         F.col("doc_id_a").alias("ih_a"), F.col("doc_id_b").alias("ih_b")
     )
     eh = exact_hash(docs)

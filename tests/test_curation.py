@@ -726,3 +726,67 @@ def test_pack_sql_oracle_parameterized_token_col(docs):
     )
     assert got.astype({"shard": "int64", "pack_id": "int64"}).equals(
         eng.astype({"shard": "int64", "pack_id": "int64"}))
+
+
+class TestPrecomputedHooks:
+    """The external-score column hooks (quality_col / lang_col /
+    signatures) must be value-identical substitutions: same cascade rules,
+    scores read from columns instead of heuristics/re-shingling."""
+
+    def test_curate_corpus_precomputed_signatures_bit_identical(
+        self, spark, docs
+    ):
+        from pcompress_spark.config import DedupConfig
+        from pcompress_spark.functions import doc_dedup
+
+        cfg = DedupConfig(shingle_k=3, substring_enabled=False,
+                          jaccard_threshold=0.3)
+        inline = (
+            curation.curate_corpus(docs, cfg, threshold=0.3)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        sig = doc_dedup.doc_signatures(docs.select("doc_id", "text"), cfg)
+        staged = (
+            curation.curate_corpus(docs, cfg, threshold=0.3, signatures=sig)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert staged.equals(inline)
+
+    def test_budget_selection_quality_col_drives_order(self, spark, docs):
+        ext = docs.withColumn(
+            "extq", (F.col("doc_id") % 7).cast("double") / F.lit(6.0))
+        out = curation.budget_selection(
+            ext, token_budget=5_000, quality_col="extq"
+        ).toPandas()
+        src = ext.select("doc_id", "extq").toPandas().set_index("doc_id")
+        # the emitted quality IS the external column, untouched
+        assert (out.set_index("doc_id").quality
+                == src.extq.loc[out.doc_id].values).all()
+        # cum_before is the running token sum in (extq DESC, doc_id) order
+        ordered = out.sort_values(
+            ["quality", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        assert (ordered.cum_before
+                == ordered.n_tokens.cumsum().shift(fill_value=0)).all()
+
+    def test_admission_lang_gate_off_skips_lang(self, spark, docs):
+        from pcompress_spark.functions import doc_dedup
+
+        adm = doc_dedup.corpus_admission(docs, lang_gate=False).toPandas()
+        assert adm.lang_guess.isna().all()
+        assert not (adm.reason == "unknown_lang").any()
+
+    def test_admission_external_lang_and_quality_cols(self, spark, docs):
+        from pcompress_spark.functions import doc_dedup
+
+        ext = docs.withColumn(
+            "extq", (F.col("doc_id") % 89).cast("double") / F.lit(88.0))
+        adm = doc_dedup.corpus_admission(
+            ext, quality_min=0.25, quality_col="extq", lang_col="lang"
+        ).toPandas().set_index("doc_id")
+        src = ext.select("doc_id", "lang", "extq").toPandas().set_index("doc_id")
+        assert (adm.lang_guess == src.lang.loc[adm.index]).all()
+        assert (adm.quality == src.extq.loc[adm.index]).all()
+        # low_quality fires exactly on the external score
+        lowq = adm[adm.reason == "low_quality"]
+        assert (lowq.quality < 0.25).all()
