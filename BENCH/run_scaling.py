@@ -30,7 +30,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, n_conv: int, pipeline_only: bool = False) -> dict:
+def run_bench(cpus: int, n_conv: int, pipeline_only: bool = False,
+              extra_env: dict | None = None) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_CONVS"] = str(n_conv)
@@ -38,6 +39,8 @@ def run_bench(cpus: int, n_conv: int, pipeline_only: bool = False) -> dict:
         # the 1->4 pair needs only the pipeline point; the full query
         # suite + KMV channel cost more than the pipeline at local[1]
         env["SPARK_GRAFT_BENCH_PIPELINE_ONLY"] = "1"
+    if extra_env:
+        env.update(extra_env)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=7200,
@@ -110,6 +113,31 @@ def main() -> None:
     # must know whether the 32-slot point ran capped
     wg32 = r32.get("width_guard")
     wg8 = r8b.get("width_guard")
+    # Counterfactual point: one extra pipeline-only run at the OPPOSITE
+    # guard decision (uncapped when the guard capped; capped at 16 when it
+    # kept), so every scaling invocation records the capped-vs-kept delta
+    # on the same host window — the data the gain-margin rule
+    # (widthprobe.gain_margin) keeps calibrating against.
+    capped = bool(wg32) and wg32.get("width", 32) < wg32.get(
+        "session_width", 32)
+    cf_env = ({"SPARK_GRAFT_EFFECTIVE_WIDTH": "off"} if capped
+              else {"SPARK_GRAFT_EFFECTIVE_WIDTH": "16"})
+    r32cf = run_bench(32, n_supp, pipeline_only=True, extra_env=cf_env)
+    cf_wall = r32cf["queries"]["dedup_pipeline"]
+    wall32 = r32["queries"]["dedup_pipeline"]
+    if capped:
+        cf_note = (
+            f"guard CAPPED the 32-slot session (width "
+            f"{wg32.get('width')}); counterfactual UNCAPPED local[32] ran "
+            f"{cf_wall} s vs {wall32} s shipped — the guard "
+            f"{'saved' if cf_wall > wall32 else 'cost'} "
+            f"{abs(cf_wall - wall32):.1f} s on this window")
+    else:
+        cf_note = (
+            f"guard KEPT full width; counterfactual capped-at-16 local[32] "
+            f"ran {cf_wall} s vs {wall32} s shipped — keeping width "
+            f"{'won' if cf_wall > wall32 else 'lost'} "
+            f"{abs(cf_wall - wall32):.1f} s on this window")
     guard_note = (
         f"\nEffective-width guard (widthprobe.effective_width, shipped "
         f"behavior, disclosed):\nlocal[32] point ran with width_guard = "
@@ -117,7 +145,8 @@ def main() -> None:
         f"the guard caps the 32-slot session at the\nmeasured host knee, "
         f"this pair measures the ENGINE AS SHIPPED at those session\n"
         f"widths — the honest production number — not raw thread scaling "
-        f"(the kernel\nceiling above is the raw-hardware reference).\n")
+        f"(the kernel\nceiling above is the raw-hardware reference).\n\n"
+        f"Capped-vs-kept calibration point (same invocation): {cf_note}.\n")
     # Direction-aware reading of the JVM-only vs mixed-pipeline comparison:
     # which strategy scales better at 8->32 flips with the host's same-day
     # behavior, and the narrative must follow the numbers, not a remembered
@@ -214,6 +243,7 @@ Full bench JSON:
 - local[{n_hi}]/{n_primary}: `{json.dumps(rb)}`
 - local[8]/{n_supp}: `{json.dumps(r8b)}`
 - local[32]/{n_supp}: `{json.dumps(r32)}`
+- local[32]/{n_supp} guard counterfactual: `{json.dumps(r32cf)}`
 - kernel ceiling: `{json.dumps(kc)}`
 
 Generated {stamp} by BENCH/run_scaling.py.
@@ -222,6 +252,11 @@ Generated {stamp} by BENCH/run_scaling.py.
         f.write(md)
     print(json.dumps({"t_lo": ta, "t_hi": tb, "n_lo": n_lo, "n_hi": n_hi,
                       "efficiency": round(eff, 3),
+                      "width_guard_32": wg32,
+                      "guard_counterfactual":
+                          {"capped_shipped": capped,
+                           "shipped_wall_s": wall32,
+                           "counterfactual_wall_s": cf_wall},
                       "t8_supp": t8b, "t32_supp": t32,
                       "efficiency_supp": round(eff_supp, 3),
                       "kmv_efficiency_8_32": round(kmv_eff, 3),

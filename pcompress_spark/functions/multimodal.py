@@ -527,6 +527,8 @@ def extract_features(
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg_baseline import decode_baseline
+
         for pdf in batches:
             payloads = list(pdf["payload"])
             hashes = hash_bytes_rows(payloads)
@@ -540,6 +542,16 @@ def extract_features(
                 quality = None
                 if pnm is None and samples is None:
                     png = decode_png(p)
+                    if png is None:
+                        # REAL baseline JPEG decode (jpeg_baseline: DHT
+                        # Huffman entropy decode + dequant + exact 8x8
+                        # IDCT) — grayscale baseline payloads join the
+                        # fully-decoded tier; anything it refuses
+                        # (progressive, color, header-only fixtures)
+                        # falls through to the header tier below
+                        png = decode_baseline(p)
+                        if png is not None:
+                            quality = jpeg_quality_estimate(p)
                     if png is None:
                         hdr = decode_jpeg_header(p)
                         if hdr is not None:
@@ -746,10 +758,10 @@ def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
     duration) over fake mdat sample bytes (raster/codec tier stays the
     declared stub)."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    kinds = ["image", "audio", "video", "jpeg", "png"]
+    kinds = ["image", "audio", "video", "jpeg", "png", "jpeg_full"]
     rows = []
     for i in range(n):
-        kind = kinds[i % 5]
+        kind = kinds[i % len(kinds)]
         if kind == "image":
             w = int(rng.integers(16, 64))
             h = int(rng.integers(16, 64))
@@ -771,6 +783,31 @@ def generate_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
             # per-row feature, not a constant
             payload = make_jpeg_header(w, h, ent,
                                        quality=int(rng.integers(30, 96)))
+            rows.append((i, kind, "image/jpeg", payload, w, h, None))
+        elif kind == "jpeg_full":
+            # REAL decodable baseline JPEG (jpeg_baseline.encode_baseline:
+            # DCT + quality-scaled quantization + canonical Huffman). The
+            # raster is 8x8-BLOCK-CONSTANT with block j's level following
+            # the documented splitmix rule v[j] = splitmix64(
+            # media_id * 2^24 + j) & 0xFF — a constant block carries only
+            # a DC coefficient, so the decode roundtrip has the closed
+            # form v' = clamp(floor(floor(8(v-128)/q00 + .5 + 2^-20) *
+            # q00 / 8 + 128.5 + 2^-20)) and the DuckDB oracle recomputes
+            # the expected histogram from (media_id, dims, q00-from-DQT)
+            # alone — while the engine must run the full entropy decode +
+            # IDCT to reproduce it
+            from .jpeg_baseline import encode_baseline
+
+            nbx = int(rng.integers(2, 6))
+            nby = int(rng.integers(2, 6))
+            w, h = nbx * 8, nby * 8
+            base = np.uint64(i) * np.uint64(1 << 24)
+            bv = (
+                splitmix64(np.arange(nbx * nby, dtype=np.uint64) + base)
+                & np.uint64(0xFF)
+            ).astype(np.uint8).reshape(nby, nbx)
+            raster = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1)
+            payload = encode_baseline(raster, int(rng.integers(30, 96)))
             rows.append((i, kind, "image/jpeg", payload, w, h, None))
         elif kind == "png":
             # REAL decodable PNG: the raster is derived from media_id by
@@ -811,8 +848,9 @@ def media_fixture_path(n: int = 64, seed: int = 42) -> str:
     query and the DuckDB oracle read."""
     from ..sources.tables import CACHE_DIR
 
-    # v7: JPEG payloads carry a real DQT segment (quality feature)
-    out_dir = os.path.join(CACHE_DIR, f"media_v7_n{n}_s{seed}")
+    # v8: adds the jpeg_full kind — REAL decodable baseline JPEGs
+    # (entropy decode + IDCT tier, closed-form oracle rule)
+    out_dir = os.path.join(CACHE_DIR, f"media_v8_n{n}_s{seed}")
     path = os.path.join(out_dir, "media.parquet")
     if not os.path.exists(path):
         import pyarrow as pa

@@ -69,30 +69,41 @@ def band_explode(
     if not (0 <= lo < hi <= cfg.bands):
         raise ValueError(f"band_range {band_range} outside [0, {cfg.bands})")
     r = cfg.rows
-    # Prefer the precomputed band_hashes column (compute_signatures writes
-    # it): the scan reads bands x 8 B per row instead of decoding the
-    # num_perm-long minhash array and re-hashing — and this stage scans the
-    # signature table twice (sizes + salted membership). Fallback computes
-    # the identical xxhash64-over-slice expression from minhash (streaming
-    # batches and ad-hoc frames without the column).
-    if "band_hashes" in sig.columns:
-        band_expr = (
-            f"transform(sequence({lo}, {hi - 1}), b -> "
-            f"struct(b as band_idx, band_hashes[b] as band_hash))"
-        )
-    else:
-        band_expr = (
-            f"transform(sequence({lo}, {hi - 1}), b -> "
-            f"struct(b as band_idx, "
-            f"xxhash64(b, slice(minhash, b * {r} + 1, {r})) as band_hash))"
-        )
     # n_tokens >= k  <=>  non-empty shingle set (shingle count per doc is
     # max(n_tokens - (k-1), 0) before distinct; kernels.shingle_hashes_flat).
     # Filtering on the scalar lets Parquet prune the wide array columns
     # from this stage's scan entirely.
+    base = sig.where(F.col("n_tokens") >= cfg.shingle_k)
+    # Prefer the precomputed band_hashes column (compute_signatures writes
+    # it): the scan reads bands x 8 B per row instead of decoding the
+    # num_perm-long minhash array and re-hashing — and this stage scans the
+    # signature table twice (sizes + salted membership). posexplode the
+    # stored array DIRECTLY (pos IS the band index) instead of building an
+    # intermediate transform(sequence -> struct) array per row: one fewer
+    # per-row array materialization in the hottest generator of the run.
+    # Fallback computes the identical xxhash64-over-slice expression from
+    # minhash (streaming batches and ad-hoc frames without the column).
+    if "band_hashes" in sig.columns:
+        arr = (F.col("band_hashes") if (lo, hi) == (0, cfg.bands)
+               else F.slice("band_hashes", lo + 1, hi - lo))
+        return (
+            base.select(
+                "id_hash",
+                F.posexplode(arr).alias("band_pos", "band_hash"),
+            )
+            .select(
+                "id_hash",
+                (F.col("band_pos") + F.lit(lo)).cast("int").alias("band_idx"),
+                "band_hash",
+            )
+        )
+    band_expr = (
+        f"transform(sequence({lo}, {hi - 1}), b -> "
+        f"struct(b as band_idx, "
+        f"xxhash64(b, slice(minhash, b * {r} + 1, {r})) as band_hash))"
+    )
     return (
-        sig.where(F.col("n_tokens") >= cfg.shingle_k)
-        .select("id_hash", F.explode(F.expr(band_expr)).alias("band"))
+        base.select("id_hash", F.explode(F.expr(band_expr)).alias("band"))
         .select("id_hash", "band.band_idx", "band.band_hash")
     )
 

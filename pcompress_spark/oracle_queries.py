@@ -2061,9 +2061,38 @@ SELECT media_id,
            )::DOUBLE / (width * height) AS png_hist0
 FROM read_parquet('{media_path}') WHERE kind = 'png';""",
         f"""
+CREATE OR REPLACE TEMP TABLE jfh AS
+-- jpeg_full rows FULLY decode (jpeg_baseline: Huffman entropy decode +
+-- dequant + IDCT). The fixture raster is 8x8-BLOCK-CONSTANT with block
+-- level v[j] = splitmix64(media_id * 2^24 + j) & 255, so the decode
+-- roundtrip has the closed form (q00 read from the DQT's first byte,
+-- payload offset 25; snap guard 2^-20 shared with the engine):
+--   sq = floor(8*(v-128)/q00 + 0.5 + eps)
+--   px = clamp(floor(sq*q00/8 + 128.5 + eps), 0, 255)
+-- and the expected bin-0 histogram ratio is the fraction of BLOCKS whose
+-- px lands in bin 0 — recomputable here without decoding, while the
+-- engine must run the real entropy decode + IDCT to reproduce it
+SELECT media_id,
+       -- bin-0 test is px < 8 (px is DOUBLE from floor(); DuckDB's //
+       -- on non-integers is plain division, so a bs-style `// 8 = 0`
+       -- membership test would silently never match)
+       len(list_filter(range(0, (width // 8)::BIGINT * (height // 8)),
+           j -> least(255, greatest(0, floor(
+                    floor(8.0 * ((smix(media_id{_H} * 16777216 + j) % 256)
+                                 - 128) / q00 + 0.5 + 1.0/1048576)
+                    * q00 / 8.0 + 128.5 + 1.0/1048576))) < 8)
+           )::DOUBLE / ((width // 8) * (height // 8)) AS jf_hist0
+FROM (SELECT media_id, width, height,
+             -- q00 = payload byte at 0-based offset 25 (hex chars 51-52)
+             (strpos('0123456789ABCDEF', substr(hex(payload), 51, 1)) - 1)
+                 * 16
+               + strpos('0123456789ABCDEF', substr(hex(payload), 52, 1))
+               - 1 AS q00
+      FROM read_parquet('{media_path}') WHERE kind = 'jpeg_full');""",
+        f"""
 WITH feat_ AS (
     SELECT media_id, kind, chash,
-           kind IN ('image', 'audio', 'png') AS decoded,
+           kind IN ('image', 'audio', 'png', 'jpeg_full') AS decoded,
            -- header tier: PNM/WAV/PNG fully decode; JPEG parses SOI/SOF
            -- only. jpeg/png dims read from the
            -- actual payload bytes at the containers' canonical offsets
@@ -2073,19 +2102,22 @@ WITH feat_ AS (
            -- independent checks of the engine's parsers; PNM dims come
            -- from the parquet metadata columns the generator derived the
            -- header text from
-           kind IN ('image', 'audio', 'jpeg', 'png', 'video') AS header_decoded,
+           kind IN ('image', 'audio', 'jpeg', 'png', 'video',
+                    'jpeg_full') AS header_decoded,
            -- video: fixed-layout MP4 fixture (make_mp4) — tkhd 16.16 width
            -- int part at bytes 228-229, height at 232-233 (the engine does
            -- a general box walk; the oracle exploits the fixed layout)
            CASE WHEN kind = 'image' THEN width::DOUBLE
                 WHEN kind = 'video' THEN (bs[229] * 256 + bs[230])::DOUBLE
-                WHEN kind = 'jpeg' THEN (bs[97] * 256 + bs[98])::DOUBLE
+                WHEN kind IN ('jpeg', 'jpeg_full')
+                    THEN (bs[97] * 256 + bs[98])::DOUBLE
                 WHEN kind = 'png' THEN (bs[17] * 16777216 + bs[18] * 65536
                                         + bs[19] * 256 + bs[20])::DOUBLE
                 ELSE NULL END AS hdr_width,
            CASE WHEN kind = 'image' THEN height::DOUBLE
                 WHEN kind = 'video' THEN (bs[233] * 256 + bs[234])::DOUBLE
-                WHEN kind = 'jpeg' THEN (bs[95] * 256 + bs[96])::DOUBLE
+                WHEN kind IN ('jpeg', 'jpeg_full')
+                    THEN (bs[95] * 256 + bs[96])::DOUBLE
                 WHEN kind = 'png' THEN (bs[21] * 16777216 + bs[22] * 65536
                                         + bs[23] * 256 + bs[24])::DOUBLE
                 ELSE NULL END AS hdr_height,
@@ -2093,7 +2125,7 @@ WITH feat_ AS (
            -- 25-88, 1-based bs[26..89]): the engine's integer estimator —
            -- scale = round(100*S/3688), q = (200-scale)//2 when <= 100
            -- else round(5000/scale), clamped to [1,100]
-           CASE WHEN kind = 'jpeg' THEN
+           CASE WHEN kind IN ('jpeg', 'jpeg_full') THEN
                (SELECT CASE WHEN list_sum(bs[26:89]) <= 64 THEN 100
                             WHEN sc <= 0 THEN 100
                             WHEN sc <= 100 THEN
@@ -2121,8 +2153,10 @@ WITH feat_ AS (
                    b -> ((b + 128) % 256) // 8 = 0))::DOUBLE
                / ((nb - 44) // 2)
            WHEN kind = 'png' THEN png_hist0
+           WHEN kind = 'jpeg_full' THEN jf_hist0
            ELSE NULL END AS hist0
-    FROM mchash LEFT JOIN pngh USING (media_id)),
+    FROM mchash LEFT JOIN pngh USING (media_id)
+                LEFT JOIN jfh USING (media_id)),
 sh_ AS ({osql.smix_chain(['media_id', 'kind', 'chash', 'decoded',
                           'header_decoded', 'hdr_width', 'hdr_height',
                           'jpeg_quality', 'hist0'],

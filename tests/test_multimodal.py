@@ -31,11 +31,16 @@ def test_feature_extraction_shape_and_determinism(spark, media):
     by_hdr = f1.groupby("kind")["header_decoded"].all()
     assert by_hdr["image"] and by_hdr["audio"] and by_hdr["jpeg"]
     assert by_hdr["png"] and by_hdr["video"]
-    # jpeg raster / mp4 samples stay behind the stub (no codec in-tree)
+    # header-only jpeg rasters stay behind the stub (undecodable entropy);
+    # jpeg_full rows DECODE for real (jpeg_baseline entropy decode + IDCT)
     assert not f1[f1["kind"] == "jpeg"]["decoded"].any()
+    assert by_kind["jpeg_full"] and by_hdr["jpeg_full"]
+    # decoded jpeg carries the DQT quality estimate like the header tier
+    assert f1[f1["kind"] == "jpeg_full"]["jpeg_quality"].notna().all()
     # jpeg/png/video parsed dims equal the generator's metadata columns
     meta = mm.generate_media_pdf(n=48).set_index("media_id")
-    for r in f1[f1["kind"].isin(["jpeg", "png", "video"])].itertuples():
+    for r in f1[f1["kind"].isin(["jpeg", "png", "video",
+                                 "jpeg_full"])].itertuples():
         assert int(r.hdr_width) == int(meta.at[r.media_id, "width"])
         assert int(r.hdr_height) == int(meta.at[r.media_id, "height"])
 
@@ -230,3 +235,65 @@ def test_real_decode_raises_only_for_undecodable(spark, media):
     with pytest.raises(Exception, match="NotImplementedError|decoder|decode_stub"):
         mm.extract_features(media.where(F.col("kind") == "video"),
                             decode_stub=False).collect()
+
+
+class TestJpegBaselineCodec:
+    """jpeg_baseline: real entropy decode + IDCT (grayscale baseline)."""
+
+    def test_constant_block_closed_form(self):
+        import math
+
+        from pcompress_spark.functions.jpeg_baseline import (
+            SNAP, decode_baseline, encode_baseline, quality_scaled_qt)
+
+        rng = np.random.Generator(np.random.PCG64(3))
+        for q in (25, 50, 75, 92):
+            bv = rng.integers(0, 256, size=(3, 5))
+            raster = np.repeat(np.repeat(bv, 8, 0), 8, 1).astype(np.uint8)
+            dec, w, h = decode_baseline(encode_baseline(raster, q))
+            assert (w, h) == (40, 24)
+            q00 = int(quality_scaled_qt(q)[0])
+            exp = np.vectorize(
+                lambda v: min(255, max(0, math.floor(
+                    math.floor(8 * (int(v) - 128) / q00 + 0.5 + SNAP)
+                    * q00 / 8 + 128.5 + SNAP))))(bv)
+            assert (dec.reshape(h, w)
+                    == np.repeat(np.repeat(exp, 8, 0), 8, 1)).all()
+
+    def test_general_raster_bounded_error(self):
+        from pcompress_spark.functions.jpeg_baseline import (
+            decode_baseline, encode_baseline)
+
+        rng = np.random.Generator(np.random.PCG64(4))
+        raster = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+        dec, w, h = decode_baseline(encode_baseline(raster, 95))
+        err = np.abs(dec.reshape(h, w).astype(int) - raster.astype(int))
+        assert err.mean() < 4 and err.max() < 32  # quantization-bounded
+        # smooth content roundtrips near-losslessly at high quality
+        yy, xx = np.mgrid[0:24, 0:32]
+        smooth = (yy * 3 + xx * 2 + 40).astype(np.uint8)
+        dec2, _, _ = decode_baseline(encode_baseline(smooth, 95))
+        assert np.abs(dec2.reshape(24, 32).astype(int)
+                      - smooth.astype(int)).mean() < 1
+
+    def test_refusals(self):
+        from pcompress_spark.functions.jpeg_baseline import decode_baseline
+
+        # header-only fixture (no DHT), progressive SOF, non-JPEG, None
+        assert decode_baseline(mm.make_jpeg_header(64, 64, b"ab" * 40)) is None
+        assert decode_baseline(
+            mm.make_jpeg_header(64, 64, b"ab" * 40, progressive=True)) is None
+        assert decode_baseline(b"P5\n1 1\n255\n\x00") is None
+        assert decode_baseline(None) is None
+        assert decode_baseline(mm.make_wav(np.zeros(8, dtype=np.int16))) is None
+
+    def test_header_tier_readers_see_baseline_payloads(self):
+        """The DQT/SOF offset contracts hold for encode_baseline output:
+        header parser and quality estimator read it like any JPEG."""
+        from pcompress_spark.functions.jpeg_baseline import encode_baseline
+
+        raster = np.full((16, 24), 200, dtype=np.uint8)
+        p = encode_baseline(raster, 80)
+        assert mm.decode_jpeg_header(p) == (24, 16, 1)
+        est = mm.jpeg_quality_estimate(p)
+        assert est is not None and abs(est - 80) <= 1
