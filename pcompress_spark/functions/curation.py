@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .doc_dedup import ngrams_col
-from .text import content_class_col, materialized_words, norm_words
+from .text import materialized_words
 
 # per-stratum keep rates (per mille) for the judged default sample: empty
 # docs carry no signal, numeric/airy classes are over-represented noise in
@@ -52,13 +52,19 @@ def stratified_sample(
     exact membership of the sample is value-checked, not just its size.
     Unknown strata keep everything (rate 1000) — sampling must fail open,
     silently dropping a class nobody listed is a data-loss bug."""
+    from .text import content_class_expr, text_features
+
     rates = DEFAULT_RATES if rates_per_mille is None else rates_per_mille
     rate = F.lit(1000)
     for klass, r in sorted(rates.items()):
         rate = F.when(F.col("content_class") == klass, F.lit(int(r))).otherwise(rate)
     key = F.pmod(F.xxhash64(F.col("doc_id").bitwiseXOR(F.lit(int(seed)))), F.lit(1000))
+    # content_class via text_features: the rate cascade references the
+    # class 4x, and the inline classifier would re-run its regex ratios
+    # per reference after projection collapse (text.text_features)
     return (
-        docs.select("doc_id", "lang", content_class_col().alias("content_class"))
+        text_features(docs, "doc_id", "lang")
+        .select("doc_id", "lang", content_class_expr().alias("content_class"))
         .withColumn("rate_per_mille", rate.cast("long"))
         .withColumn("sample_key", key.cast("long"))
         .withColumn("kept", F.col("sample_key") < F.col("rate_per_mille"))
@@ -701,18 +707,26 @@ def budget_selection(
     range; out-of-range scores clamp into the edge buckets)."""
     from pyspark.sql import Window
 
-    from .text import quality_col as _quality_heuristic
+    from .. import cache
+    from .text import quality_expr, text_features
 
-    q = (F.col(quality_col).cast("double") if quality_col is not None
-         else _quality_heuristic("text"))
     ntok = _ntok_col(token_col)
     bucket = F.least(
         F.lit(int(n_buckets) - 1),
         F.floor((F.lit(1.0) - F.col("quality")) * F.lit(int(n_buckets))),
     ).cast("long")
-    base = docs.select(
-        "doc_id", q.alias("quality"), ntok.alias("n_tokens")
-    ).withColumn("qbucket", bucket)
+    # heuristic path rides text_features (quality referenced by the bucket
+    # rule AND the output — inline it would re-split per reference); base
+    # is persisted because it feeds BOTH the per-bucket totals collect and
+    # the window — without it the scan+score runs twice
+    if quality_col is not None:
+        base = docs.select(
+            "doc_id", F.col(quality_col).cast("double").alias("quality"),
+            ntok.alias("n_tokens"))
+    else:
+        base = text_features(docs, "doc_id", ntok.alias("n_tokens")).select(
+            "doc_id", quality_expr().alias("quality"), "n_tokens")
+    base = cache.persist(base.withColumn("qbucket", bucket))
     w = (
         Window.partitionBy("qbucket")
         .orderBy(F.col("quality").desc(), F.col("doc_id"))
@@ -786,22 +800,31 @@ def budget_mix(
     contract as budget_selection."""
     from pyspark.sql import Window
 
-    from .text import quality_col as _quality_heuristic
+    from .. import cache
+    from .text import quality_expr, text_features
 
     alpha = int(alpha)
     if alpha < 0:
         raise ValueError("alpha must be a non-negative integer")
-    q = (F.col(quality_col).cast("double") if quality_col is not None
-         else _quality_heuristic("text"))
     ntok = _ntok_col(token_col)
     bucket = F.least(
         F.lit(int(n_buckets) - 1),
         F.floor((F.lit(1.0) - F.col("quality")) * F.lit(int(n_buckets))),
     ).cast("long")
-    base = docs.select(
-        "doc_id", "source", q.alias("quality"),
-        ntok.alias("n_tokens"),
-    ).withColumn("qbucket", bucket)
+    # same shape as budget_selection: heuristic scores via text_features,
+    # and base persisted — it feeds THREE consumers (source-weight collect,
+    # per-bucket totals collect, the window)
+    if quality_col is not None:
+        base = docs.select(
+            "doc_id", "source",
+            F.col(quality_col).cast("double").alias("quality"),
+            ntok.alias("n_tokens"))
+    else:
+        base = text_features(
+            docs, "doc_id", "source", ntok.alias("n_tokens")
+        ).select("doc_id", "source", quality_expr().alias("quality"),
+                 "n_tokens")
+    base = cache.persist(base.withColumn("qbucket", bucket))
 
     srcq = base.groupBy("source").agg(
         F.round(
@@ -965,16 +988,25 @@ def source_profile(docs: DataFrame) -> DataFrame:
     |sources|-group aggregate — the text column is scanned once, all
     expressions JVM built-ins.
     """
-    from .text import quality_col
+    from .text import quality_expr, text_features
 
-    per_doc = docs.select(
+    # quality via text_features (normalize+split once per row — see
+    # text.text_features); md5/length ride the passthrough columns
+    per_doc = text_features(
+        docs,
         "doc_id",
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
         (F.length("text").cast("long") != F.col("n_chars").cast("long"))
         .cast("int").alias("chars_mismatch"),
-        quality_col("text").cast("decimal(18,6)").alias("quality"),
         F.md5("text").alias("content_md5"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "chars_mismatch",
+        quality_expr().cast("decimal(18,6)").alias("quality"),
+        "content_md5",
     )
     reps = per_doc.groupBy("content_md5").agg(
         F.min("doc_id").alias("rep_doc_id")
@@ -1015,17 +1047,22 @@ def transcript_source_profile(turns: DataFrame) -> DataFrame:
     re-joined on the hash + one |sources|-group aggregate."""
     from ..operators.assemble import assemble
     from ..operators.turns import norm_text_col
-    from .text import quality_col
+    from .text import quality_expr, text_features
 
     asm = assemble(turns).join(
         turns.select("conv_id", "source").distinct(), "conv_id")
-    per_conv = asm.select(
+    per_conv = text_features(
+        asm,
         "conv_id", "source",
         F.col("n_turns").cast("long").alias("n_turns"),
         F.size(F.split(F.trim("doc_text"), r"\s+")).cast("long")
         .alias("n_tokens"),
-        quality_col("doc_text").cast("decimal(18,6)").alias("quality"),
         F.sha2(norm_text_col(F.col("doc_text")), 256).alias("chash"),
+        text_col="doc_text",
+    ).select(
+        "conv_id", "source", "n_turns", "n_tokens",
+        quality_expr().cast("decimal(18,6)").alias("quality"),
+        "chash",
     )
     reps = per_conv.groupBy("chash").agg(F.min("conv_id").alias("rep"))
     flagged = per_conv.join(reps, "chash").withColumn(
@@ -1102,20 +1139,26 @@ def curate_corpus(
     never all-pairs; skew-safe CC; bucketed prefix sum — never a
     single-partition window; shard-parallel packing). Stage composition
     adds only id-keyed joins/anti-joins. EVERY frame consumed by more
-    than one downstream branch is persisted (adm, s1, clusters,
-    near_drops, rep, s3, bud — the round-4 bench measured an un-persisted
-    clusters/bud multiplying the cascade's cost ~5x via fan-out
-    recomputation; at warehouse scale, point these at stage tables the
-    way the transcript pipeline does).
+    than one downstream branch is materialized via cache.stage — a LAZY
+    localCheckpoint: like the round-4 persist it stops fan-out
+    recomputation (an un-persisted clusters/bud multiplied the cascade's
+    cost ~5x), and additionally CUTS LINEAGE, which r6 measured as the
+    cascade's dominant fixed cost (AQE re-serializes the full plan tree
+    per stage materialization — ~10 s on the composed verdict count at
+    sf0.1, ~0.4 s with stage frames as LogicalRDD leaves; see
+    cache.stage). At warehouse scale, point these at real stage tables
+    the way the transcript pipeline does.
 
     ``quality_col`` / ``lang_col``: precomputed-score column names passed
     through to corpus_admission (the token_col pattern) — external model
     scores drive admission, keep-best ranking, and budget ordering.
-    ``stage_seconds``: pass a dict to force each persisted stage in order
-    and record its wall seconds under admission/near_dup/semantic_dup/
-    repetition/budget keys (the compose/join remainder lands on the
-    caller's total) — the cascade analog of DedupPipeline's metrics.json
-    stage log, so a cost pathology localizes without hand-decomposition.
+    ``stage_seconds``: pass a dict to force each stage in order and
+    record SEGMENT wall seconds (everything since the previous mark —
+    construction + materialization, since cache.stage materializes
+    eagerly) under admission/near_dup/semantic_dup/repetition/budget
+    keys; only the final compose joins land on the caller's total — the
+    cascade analog of DedupPipeline's metrics.json stage log, so a cost
+    pathology localizes without hand-decomposition.
     ``signatures``: optional precomputed same-cfg doc-signature stage
     table (doc_id, id_hash, shingles, minhash) — the near-dup stage reads
     it (filtered to admitted ids) instead of re-shingling; point it at
@@ -1126,29 +1169,42 @@ def curate_corpus(
     from .. import cache
     from .doc_dedup import corpus_admission, neardup_clusters
 
+    _seg_start = [_time.monotonic()]
+
     def _mark(name: str, df: DataFrame) -> DataFrame:
-        # force a persisted stage and attribute its wall time; outside
-        # instrumented runs (stage_seconds=None) stages stay lazy
+        # close an attribution segment: force the segment's last stage
+        # frame, then record the wall time since the PREVIOUS mark. Stage
+        # frames are cache.stage localCheckpoints, whose non-result
+        # shuffle stages materialize at construction (AQE resolves the
+        # final RDD eagerly) — so a stage's cost lands in its builder,
+        # not in a later count, and segment timing is the attribution
+        # that sums to the cascade's build wall (round-5's count-only
+        # timing left ~60% of the wall unattributed).
         if stage_seconds is not None:
-            t0 = _time.monotonic()
             df.count()
+            now = _time.monotonic()
             stage_seconds[name] = round(
-                _time.monotonic() - t0 + stage_seconds.get(name, 0.0), 3)
+                now - _seg_start[0] + stage_seconds.get(name, 0.0), 3)
+            _seg_start[0] = now
         return df
 
     ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    adm = cache.persist(corpus_admission(
+    adm = cache.stage(corpus_admission(
         docs, quality_min, lang_gate,
         quality_col=quality_col, lang_col=lang_col))
     _mark("admission", adm)
-    s1 = cache.persist(
+    s1 = cache.stage(
         docs.join(adm.where(F.col("reason") == "ok").select("doc_id"),
                   "doc_id")
     )
 
-    clusters = cache.persist(
-        neardup_clusters(s1, cfg, threshold, signatures=signatures))
-    _mark("near_dup", clusters)
+    clusters = cache.stage(
+        # exact_star=False: s1 is the post-admission frame — admission
+        # dropped every non-min member of each content-md5 group, so the
+        # md5 star over s1 is empty by construction; building it would
+        # cost a full text scan + md5 agg to produce zero edges
+        neardup_clusters(s1, cfg, threshold, signatures=signatures,
+                         exact_star=False))
     scored = adm.select("doc_id", "quality").join(clusters, "doc_id")
     best = scored.groupBy("cluster_id").agg(F.max("quality").alias("best_q"))
     winners = (
@@ -1157,18 +1213,19 @@ def curate_corpus(
         .groupBy("cluster_id")
         .agg(F.min("doc_id").alias("winner"))
     )
-    near_drops = cache.persist(
+    near_drops = cache.stage(
         clusters.join(winners, "cluster_id")
         .where(F.col("doc_id") != F.col("winner"))
         .select("doc_id", "winner")
     )
+    _mark("near_dup", near_drops)
 
     s2 = s1.join(near_drops.select("doc_id"), "doc_id", "left_anti")
 
     if embeddings is not None:
         from .similarity import semdedup
 
-        sem = cache.persist(
+        sem = cache.stage(
             semdedup(embeddings, sem_threshold, sem_clusters, sem_iters,
                      cfg=cfg))
         keepers = sem.where(F.col("keep")).select(
@@ -1176,7 +1233,7 @@ def curate_corpus(
         # only docs still alive after the near stage take the semantic
         # verdict (first-match-wins); the keeper attribution may point at
         # a doc an earlier stage dropped — same as the near stage's winner
-        sem_drops = cache.persist(
+        sem_drops = cache.stage(
             s2.select("doc_id").join(
                 sem.where(~F.col("keep"))
                 .join(keepers, "group_id")
@@ -1188,16 +1245,16 @@ def curate_corpus(
     else:
         sem_drops = None
 
-    rep = cache.persist(
+    rep = cache.stage(
         repetition_report(s2, top_frac_max, dup_ratio_max)
         .select("doc_id", "repetitive")
     )
     _mark("repetition", rep)
-    s3 = cache.persist(
+    s3 = cache.stage(
         s2.join(rep.where(~F.col("repetitive")).select("doc_id"), "doc_id")
     )
 
-    bud = cache.persist(
+    bud = cache.stage(
         budget_selection(s3, token_budget, n_buckets,
                          quality_col=quality_col)
     )
@@ -1288,7 +1345,7 @@ def curate_transcripts(
     from ..operators.assemble import assemble
     from .kmv import md5_60
 
-    asm = cache.persist(
+    asm = cache.stage(
         assemble(turns).select(
             "conv_id",
             md5_60(F.col("conv_id")).alias("doc_id"),

@@ -95,29 +95,42 @@ def corpus_admission(docs: DataFrame, quality_min: float = 0.25,
     natural-language stopwords and the column would cost a 4-language
     stopword scan per row for nothing).
     """
-    from .text import content_class_col, lang_guess_col
-    from .text import quality_col as _quality_heuristic
+    from .text import (content_class_expr, lang_guess_expr, quality_expr,
+                       text_features)
 
     q = (F.col(quality_col).cast("double") if quality_col is not None
-         else _quality_heuristic())
+         else quality_expr())
     if not lang_gate:
         lg = F.lit(None).cast("string")
     elif lang_col is not None:
         lg = F.col(lang_col)
     else:
-        lg = lang_guess_col()
-    keepers = (
-        exact_hash(docs)
-        .groupBy("content_md5")
-        .agg(F.min("doc_id").alias("keeper_doc_id"))
-    )
-    enriched = docs.select(
+        lg = lang_guess_expr()
+    # the quality/lang/class heuristics ride text_features: the reason
+    # cascade + decision column reference them repeatedly, and the inline
+    # expressions would be collapse-inlined into every reference (full
+    # normalize+split per reference — see text.text_features)
+    passthrough: list = ["doc_id", F.md5("text").alias("content_md5")]
+    if quality_col is not None:
+        passthrough.append(quality_col)
+    if lang_gate and lang_col is not None:
+        passthrough.append(lang_col)
+    # ONE text scan: the scored frame is persisted (a ~100 B/row
+    # projection — cacheable at any scale) and the keeper aggregation
+    # reads it back instead of re-scanning + re-hashing the corpus text
+    # a second time (at 100 TB that is a whole extra input pass)
+    scored = cache.persist(text_features(docs, *passthrough).select(
         "doc_id",
-        F.md5("text").alias("content_md5"),
+        "content_md5",
         q.alias("quality"),
         lg.alias("lang_guess"),
-        content_class_col().alias("content_class"),
-    ).join(keepers, "content_md5")
+        content_class_expr().alias("content_class"),
+    ))
+    keepers = (
+        scored.groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
+    enriched = scored.join(keepers, "content_md5")
     reason = (
         F.when(F.col("doc_id") != F.col("keeper_doc_id"), "exact_dup")
         .when(F.col("content_class") == "empty", "empty")
@@ -321,7 +334,8 @@ def duplicate_weights(docs: DataFrame, cfg: DedupConfig | None = None,
 
 def neardup_clusters(docs: DataFrame, cfg: DedupConfig | None = None,
                      threshold: float = 0.3,
-                     signatures: DataFrame | None = None) -> DataFrame:
+                     signatures: DataFrame | None = None,
+                     exact_star: bool = True) -> DataFrame:
     """Near-dup clusters over the documents table: connected components of
     (MinHash-LSH verified near pairs UNION exact-dup star edges), labeled
     with the min doc_id of the component (singletons map to self). Gives
@@ -330,30 +344,38 @@ def neardup_clusters(docs: DataFrame, cfg: DedupConfig | None = None,
     (operators/cluster.py — no collect_set, skew-safe at 10^12 rows).
 
     ``signatures``: optional precomputed same-cfg signature stage table
-    (see minhash_lsh_pairs) — the near-pair channel skips re-shingling."""
+    (see minhash_lsh_pairs) — the near-pair channel skips re-shingling.
+    ``exact_star``: callers whose input PROVABLY contains no byte-exact
+    duplicates (the curation cascade's post-admission frame: admission
+    already dropped every non-min member of each content-md5 group, so
+    each group has exactly one survivor) pass False to skip building the
+    star channel — it is empty by construction there, but still costs a
+    full text scan + md5 aggregation to discover that."""
     from ..operators.cluster import connected_components
 
     cfg = cfg or DedupConfig(shingle_k=3, substring_enabled=False,
                              jaccard_threshold=threshold)
-    near = minhash_lsh_pairs(docs, cfg, threshold,
-                             signatures=signatures).select(
+    edges = minhash_lsh_pairs(docs, cfg, threshold,
+                              signatures=signatures).select(
         F.col("doc_id_a").alias("ih_a"), F.col("doc_id_b").alias("ih_b")
     )
-    eh = exact_hash(docs)
-    reps = (
-        eh.groupBy("content_md5")
-        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1)
-    )
-    star = (
-        eh.join(reps, "content_md5")
-        .where(F.col("doc_id") != F.col("rep"))
-        .select(F.col("rep").alias("ih_a"), F.col("doc_id").alias("ih_b"))
-    )
+    if exact_star:
+        eh = exact_hash(docs)
+        reps = (
+            eh.groupBy("content_md5")
+            .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+        )
+        star = (
+            eh.join(reps, "content_md5")
+            .where(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("ih_a"), F.col("doc_id").alias("ih_b"))
+        )
+        edges = edges.unionByName(star)
     nodes = docs.select(
         F.col("doc_id").alias("conv_id"), F.col("doc_id").alias("id_hash")
     )
-    cc = connected_components(nodes, near.unionByName(star), cfg)
+    cc = connected_components(nodes, edges, cfg)
     return cc.select(
         F.col("conv_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -380,11 +402,14 @@ def dedup_keep_best(docs: DataFrame, cfg: DedupConfig | None = None,
     (max quality + member count, then min doc_id among the tied best) —
     skew-safe, since even a viral cluster contributes one group with
     count/max/min aggregates, membership never materialized."""
-    from .text import quality_col
+    from .text import quality_expr, text_features
 
     clusters = neardup_clusters(docs, cfg, threshold)
-    scored = docs.select(
-        "doc_id", quality_col("text").alias("quality")
+    # quality via text_features (statistics materialized once per row;
+    # the inline quality_col expression re-runs normalize+split per
+    # reference after projection collapse — see text.text_features)
+    scored = text_features(docs, "doc_id").select(
+        "doc_id", quality_expr().alias("quality")
     ).join(clusters, "doc_id")
     agg = scored.groupBy("cluster_id").agg(
         F.max("quality").alias("best_q"),

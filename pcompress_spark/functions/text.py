@@ -64,9 +64,15 @@ def materialized_words(df: DataFrame, *cols: str | Column,
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
-    """doc_id, n_tokens, n_distinct_tokens, avg_token_len (6dp)."""
-    w = norm_words("text")
-    return docs.select(
+    """doc_id, n_tokens, n_distinct_tokens, avg_token_len (6dp).
+
+    The three stats all consume the normalized word array, so it is
+    materialized once per row behind the Generate barrier
+    (materialized_words) — the inline norm_words expression would be
+    collapse-inlined into every reference and re-split the document
+    three times (see materialized_words docstring)."""
+    w = F.col("words")
+    return materialized_words(docs, "doc_id").select(
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(w)).cast("long").alias("n_distinct_tokens"),
@@ -78,6 +84,117 @@ def token_stats(docs: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("avg_token_len"),
+    )
+
+
+def text_features(df: DataFrame, *cols: str | Column,
+                  text_col: str | Column = "text") -> DataFrame:
+    """``df`` projected to (*cols, tf_n_tokens, tf_total_chars,
+    tf_alnum_chars, tf_digit_chars, tf_space_chars, tf_sw_<lang>) — every
+    character/token statistic the quality, language-ID, and content-class
+    heuristics consume, each computed EXACTLY ONCE per row.
+
+    Why two Generate barriers (see materialized_words): the statistics are
+    referenced many times by the consuming CASE cascades (the language
+    argmax alone references each stopword count up to six times), and
+    Catalyst's projection collapse inlines an alias into every reference.
+    Higher-order functions are interpreted — no codegen, no common-
+    subexpression elimination — so the collapsed plan re-runs the full
+    normalize+split pipeline once per reference: measured 3.6 s for the
+    admission projection over the 5k-doc sf0.1 table vs ~0.4 s behind the
+    barriers, and the blowup scales with corpus size (it is per-row CPU).
+    Barrier 1 materializes the word array + lowercased text; barrier 2
+    materializes the scalar counts; consumers then reference plain
+    attributes, which collapse can duplicate for free.
+
+    The emitted statistics are the EXACT expressions the inline
+    heuristics (_quality_parts, _lang_counts, content_class_col) compute —
+    quality_expr/lang_guess_expr/content_class_expr below rebuild the
+    identical arithmetic over them, so results are bit-identical."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # passthrough expressions (e.g. md5(text)) are evaluated ONCE in the
+    # first projection; later projections reference them by output NAME —
+    # their source columns no longer exist past the barrier
+    names = df.select(*cols).columns if cols else []
+    b1 = df.select(
+        *cols,
+        F.explode(F.array(F.struct(
+            norm_words(c).alias("words"),
+            F.lower(c).alias("lower"),
+        ))).alias("_tf"),
+    ).select(*names, F.col("_tf.words").alias("words"),
+             F.col("_tf.lower").alias("lower"))
+    total = F.length("lower")
+    # complement-run forms — see _quality_parts / content_class_col
+    alnum = total - F.length(F.regexp_replace("lower", "[a-z0-9 ]+", ""))
+    digits = total - F.length(F.regexp_replace("lower", "[0-9]+", ""))
+    spaces = total - F.length(F.regexp_replace("lower", " +", ""))
+
+    def _count(sw: list[str]) -> Column:
+        arr = F.array([F.lit(s) for s in sw])
+        return F.size(F.filter("words", lambda x: F.array_contains(arr, x)))
+
+    return b1.select(
+        *names,
+        F.explode(F.array(F.struct(
+            F.size("words").alias("tf_n_tokens"),
+            total.alias("tf_total_chars"),
+            alnum.alias("tf_alnum_chars"),
+            digits.alias("tf_digit_chars"),
+            spaces.alias("tf_space_chars"),
+            *[_count(sw).alias(f"tf_sw_{lang}")
+              for lang, sw in STOPWORDS.items()],
+        ))).alias("_tf2"),
+    ).select(*names, "_tf2.*")
+
+
+def _quality_parts_from_features() -> tuple[Column, Column, Column]:
+    """(alnum_ratio, stopword_ratio, len_score) over text_features columns
+    — the same arithmetic as _quality_parts, referencing materialized
+    statistics instead of recomputing them."""
+    total_chars = F.col("tf_total_chars")
+    n_tok = F.col("tf_n_tokens")
+    alnum_ratio = F.when(
+        total_chars > 0, F.col("tf_alnum_chars").cast("double") / total_chars
+    ).otherwise(0.0)
+    stop_ratio = F.when(
+        n_tok > 0, F.col("tf_sw_en").cast("double") / n_tok
+    ).otherwise(0.0)
+    len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+    return alnum_ratio, stop_ratio, len_score
+
+
+def quality_expr() -> Column:
+    """quality_col over text_features columns (bit-identical values)."""
+    alnum_ratio, stop_ratio, len_score = _quality_parts_from_features()
+    return F.round((alnum_ratio + stop_ratio + len_score) / F.lit(3.0), 6)
+
+
+def lang_guess_expr() -> Column:
+    """lang_guess_col over text_features columns (same argmax cascade,
+    same fixed tie-break order, same 'und' rule)."""
+    counts = {lang: F.col(f"tf_sw_{lang}") for lang in STOPWORDS}
+    best = F.greatest(*counts.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:
+        guess = guess.when(counts[lang] == best, F.lit(lang))
+    return guess
+
+
+def content_class_expr() -> Column:
+    """content_class_col over text_features columns (same thresholds)."""
+    total = F.col("tf_total_chars")
+    digit_ratio = F.when(
+        total > 0, F.col("tf_digit_chars").cast("double") / total
+    ).otherwise(0.0)
+    space_ratio = F.when(
+        total > 0, F.col("tf_space_chars").cast("double") / total
+    ).otherwise(0.0)
+    return (
+        F.when(total == 0, "empty")
+        .when(digit_ratio > 0.10, "numeric")
+        .when(space_ratio > 0.25, "airy")
+        .otherwise("dense")
     )
 
 
@@ -115,9 +232,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
     - alnum_ratio: [a-z0-9 ] chars / total chars (lowercased)
     - stopword_ratio: English stopwords / tokens
     - len_score: min(n_tokens / 50, 1)
-    - quality: rounded mean of the three."""
-    alnum_ratio, stop_ratio, len_score = _quality_parts("text")
-    return docs.select(
+    - quality: rounded mean of the three.
+    Rides text_features (statistics materialized once per row — the
+    four output columns would otherwise each re-run normalize+split)."""
+    alnum_ratio, stop_ratio, len_score = _quality_parts_from_features()
+    return text_features(docs, "doc_id").select(
         "doc_id",
         F.round(alnum_ratio, 6).alias("alnum_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -151,14 +270,18 @@ def lang_guess_col(col: str | Column = "text") -> Column:
 
 def lang_guess(docs: DataFrame) -> DataFrame:
     """Stopword-ratio language ID over fixed lists; the guess column IS
-    lang_guess_col (one cascade, shared with corpus_admission — a tweak to
-    the tie-break or 'und' rule can't silently diverge the two)."""
-    counts = _lang_counts("text")
-    return docs.select(
+    lang_guess_expr over the same materialized counts (one cascade, shared
+    with corpus_admission — a tweak to the tie-break or 'und' rule can't
+    silently diverge the two). text_features materializes each stopword
+    count once — the argmax cascade references every count up to six
+    times, and the inline form re-ran the full normalize+split per
+    reference (see text_features)."""
+    return text_features(docs, "doc_id", "lang").select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
-        lang_guess_col("text").alias("lang_guess"),
-        *[counts[lang].cast("long").alias(f"sw_{lang}") for lang in STOPWORDS],
+        lang_guess_expr().alias("lang_guess"),
+        *[F.col(f"tf_sw_{lang}").cast("long").alias(f"sw_{lang}")
+          for lang in STOPWORDS],
     )
 
 

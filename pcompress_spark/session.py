@@ -74,6 +74,18 @@ def get_spark(
         # heap GC-thrashes the text shuffle (measured 4-6x slowdown at 8g),
         # while an oversized one starves the 32 Python workers of RAM
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Cap plan-tree explain strings: AQE re-renders the WHOLE plan's
+        # explain string on every stage materialization (onUpdatePlan ->
+        # QueryExecution.explainString) even with the UI disabled, and
+        # multi-stage compositions here carry plans whose rendered form
+        # runs to megabytes — thread dumps during a cascade count showed
+        # the driver pinned in generateTreeString (~1 s per job; the
+        # composed doc-curation count dropped 10.9 s -> 5.4 s from this
+        # cap alone). 128 KB keeps human-readable plans intact; tooling
+        # that needs full plans (tools/dump_plans.py) overrides via
+        # extra_conf/env.
+        .config("spark.sql.maxPlanStringLength",
+                os.environ.get("SPARK_GRAFT_MAX_PLAN_STR", "131072"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -35,7 +35,9 @@ def plan_of(df) -> str:
 
 
 def main() -> None:
-    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    spark = get_spark(master="local[4]", shuffle_partitions=8,
+                      extra_conf={"spark.sql.maxPlanStringLength":
+                                  str((1 << 31) - 16)})
     spark.sparkContext.setLogLevel("ERROR")
     cfg = DedupConfig()
 
