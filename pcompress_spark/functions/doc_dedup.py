@@ -211,27 +211,44 @@ def doc_signatures(docs: DataFrame, cfg: DedupConfig,
     id_hash = splitmix64(doc_id): the deterministic salting hash for
     hot-bucket sampling (same role as the transcript pipeline's id_hash).
     with_windows adds the content-defined substring window fingerprints
-    (requires cfg.substring_enabled — the kernel only emits them then)."""
+    (requires cfg.substring_enabled — the kernel only emits them then).
+    Arrow-native (mapInArrow + flat kernel) like compute_signatures: the
+    signature arrays leave Python as flat (values, offsets) buffers with
+    no per-row object wrapping."""
     if with_windows and not cfg.substring_enabled:
         raise ValueError("with_windows requires cfg.substring_enabled")
 
-    def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sig = signatures_for_texts(pdf["text"], cfg)
-            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            cols = {
-                "doc_id": ids,
-                "id_hash": splitmix64(ids.view(np.uint64)).view(np.int64),
-                "shingles": sig["shingles"].values,
-                "minhash": sig["minhash"].values,
-                "simhash": sig["simhash"].values,
-            }
+    def _sign(batches):
+        import pyarrow as pa
+
+        from ..kernels import arrow_list_array, signatures_flat_for_texts
+
+        for rb in batches:
+            texts = rb.column(rb.schema.get_field_index("text")).to_pandas()
+            ids = rb.column(rb.schema.get_field_index("doc_id"))
+            n = len(texts)
+            flat = signatures_flat_for_texts(texts, cfg)
+            id_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = [
+                ids,
+                pa.array(splitmix64(id_np.view(np.uint64)).view(np.int64),
+                         type=pa.int64()),
+                arrow_list_array(flat["sh_values"], flat["sh_offsets"]),
+                arrow_list_array(
+                    flat["mh"].ravel(),
+                    np.arange(0, (n + 1) * cfg.num_perm, cfg.num_perm,
+                              dtype=np.int64)),
+                pa.array(flat["simhash"].view(np.int64), type=pa.int64()),
+            ]
+            names = ["doc_id", "id_hash", "shingles", "minhash", "simhash"]
             if with_windows:
-                cols["win_hashes"] = sig["win_hashes"].values
-            yield pd.DataFrame(cols)
+                cols.append(
+                    arrow_list_array(flat["wh_values"], flat["w_offsets"]))
+                names.append("win_hashes")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     schema = _DOCSIG_WIN_SCHEMA if with_windows else _DOCSIG_SCHEMA
-    return docs.select("doc_id", "text").mapInPandas(trim_after(_sign), schema=schema)
+    return docs.select("doc_id", "text").mapInArrow(trim_after(_sign), schema=schema)
 
 
 def doc_band_explode(sig: DataFrame, cfg: DedupConfig) -> DataFrame:

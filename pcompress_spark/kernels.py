@@ -1001,20 +1001,30 @@ def content_hash_hex(norm_texts: pd.Series) -> pd.Series:
     return norm_texts.map(lambda t: hashlib.sha256(t.encode("utf-8")).hexdigest())
 
 
-def signatures_for_texts(texts: pd.Series, cfg) -> pd.DataFrame:
-    """THE shared signature kernel: raw doc texts -> one row per doc with
-    n_tokens, content_hash, shingles (sorted distinct int64 list), minhash
-    (int64 list, len num_perm), simhash (int64), win_hashes/win_positions
-    (int64 lists) when cfg.substring_enabled.
+def signatures_flat_for_texts(texts: pd.Series, cfg) -> dict:
+    """THE shared signature kernel in FLAT (values + offsets) form: one
+    batch of raw doc texts -> a dict of flat numpy arrays
 
-    uint64 values are reinterpreted as int64 (bit-preserving) for Spark
-    LongType / Arrow compatibility.
-    """
-    n_docs = len(texts)
+      n_tokens     int64[n]
+      norm_bytes   list[bytes] (sha256 input per doc)
+      sh_values    uint64[sum sh]   sh_offsets int64[n+1]
+      mh           uint64[n, num_perm]
+      simhash      uint64[n]
+      wh_values    uint64[sum w]    wp_values uint64[sum w]
+      w_offsets    int64[n+1]       (empty/zeros when substring disabled)
+
+    This is the representation the Arrow-native signature UDFs consume:
+    a pyarrow ListArray is exactly (values buffer, offsets buffer), so
+    the flat form crosses the JVM boundary with ZERO per-row Python
+    objects — the per-row list wrapping of the pandas form measured ~6 s
+    of the 160k-conv signature stage (37%). signatures_for_texts below
+    wraps this into the historical per-row pandas frame for the oracle
+    and tests; values are identical by construction."""
+    sub = getattr(cfg, "substring_enabled", False)
     norm_bytes, th_flat, starts = tokenize_hash_batch(texts, cfg.max_token_chars)
     lens = np.diff(starts)
     sh_flat, sh_starts = shingle_hashes_flat(th_flat, starts, cfg.shingle_k)
-    sh_sets, sh_cat, sh_cat_starts = distinct_sorted_per_doc(sh_flat, sh_starts)
+    _sets, sh_cat, sh_cat_starts = distinct_sorted_per_doc(sh_flat, sh_starts)
     mh = minhash_flat(
         sh_cat, sh_cat_starts, cfg.num_perm, cfg.seed,
         scheme=getattr(cfg, "minhash_scheme", "oph"),
@@ -1023,31 +1033,79 @@ def signatures_for_texts(texts: pd.Series, cfg) -> pd.DataFrame:
         sh_cat, sh_cat_starts, cfg.simhash_bits,
         sample_cap=getattr(cfg, "simhash_sample", 512),
     )
-
-    out = pd.DataFrame(
-        {
-            "n_tokens": lens,
-            "content_hash": [hashlib.sha256(b).hexdigest() for b in norm_bytes],
-            "shingles": [s.view(np.int64) for s in sh_sets],
-            "minhash": list(mh.view(np.int64)),
-            "simhash": simh.view(np.int64),
-        }
-    )
-    if getattr(cfg, "substring_enabled", False):
+    out = {
+        "n_tokens": lens,
+        "norm_bytes": norm_bytes,
+        "sh_values": sh_cat,
+        "sh_offsets": sh_cat_starts,
+        "mh": mh,
+        "simhash": simh,
+    }
+    if sub:
         wh_flat, wh_starts = window_hashes_flat(
             sh_flat, sh_starts, cfg.shingle_k, cfg.substring_window
         )
-        # one global flatnonzero + gather instead of a per-doc loop; the
-        # per-doc outputs are views into the two compacted arrays
+        # one global flatnonzero + gather instead of a per-doc loop
         sel_idx = np.flatnonzero((wh_flat % np.uint64(cfg.substring_stride)) == 0)
         bounds = np.searchsorted(sel_idx, wh_starts)
-        wh_sel = wh_flat[sel_idx].view(np.int64)
-        rel = sel_idx - np.repeat(wh_starts[:-1], np.diff(bounds))
-        whs = [wh_sel[bounds[i] : bounds[i + 1]] for i in range(n_docs)]
-        wps = [rel[bounds[i] : bounds[i + 1]] for i in range(n_docs)]
-        out["win_hashes"] = whs
-        out["win_positions"] = wps
+        out["wh_values"] = wh_flat[sel_idx]
+        out["wp_values"] = (
+            sel_idx - np.repeat(wh_starts[:-1], np.diff(bounds))
+        ).astype(np.uint64)
+        out["w_offsets"] = bounds.astype(np.int64)
+    else:
+        n_docs = len(lens)
+        out["wh_values"] = np.empty(0, dtype=np.uint64)
+        out["wp_values"] = np.empty(0, dtype=np.uint64)
+        out["w_offsets"] = np.zeros(n_docs + 1, dtype=np.int64)
     return out
+
+
+def signatures_for_texts(texts: pd.Series, cfg) -> pd.DataFrame:
+    """THE shared signature kernel: raw doc texts -> one row per doc with
+    n_tokens, content_hash, shingles (sorted distinct int64 list), minhash
+    (int64 list, len num_perm), simhash (int64), win_hashes/win_positions
+    (int64 lists) when cfg.substring_enabled.
+
+    uint64 values are reinterpreted as int64 (bit-preserving) for Spark
+    LongType / Arrow compatibility. Per-row wrapper over
+    signatures_flat_for_texts (one shared computation path)."""
+    n_docs = len(texts)
+    flat = signatures_flat_for_texts(texts, cfg)
+    so = flat["sh_offsets"]
+    sh_cat = flat["sh_values"].view(np.int64)
+    out = pd.DataFrame(
+        {
+            "n_tokens": flat["n_tokens"],
+            "content_hash": [
+                hashlib.sha256(b).hexdigest() for b in flat["norm_bytes"]
+            ],
+            "shingles": [sh_cat[so[i]: so[i + 1]] for i in range(n_docs)],
+            "minhash": list(flat["mh"].view(np.int64)),
+            "simhash": flat["simhash"].view(np.int64),
+        }
+    )
+    if getattr(cfg, "substring_enabled", False):
+        wo = flat["w_offsets"]
+        wh = flat["wh_values"].view(np.int64)
+        wp = flat["wp_values"].view(np.int64)
+        out["win_hashes"] = [wh[wo[i]: wo[i + 1]] for i in range(n_docs)]
+        out["win_positions"] = [wp[wo[i]: wo[i + 1]] for i in range(n_docs)]
+    return out
+
+
+def arrow_list_array(values: np.ndarray, offsets: np.ndarray):
+    """pyarrow list<int64> column from flat (values, offsets) — the
+    zero-per-row-object bridge the Arrow signature UDFs use. Offsets are
+    int32 per Arrow's list spec: fine for UDF batches (arrow_batch_rows
+    rows per batch — far under 2^31 values), NOT for whole-corpus
+    arrays."""
+    import pyarrow as pa
+
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(values.view(np.int64), type=pa.int64()),
+    )
 
 
 def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:

@@ -10,10 +10,12 @@ batches (kernels.py) — the identical kernels the oracle uses, so engine
 signatures == oracle signatures bit-for-bit.
 
 Design notes:
-- mapInPandas (not a scalar pandas_udf returning a struct) so the heavy
+- mapInArrow (not a scalar pandas_udf returning a struct) so the heavy
   ``text`` column is DROPPED on output — downstream stages shuffle only
-  hashes, never raw text. At 100 TB input, the signatures table is ~1-2%
-  of input size; every later join runs against it.
+  hashes, never raw text — and the signature arrays cross the boundary as
+  flat Arrow (values, offsets) buffers with zero per-row Python objects
+  (kernels.signatures_flat_for_texts). At 100 TB input, every later join
+  runs against the signatures table, never the text.
 - NO shuffle in this stage: it maps over whatever partitioning assemble
   produced.
 - Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch) bounds
@@ -23,15 +25,12 @@ Design notes:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..config import DedupConfig
-from ..kernels import hash_tokens, signatures_for_texts, trim_after
+from ..kernels import hash_tokens, trim_after
 
 SIGNATURE_SCHEMA = T.StructType(
     [
@@ -74,39 +73,56 @@ def compute_signatures(
     for name in passthrough:
         schema = schema.add(assembled.schema[name])
 
-    def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sig = signatures_for_texts(pdf["doc_text"], cfg)
-            if "win_hashes" not in sig.columns:
-                sig["win_hashes"] = [[] for _ in range(len(sig))]
-                sig["win_positions"] = [[] for _ in range(len(sig))]
-            out = pd.DataFrame(
-                {
-                    "conv_id": pdf["conv_id"].values,
-                    # deterministic 64-bit id hash (shared kernel) — used for
-                    # hot-bucket salting; reproducible in the oracle.
-                    # max_token_chars=None: identifiers hash FULL-length —
-                    # the 64-char token truncation would deterministically
-                    # collide conv_ids sharing a long prefix.
-                    "id_hash": hash_tokens(
-                        pdf["conv_id"].to_numpy(dtype=np.str_), None
-                    ).view(np.int64),
-                    "n_turns": pdf["n_turns"].values,
-                    "n_tokens": sig["n_tokens"].values,
-                    "content_hash": sig["content_hash"].values,
-                    "shingles": sig["shingles"].values,
-                    "minhash": sig["minhash"].values,
-                    "simhash": sig["simhash"].values,
-                    "win_hashes": sig["win_hashes"].values,
-                    "win_positions": sig["win_positions"].values,
-                    **{name: pdf[name].values for name in passthrough},
-                }
-            )
-            yield out
+    # Arrow-NATIVE batches (mapInArrow + kernels.signatures_flat_for_texts):
+    # the signature arrays leave Python as flat (values, offsets) buffers —
+    # a pyarrow ListArray IS that pair — so no per-row numpy object is ever
+    # wrapped or pickled. The per-row pandas form this replaced spent ~37%
+    # of the 160k-conv signature stage on row wrapping alone (guide §4.2:
+    # hand whole batches to the columnar format).
+    def _sign(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        from ..kernels import arrow_list_array, signatures_flat_for_texts
+
+        for rb in batches:
+            texts = rb.column(rb.schema.get_field_index("doc_text")).to_pandas()
+            conv = rb.column(rb.schema.get_field_index("conv_id"))
+            n = len(texts)
+            flat = signatures_flat_for_texts(texts, cfg)
+            cols = [
+                conv,
+                # deterministic 64-bit id hash (shared kernel) — used for
+                # hot-bucket salting; reproducible in the oracle.
+                # max_token_chars=None: identifiers hash FULL-length — the
+                # 64-char token truncation would deterministically collide
+                # conv_ids sharing a long prefix.
+                pa.array(hash_tokens(
+                    conv.to_pandas().to_numpy(dtype=np.str_), None
+                ).view(np.int64), type=pa.int64()),
+                rb.column(rb.schema.get_field_index("n_turns")),
+                pa.array(flat["n_tokens"], type=pa.int64()),
+                pa.array([hashlib.sha256(b).hexdigest()
+                          for b in flat["norm_bytes"]], type=pa.string()),
+                arrow_list_array(flat["sh_values"], flat["sh_offsets"]),
+                arrow_list_array(
+                    flat["mh"].ravel(),
+                    np.arange(0, (n + 1) * cfg.num_perm, cfg.num_perm,
+                              dtype=np.int64)),
+                pa.array(flat["simhash"].view(np.int64), type=pa.int64()),
+                arrow_list_array(flat["wh_values"], flat["w_offsets"]),
+                arrow_list_array(flat["wp_values"], flat["w_offsets"]),
+            ]
+            names = list(SIGNATURE_SCHEMA.fieldNames())
+            for name in passthrough:
+                cols.append(rb.column(rb.schema.get_field_index(name)))
+                names.append(name)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     # trim_after: workers release arena RSS once their partition is done, so
     # idle (reused) Python workers don't starve the following shuffle stage
-    out = assembled.mapInPandas(trim_after(_sign), schema=schema)
+    out = assembled.mapInArrow(trim_after(_sign), schema=schema)
     # Precompute the LSH band keys as a compact column (bands x 8B vs the
     # num_perm x 8B minhash array): the candidates stage scans the
     # signature table TWICE (bucket sizes + salted membership), and reading
