@@ -66,13 +66,14 @@ def materialized_words(df: DataFrame, *cols: str | Column,
 def token_stats(docs: DataFrame) -> DataFrame:
     """doc_id, n_tokens, n_distinct_tokens, avg_token_len (6dp).
 
-    The three stats all consume the normalized word array, so it is
-    materialized once per row behind the Generate barrier
-    (materialized_words) — the inline norm_words expression would be
-    collapse-inlined into every reference and re-split the document
-    three times (see materialized_words docstring)."""
-    w = F.col("words")
-    return materialized_words(docs, "doc_id").select(
+    Kept as one inline projection (NOT behind materialized_words): the
+    Generate barrier would block count-time column pruning for consumers
+    that never read the stat columns, and the three references to the
+    word array cost ~2 extra splits only when the stats are actually
+    materialized — the prunable form measured faster for the common
+    count/exists pattern."""
+    w = norm_words("text")
+    return docs.select(
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(w)).cast("long").alias("n_distinct_tokens"),
