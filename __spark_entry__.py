@@ -134,13 +134,31 @@ def _cascade_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade (the _pipeline_tables pattern applied to the cascade's own
     config): assemble under stable turn order, key by the md5_60
     surrogate, sign once at _CASCADE_CFG, write parquet keyed by
-    (scale tag, config hash). Later invocations — including every
-    curate_transcripts fan-out branch — read parquet instead of re-running
-    the shingling UDF. Values are identical to signing inline (signatures
-    are per-document), so the tr_curation oracle is untouched."""
+    (scale tag, config hash, CORPUS FINGERPRINT). Later invocations —
+    including every curate_transcripts fan-out branch — read parquet
+    instead of re-running the shingling UDF. Values are identical to
+    signing inline (signatures are per-document), so the tr_curation
+    oracle is untouched.
+
+    The corpus fingerprint (file names + sizes + mtimes of the transcript
+    fixture) self-invalidates the cache when the fixture is regenerated
+    in place — e.g. after a datagen change under the same (seed, n_conv)
+    path — otherwise stale signatures would silently feed the near-dup
+    stage and the left-semi join would drop the missing docs without a
+    trace."""
+    import hashlib
+
     tag = os.path.basename(os.path.normpath(sf_dir))
+    tr_dir = os.path.dirname(_tr_parquet(sf_dir))
+    fp_parts = []
+    for root, _dirs, files in sorted(os.walk(tr_dir)):
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            fp_parts.append(f"{os.path.join(root, f)}:{st.st_size}:{st.st_mtime_ns}")
+    corpus_fp = hashlib.sha256("\n".join(fp_parts).encode()).hexdigest()[:12]
     path = os.path.join(
-        CACHE_DIR, f"cascade_sig_{tag}_{_CASCADE_CFG.config_hash()}")
+        CACHE_DIR,
+        f"cascade_sig_{tag}_{_CASCADE_CFG.config_hash()}_{corpus_fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tdocs = assemble(load_transcripts(spark, sf_dir)).select(
             kmv.md5_60(F.col("conv_id")).alias("doc_id"),

@@ -703,18 +703,28 @@ def budget_selection(
     counts here when budgets must be model-accurate. ``quality_col``:
     same hook for the ordering score — a precomputed model-quality
     column replaces the heuristic, so external scorers drive selection
-    order (scores must stay in [0,1]: the bucketing rule floor-maps that
-    range; out-of-range scores clamp into the edge buckets)."""
+    order. Scores are expected in [0,1]; out-of-range scores clamp into
+    the edge buckets (above 1.0 -> the top-quality bucket, below 0 ->
+    the bottom), and NULL scores land in the bottom bucket after every
+    scored document — every input doc appears in the output either
+    way."""
     from pyspark.sql import Window
 
     from .. import cache
     from .text import quality_expr, text_features
 
     ntok = _ntok_col(token_col)
-    bucket = F.least(
+    # clamp BOTH quality edges: without the greatest(), an external score
+    # > 1.0 floor-maps to a NEGATIVE bucket and the inner join against the
+    # driver-built offsets frame (buckets 0..n_buckets-1) silently drops
+    # the document — the highest-scored docs would vanish from the output
+    # instead of being kept first. In-range scores are untouched. NULL
+    # scores land in the bottom bucket (least/greatest skip nulls) and
+    # sort after every scored doc — deterministic, never dropped.
+    bucket = F.greatest(F.lit(0), F.least(
         F.lit(int(n_buckets) - 1),
         F.floor((F.lit(1.0) - F.col("quality")) * F.lit(int(n_buckets))),
-    ).cast("long")
+    )).cast("long")
     # heuristic path rides text_features (quality referenced by the bucket
     # rule AND the output — inline it would re-split per reference); base
     # is persisted because it feeds BOTH the per-bucket totals collect and
@@ -807,10 +817,11 @@ def budget_mix(
     if alpha < 0:
         raise ValueError("alpha must be a non-negative integer")
     ntok = _ntok_col(token_col)
-    bucket = F.least(
+    # both quality edges clamped — see budget_selection's bucket rule
+    bucket = F.greatest(F.lit(0), F.least(
         F.lit(int(n_buckets) - 1),
         F.floor((F.lit(1.0) - F.col("quality")) * F.lit(int(n_buckets))),
-    ).cast("long")
+    )).cast("long")
     # same shape as budget_selection: heuristic scores via text_features,
     # and base persisted — it feeds THREE consumers (source-weight collect,
     # per-bucket totals collect, the window)

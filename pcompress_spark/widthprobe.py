@@ -96,7 +96,9 @@ def gain_margin(width: int) -> float:
         thrash regime moderate kernel gains DO translate, so the bar is
         the modest 1.25.
     A genuinely healthy doubling of real cores delivers ~1.9-2x kernel
-    aggregate; at 2.0 sharp the tie goes to capped (see the asymmetry)."""
+    aggregate; choose_width keeps the FULL width at exactly the margin
+    (its >= comparison — ties go to the wider width, matching
+    bench.py's probe rule), so only sub-2.0 windows cap."""
     return 2.0 if width > 16 else 1.25
 
 

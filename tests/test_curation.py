@@ -769,6 +769,35 @@ class TestPrecomputedHooks:
         assert (ordered.cum_before
                 == ordered.n_tokens.cumsum().shift(fill_value=0)).all()
 
+    def test_budget_selection_out_of_range_scores_kept(self, spark, docs):
+        """External quality scores outside [0,1] (and NULLs) clamp into
+        the edge buckets instead of silently vanishing: every input doc
+        must appear in the output, scores > 1.0 must sort FIRST (they are
+        the best-rated docs), and NULL scores sort after every scored
+        doc."""
+        ext = docs.withColumn(
+            "extq",
+            F.when(F.col("doc_id") % 11 == 0, F.lit(2.5))      # above range
+            .when(F.col("doc_id") % 11 == 1, F.lit(-0.7))      # below range
+            .when(F.col("doc_id") % 11 == 2, F.lit(None).cast("double"))
+            .otherwise((F.col("doc_id") % 7).cast("double") / F.lit(6.0)),
+        )
+        out = curation.budget_selection(
+            ext, token_budget=5_000, quality_col="extq"
+        ).toPandas()
+        assert len(out) == docs.count()  # nothing dropped
+        # above-range docs occupy the lowest cum_before positions of any
+        # non-null group (they rank ahead of every in-range score)
+        over = out[out.quality > 1.0]
+        rest = out[out.quality <= 1.0]
+        assert over.cum_before.max() < rest.cum_before.min()
+        # NULL-scored docs sort after every scored doc
+        nulls = out[out.quality.isna()]
+        scored = out[out.quality.notna()]
+        assert nulls.cum_before.min() > scored[
+            scored.quality > -0.7].cum_before.max() or len(nulls) == 0
+        assert len(nulls) > 0 and len(over) > 0
+
     def test_admission_lang_gate_off_skips_lang(self, spark, docs):
         from pcompress_spark.functions import doc_dedup
 
