@@ -54,7 +54,8 @@ def test_stratified_sample_map_only_plan(spark, docs):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan, "sampling must be map-only"
-    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert ("MapInPandas" not in plan and "MapInArrow" not in plan
+            and "BatchEvalPython" not in plan)
 
 
 def test_decontaminate_flags_benchmark_copies(spark, docs):
@@ -375,7 +376,8 @@ def test_pii_ops_map_only_plan(spark, pii_docs):
             df.explain("formatted")
         plan = buf.getvalue()
         assert "Exchange" not in plan, "PII ops must be map-only"
-        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+        assert ("MapInPandas" not in plan and "MapInArrow" not in plan
+            and "BatchEvalPython" not in plan)
 
 
 def test_repetition_report_known_values(spark):

@@ -37,10 +37,11 @@ def test_minhash_lsh_vs_bruteforce(spark, docs):
 
 def test_doc_signature_udf_runs_once_per_query(spark, docs):
     """The signature frame fans out to banding + both verify sides; the
-    persist must collapse that to ONE physical MapInPandas instance — every
+    persist must collapse that to ONE physical Python-map instance — every
     reference reads the same cached relation (the formatted plan re-prints
-    the cached body under each InMemoryTableScan, but all MapInPandas
-    occurrences must carry the SAME node id)."""
+    the cached body under each InMemoryTableScan, but all MapInArrow
+    occurrences must carry the SAME node id). The signature UDF is
+    Arrow-native since r6 (MapInArrow, zero per-row objects)."""
     import io
     import re
     from contextlib import redirect_stdout
@@ -51,7 +52,7 @@ def test_doc_signature_udf_runs_once_per_query(spark, docs):
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        ids = set(re.findall(r"MapInPandas \((\d+)\)", plan))
+        ids = set(re.findall(r"MapIn(?:Arrow|Pandas) \((\d+)\)", plan))
         assert len(ids) == 1, f"signature UDF appears as {ids} distinct nodes"
         assert "InMemoryRelation" in plan, plan
 

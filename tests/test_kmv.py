@@ -98,8 +98,8 @@ def test_kmv_plans_have_zero_python_nodes(spark, docs, smoke_transcripts):
     is never exchanged on a single pair-end key — the O(corpus) array
     sort-spill shape the repo invariant forbids. The composite (a, b)
     exchange carries both keys, so the single-key pattern cannot match it."""
-    py_nodes = ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
-                "FlatMapGroupsInPandas", "PythonUDF")
+    py_nodes = ("MapInPandas", "MapInArrow", "BatchEvalPython",
+                "ArrowEvalPython", "FlatMapGroupsInPandas", "PythonUDF")
     for df in (kmv_near_pairs(docs, k_shingle=3, threshold=0.3),
                kmv_near_pairs_transcripts(smoke_transcripts, DedupConfig())):
         plan = _plan(df)
