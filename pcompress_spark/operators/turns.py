@@ -127,14 +127,17 @@ def turn_dedup_stats(transcripts: DataFrame, min_chars: int = 16) -> DataFrame:
     # kernels.normalize_one is byte-identical to the JVM/DuckDB regex for
     # ASCII corpora but ~5x faster than java.util.regex here (the regexp
     # projection alone costs ~15 s of the 3.3M-turn bench corpus vs ~4 s
-    # for the kernel pass). mapInArrow rather than mapInPandas, and the
-    # RAW 32-byte digest rather than the 64-char hexdigest: the map phase
-    # is overhead-bound (6.5k small Arrow batches at the session's
-    # 512-row batch size — the kernel itself is ~1.4 s of the measured
-    # ~8 s), so skipping the pandas wrapping each way and halving the
-    # hash-key bytes measured 12.3 s -> 9.9 s on the 3.3M-turn corpus.
-    # Only the rollup's group STRUCTURE matters, and digest bytes key the
-    # identical groups hexdigest did.
+    # for the kernel pass). Three boundary optimizations (guide §4), each
+    # measured on the 3.3M-turn corpus:
+    # - mapInArrow rather than mapInPandas, RAW 32-byte digest rather
+    #   than the 64-char hexdigest (12.3 s -> 9.9 s): only the rollup's
+    #   group STRUCTURE matters, and digest bytes key identical groups;
+    # - batches COALESCED to ~4096 rows inside the UDF (interleaved A/B:
+    #   21.6-26.4 s -> 17.6-17.8 s on a noisy window): the session's
+    #   512-row Arrow batch bounds the heavyweight signature UDF's
+    #   working set, but these rows are ~700 B — per-batch kernel-call
+    #   overhead dominated, and the iterator form lets this op pick its
+    #   own granularity without touching the session conf.
     from .. import kernels
 
     @kernels.trim_after
@@ -143,10 +146,10 @@ def turn_dedup_stats(transcripts: DataFrame, min_chars: int = 16) -> DataFrame:
 
         import pyarrow as pa
 
-        for rb in batches:
-            norm_bytes, n_chars = kernels.normalize_bytes_batch(
-                rb.column(0).to_pandas())
-            yield pa.RecordBatch.from_arrays(
+        def flush(buf):
+            texts = pa.Table.from_batches(buf).column(0).to_pandas()
+            norm_bytes, n_chars = kernels.normalize_bytes_batch(texts)
+            return pa.RecordBatch.from_arrays(
                 [
                     pa.array([hashlib.sha256(b).digest()
                               for b in norm_bytes], type=pa.binary()),
@@ -154,6 +157,16 @@ def turn_dedup_stats(transcripts: DataFrame, min_chars: int = 16) -> DataFrame:
                 ],
                 names=["turn_hash", "n_chars"],
             )
+
+        buf, n = [], 0
+        for rb in batches:
+            buf.append(rb)
+            n += rb.num_rows
+            if n >= 4096:
+                yield flush(buf)
+                buf, n = [], 0
+        if buf:
+            yield flush(buf)
 
     g = (
         transcripts.select("text")
