@@ -84,7 +84,6 @@ def cascade(cpus: str, sf_dir: str) -> None:
         t3 = time.monotonic()
         out[name] = {
             "rows": n,
-            "total_sec": round(t3 - t0 + (t2 - t1) - (t2 - t1), 3),
             "build_and_stages_sec": round(t1 - t0, 3),
             "stage_seconds": ss,
             "stage_sum": round(sum(ss.values()), 3),

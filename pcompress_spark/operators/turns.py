@@ -127,7 +127,7 @@ def turn_dedup_stats(transcripts: DataFrame, min_chars: int = 16) -> DataFrame:
     # kernels.normalize_one is byte-identical to the JVM/DuckDB regex for
     # ASCII corpora but ~5x faster than java.util.regex here (the regexp
     # projection alone costs ~15 s of the 3.3M-turn bench corpus vs ~4 s
-    # for the kernel pass). Three boundary optimizations (guide §4), each
+    # for the kernel pass). Two boundary optimizations (guide §4), each
     # measured on the 3.3M-turn corpus:
     # - mapInArrow rather than mapInPandas, RAW 32-byte digest rather
     #   than the 64-char hexdigest (12.3 s -> 9.9 s): only the rollup's
